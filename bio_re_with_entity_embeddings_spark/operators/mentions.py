@@ -1,0 +1,169 @@
+"""Mention detection + dictionary entity linking (pipeline stage 2).
+
+Reference semantics being reproduced (not code):
+
+* PubTator annotation extraction — per-document annotation rows with
+  char spans (``data/pubtator.py:33-40``, parse loop ``:96-118``),
+  parallelized by batch over a process pool (``:357-382``). Here the
+  corpus arrives *unannotated*, so a broadcast Aho-Corasick automaton
+  finds dictionary surfaces; Spark partitions replace the pool batches
+  and Arrow batches replace pickling (SURVEY.md section 2.10 P1).
+* Span-validation predicate (``data/pubtator.py:74-84``): keep a
+  mention iff ``content[begin:end].lower() == mention.lower()`` and the
+  span is in bounds. For trie hits this holds by construction; it is
+  asserted anyway for parity.
+* 1->n linking (ambiguous surface -> several entity ids) mirrors the
+  MeSH->DrugBank explode (``data/pubtator.py:183-187``).
+
+Matching is case-insensitive (the reference's span check lowercases
+both sides) and word-boundary-delimited over ``[A-Za-z0-9_]`` so that
+``parse_frame`` does not fire inside ``parse_frame_ext``.
+
+Scale notes: the automaton is built ONCE PER PYTHON WORKER from the
+broadcast dictionary (lazy module-global memo keyed by broadcast id),
+not per Arrow batch; the only data shuffled out of this stage is the
+mention rows themselves. No per-row Python crosses the JVM boundary —
+this is a ``mapInPandas`` iterator stage.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import schemas
+
+_WORD = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_")
+
+
+class AhoCorasick:
+    """Minimal deterministic Aho-Corasick automaton.
+
+    ``patterns`` maps a lowercase surface to the list of
+    ``(entity_id, entity_type)`` it links to. ``find(text)`` yields
+    ``(begin, end, surface)`` for every occurrence of every surface
+    (including overlaps), case-insensitively.
+    """
+
+    def __init__(self, patterns: dict[str, list[tuple[str, str]]]):
+        self.links = patterns
+        self.goto: list[dict[str, int]] = [{}]
+        self.out: list[list[str]] = [[]]
+        self.fail: list[int] = [0]
+        for surface in sorted(patterns):
+            node = 0
+            for ch in surface:
+                nxt = self.goto[node].get(ch)
+                if nxt is None:
+                    self.goto.append({})
+                    self.out.append([])
+                    self.fail.append(0)
+                    nxt = len(self.goto) - 1
+                    self.goto[node][ch] = nxt
+                node = nxt
+            self.out[node].append(surface)
+        queue = deque()
+        for child in self.goto[0].values():
+            queue.append(child)
+        while queue:
+            node = queue.popleft()
+            for ch, child in self.goto[node].items():
+                queue.append(child)
+                f = self.fail[node]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[child] = self.goto[f].get(ch, 0)
+                if self.fail[child] == child:
+                    self.fail[child] = 0
+                self.out[child] = self.out[child] + self.out[self.fail[child]]
+
+    def find(self, text: str) -> Iterator[tuple[int, int, str]]:
+        lower = text.lower()
+        node = 0
+        for i, ch in enumerate(lower):
+            while node and ch not in self.goto[node]:
+                node = self.fail[node]
+            node = self.goto[node].get(ch, 0)
+            for surface in self.out[node]:
+                begin = i - len(surface) + 1
+                if begin > 0 and lower[begin - 1] in _WORD:
+                    continue
+                if i + 1 < len(lower) and lower[i + 1] in _WORD:
+                    continue
+                yield begin, i + 1, surface
+
+
+# Per-worker automaton memo: {id(broadcast-value): AhoCorasick}.
+# The broadcast ships the (small) pattern dict once per executor; the
+# automaton is rebuilt lazily once per Python worker process.
+_AUTOMATON_CACHE: dict[int, AhoCorasick] = {}
+
+
+def _patterns_from_entries(
+    entries: Sequence[tuple[str, str, str]],
+) -> dict[str, list[tuple[str, str]]]:
+    patterns: dict[str, list[tuple[str, str]]] = {}
+    for surface, entity_id, entity_type in entries:
+        patterns.setdefault(surface.lower(), []).append((entity_id, entity_type))
+    for v in patterns.values():
+        v.sort()
+    return patterns
+
+
+def detect_mentions(docs: DataFrame, dict_entries: Sequence[tuple[str, str, str]]) -> DataFrame:
+    """docs(doc_id, content, ...) -> mentions rows (schemas.MENTIONS).
+
+    ``dict_entries``: (surface, entity_id, entity_type) tuples —
+    dimension-sized, broadcast to executors.
+    """
+    spark = docs.sparkSession
+    patterns = _patterns_from_entries(dict_entries)
+    bc = spark.sparkContext.broadcast(patterns)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pats = bc.value
+        key = id(pats)
+        auto = _AUTOMATON_CACHE.get(key)
+        if auto is None:
+            auto = AhoCorasick(pats)
+            _AUTOMATON_CACHE.clear()
+            _AUTOMATON_CACHE[key] = auto
+        cols = ["doc_id", "entity_id", "entity_type", "mention", "begin", "end"]
+        for pdf in batches:
+            out: list[tuple] = []
+            for doc_id, content in zip(pdf["doc_id"].values, pdf["content"].values):
+                if not content:
+                    continue
+                for begin, end, surface in auto.find(content):
+                    mention = content[begin:end]
+                    # Span predicate parity (data/pubtator.py:74-84):
+                    # holds by construction for trie hits.
+                    if mention.lower() != surface:
+                        continue
+                    for entity_id, entity_type in pats[surface]:
+                        out.append((doc_id, entity_id, entity_type, mention, begin, end))
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.select("doc_id", "content").mapInPandas(run, schemas.MENTIONS)
+
+
+def detect_mentions_native(docs: DataFrame, dict_df: DataFrame) -> DataFrame:
+    """Pure-DataFrame mention finder (no spans): broadcast the dictionary,
+    word-boundary ``contains`` via padded LIKE. Oracle-checkable in ANSI
+    SQL; used for DuckDB cross-validation of the trie stage at doc/entity
+    granularity (the trie stage is the scale path — one scan instead of
+    |dict| LIKE probes).
+    """
+    padded = F.concat(F.lit(" "), F.lower(F.col("content")), F.lit(" "))
+    return (
+        docs.crossJoin(F.broadcast(dict_df))
+        .where(
+            padded.like(F.concat(F.lit("% "), F.lower(F.col("surface")), F.lit(" %")))
+        )
+        .select("doc_id", "entity_id", "entity_type", F.col("surface").alias("mention"))
+        .distinct()
+    )

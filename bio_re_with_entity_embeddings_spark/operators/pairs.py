@@ -1,0 +1,80 @@
+"""Co-occurrence pair generation (pipeline stage 4).
+
+Reference semantics: pandas index-join of two per-type doc->entity-set
+mappings on the doc id (``prepare_pair_dataset.py:22-28``) followed by
+a per-document Python cartesian product of the two sets (``:33-37``) —
+O(docs * |src| * |tgt|) in driver RAM, the hottest loop in the
+reference. Here it is the doc-keyed equi-join of the two typed mention
+tables: Catalyst plans the join, the cartesian blow-up happens
+executor-side, and skew (hub documents / hub entities) is handled by
+AQE skew-join plus optional explicit salting.
+
+Directionality parity: a pair is (source-typed entity, target-typed
+entity) in that order (``prepare_pair_dataset.py:37-39``). Self-pairs
+are excluded when source and target type coincide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def generate_pairs(
+    mentions: DataFrame,
+    source_type: str,
+    target_type: str,
+    salt_buckets: int = 0,
+    max_entities_per_doc: int = 0,
+) -> DataFrame:
+    """mentions -> (doc_id, subj, obj) distinct co-occurrence pairs.
+
+    salt_buckets > 0 adds an explicit salt to the doc-keyed join so a
+    hub document's pair expansion spreads over ``salt_buckets`` shuffle
+    partitions instead of one (SURVEY.md section 4.2); output is
+    invariant to the salt (tested).
+
+    max_entities_per_doc > 0 caps each side's per-document distinct
+    entity list at the N smallest entity ids (deterministic), bounding
+    the quadratic blow-up of degenerate hub files; dropped rows are
+    observable via metrics, never silent at call sites that enable it.
+    """
+    src = _typed_side(mentions, source_type, "subj", max_entities_per_doc)
+    tgt = _typed_side(mentions, target_type, "obj", max_entities_per_doc)
+
+    if salt_buckets and salt_buckets > 1:
+        src = src.withColumn(
+            "salt", F.pmod(F.xxhash64("subj"), F.lit(salt_buckets)).cast("int")
+        )
+        tgt = tgt.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+        )
+        joined = src.join(tgt, ["doc_id", "salt"], "inner").drop("salt")
+    else:
+        joined = src.join(tgt, "doc_id", "inner")
+
+    if source_type == target_type:
+        joined = joined.where(F.col("subj") != F.col("obj"))
+    return joined.select("doc_id", "subj", "obj").distinct()
+
+
+def _typed_side(
+    mentions: DataFrame, entity_type: str, alias: str, cap: int
+) -> DataFrame:
+    side = (
+        mentions.where(F.col("entity_type") == entity_type)
+        .select("doc_id", F.col("entity_id").alias(alias))
+        .distinct()
+    )
+    if cap and cap > 0:
+        # Deterministic per-doc cap: keep the N lexicographically
+        # smallest entity ids (hub-file bound; logged by pipeline metrics).
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy(alias)
+        side = (
+            side.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= cap)
+            .drop("_rn")
+        )
+    return side
