@@ -1,38 +1,50 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction pipeline at sf0.001;
+``queries()``/``oracle_sql()`` expose the operator inventory
+(SURVEY.md section 2) as (PySpark fn, DuckDB SQL) pairs — defined in
+``bio_re_with_entity_embeddings_spark/contract*.py``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from bio_re_with_entity_embeddings_spark import contract  # noqa: E402
+from bio_re_with_entity_embeddings_spark import (  # noqa: E402,F401 (register side effects)
+    contract_norm,
+    contract_relational,
+    contract_text,
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG pipeline (trie mentions -> co-occurrence pairs
+    -> embedding scoring -> triples) on the sf0.001 fixture corpus with
+    /root/testdata/sf0.001 embeddings."""
+    from bio_re_with_entity_embeddings_spark import fixtures
+    from bio_re_with_entity_embeddings_spark.deploy import ensure_shipped
+    from bio_re_with_entity_embeddings_spark.plans import pipeline
+
+    ensure_shipped(spark)
+    dictionary = fixtures.make_dictionary()
+    corpus = fixtures.corpus_df(spark, 0.001, dictionary)
+    embeddings = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = pipeline.build_triples(spark, corpus, dictionary, embeddings)
+    return out["triples"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(contract.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(contract.ORACLES)

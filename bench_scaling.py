@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Scaling-efficiency evidence (BASELINE.md protocol): run bench.py at
+two parallelism levels (local[8] vs local[32] — the sandbox proxy for
+N vs 4N executors), report throughput at both plus
+E = T_32 / (4 * T_8); pass iff E >= 0.8 on triples/sec.
+
+Each level runs `repeats` times; median is reported. Results land in
+BENCH/results/scaling_<ts>.json and the summary table is printed for
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def run_bench(cpus: int, shuffle: int, sf_dir: str) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    env["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(shuffle)
+    env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    out = subprocess.run(
+        [sys.executable, os.path.join(HERE, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    levels = [(8, 16), (32, 64)]
+    results: dict[str, list[dict]] = {}
+    for cpus, shuffle in levels:
+        runs = [run_bench(cpus, shuffle, sf_dir) for _ in range(repeats)]
+        results[f"local[{cpus}]"] = runs
+
+    def med(key: str, runs: list[dict]) -> float:
+        return statistics.median(r[key] for r in runs)
+
+    t8 = med("triples_per_sec", results["local[8]"])
+    t32 = med("triples_per_sec", results["local[32]"])
+    eff = t32 / (4 * t8)
+    summary = {
+        "sf_dir": sf_dir,
+        "repeats": repeats,
+        "local8": {
+            "wall_sec": med("value", results["local[8]"]),
+            "triples_per_sec": t8,
+            "files_per_sec": med("files_per_sec", results["local[8]"]),
+        },
+        "local32": {
+            "wall_sec": med("value", results["local[32]"]),
+            "triples_per_sec": t32,
+            "files_per_sec": med("files_per_sec", results["local[32]"]),
+        },
+        "scaling_efficiency": round(eff, 3),
+        "pass": eff >= 0.8,
+        "runs": results,
+    }
+    os.makedirs(os.path.join(HERE, "BENCH", "results"), exist_ok=True)
+    n = len(os.listdir(os.path.join(HERE, "BENCH", "results")))
+    out_path = os.path.join(HERE, "BENCH", "results", f"scaling_{n:03d}.json")
+    with open(out_path, "w") as fh:
+        json.dump(summary, fh, indent=2)
+    print(json.dumps({k: v for k, v in summary.items() if k != "runs"}))
+    print(f"written: {out_path}")
+
+
+if __name__ == "__main__":
+    main()

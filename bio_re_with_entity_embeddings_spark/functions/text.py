@@ -1,0 +1,115 @@
+"""Text-analysis functions for large-scale training-data pipelines —
+beyond the reference's surface (which only splits on spaces,
+``learn_embeddings.py:29``), these are the document-quality operators a
+100 TB corpus pipeline needs. All native Column expressions
+(whole-stage codegen; zero Python on the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deterministic, self-contained (no external models).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1"],
+}
+
+
+def token_count(col) -> Column:
+    """Whitespace token count (BPE-ish regex split)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.split(F.trim(c), r"\s+")).cast("long")
+
+
+def char_count(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c).cast("long")
+
+
+def punct_ratio(col) -> Column:
+    """Fraction of characters that are not [a-z0-9 ] (lowercased)."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    stripped = F.regexp_replace(c, "[a-z0-9 ]", "")
+    return (F.length(stripped) / F.greatest(F.length(c), F.lit(1))).cast("double")
+
+
+def stopword_ratio(col, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS[lang])))
+    return (hits / F.greatest(F.size(toks), F.lit(1))).cast("double")
+
+
+def quality_score(col) -> Column:
+    """Composite [0,1] doc-quality heuristic: long enough, low
+    punctuation, some stopwords. Deterministic integer-arithmetic-free
+    formula shared with the DuckDB oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    len_ok = F.least(token_count(c) / F.lit(50.0), F.lit(1.0))
+    return (
+        (len_ok * 0.5 + (1.0 - punct_ratio(c)) * 0.3 + F.least(stopword_ratio(c) * 5.0, F.lit(1.0)) * 0.2)
+    ).cast("double")
+
+
+def lang_id(col) -> Column:
+    """Stopword-vote language ID: argmax over per-language hit counts;
+    ties broken by language code order; no hits -> 'und'."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+
+    def _hits(sw):
+        # NB: a 2-arg lambda in a Spark HOF means (element, index) —
+        # capture the stopword list via closure, never as a parameter.
+        return F.size(F.filter(toks, lambda t: t.isin(sw)))
+
+    scored = F.array(
+        *[
+            F.struct(_hits(sw).alias("hits"), F.lit(lang).alias("lang"))
+            for lang, sw in sorted(STOPWORDS.items())
+        ]
+    )
+    # argmax with deterministic tie-break: min on (-hits, lang).
+    inv = F.array_min(
+        F.transform(
+            F.filter(scored, lambda s: s["hits"] > 0),
+            lambda s: F.struct((-s["hits"]).alias("neg"), s["lang"].alias("lang")),
+        )
+    )
+    return F.when(inv.isNull(), F.lit("und")).otherwise(inv["lang"])
+
+
+def fingerprint(col) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase
+    text (stable across engines; exact-dedup key)."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def shingles(col, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (near-dup features)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return (
+        df.withColumn("n_tokens", token_count(text_col))
+        .withColumn("punct_ratio", punct_ratio(text_col))
+        .withColumn("quality", quality_score(text_col))
+        .withColumn("lang_pred", lang_id(text_col))
+        .withColumn("fingerprint", fingerprint(text_col))
+    )

@@ -1,0 +1,237 @@
+"""Entity canonicalization (pipeline stage 7): minhash candidate
+edges + connected-components -> canonical_id remap.
+
+Reference analog: the set-union merge on key collision when two MeSH
+ids map to the same DOID/DrugBank id (``utils/pandas_utils.py:141-146,
+178-183``) — generalized to surface-form similarity so near-identical
+entities collapse to one canonical node before graph materialization.
+
+Scale shape:
+* candidate edges — (a) exact shared-surface self-join on the
+  (dimension-sized) dictionary, (b) minhash-LSH over character
+  3-gram shingles of surfaces (same banding machinery as
+  operators/dedup.py): O(n) with bucket joins, never O(n^2).
+* connected components — alternating large-star / small-star
+  (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+  O(log n) rounds, each round two join+groupBy stages; iteration
+  state is localCheckpoint'ed to truncate lineage.
+* remap — broadcast join of the (entity -> canonical) dimension onto
+  the triple stream; no extra shuffle of the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _char_shingles(col, n: int = 3):
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.length(c) - n, F.lit(0))),
+            lambda i: F.substring(c, i + 1, n),
+        )
+    )
+
+
+def surface_candidate_edges(
+    dict_df: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 8,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """Undirected candidate edges (a, b) between entity ids whose
+    surfaces are identical or near-identical (char-3-gram jaccard)."""
+    # (a) exact shared surface (the ambiguous-surface case)
+    s = dict_df.select(F.lower("surface").alias("s"), "entity_id")
+    exact = (
+        s.alias("x")
+        .join(s.alias("y"), "s")
+        .where(F.col("x.entity_id") < F.col("y.entity_id"))
+        .select(
+            F.col("x.entity_id").alias("a"), F.col("y.entity_id").alias("b")
+        )
+        .distinct()
+    )
+
+    # (b) minhash-LSH near-identical surfaces
+    rows_per_band = max(n_hashes // bands, 1)
+    sh = dict_df.select(
+        "entity_id",
+        F.lower("surface").alias("s"),
+        _char_shingles("surface").alias("grams"),
+    ).withColumn(
+        "sig",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(
+                    F.col("grams"),
+                    lambda g: F.xxhash64(F.concat(g, F.lit("#"), i.cast("string"))),
+                )
+            ),
+        ),
+    )
+    banded = sh.select(
+        "entity_id",
+        "grams",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col("sig"), b * rows_per_band + 1, rows_per_band
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("entity_id", "grams", "bb.band", "bb.bucket")
+    l = banded.select(
+        F.col("entity_id").alias("a"), F.col("grams").alias("ga"), "band", "bucket"
+    )
+    r = banded.select(
+        F.col("entity_id").alias("b"), F.col("grams").alias("gb"), "band", "bucket"
+    )
+    jac = F.size(F.array_intersect("ga", "gb")) / F.size(F.array_union("ga", "gb"))
+    near = (
+        l.join(r, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .where(jac >= jaccard_threshold)
+        .select("a", "b")
+    )
+    return exact.unionByName(near).distinct()
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """(node, component) with component = min node id in the component.
+
+    Alternating large-star / small-star over an undirected edge set;
+    converges in O(log n) rounds. Node ids are strings; min is
+    lexicographic (stable, deterministic).
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        # large-star: connect v > u to min(N(u) + u)
+        mins = e.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select(
+            "u", F.least("mn", F.col("u")).alias("m")
+        )
+        large = (
+            e.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star: connect v <= u (and u) to min(N<=(u) + u)
+        le = e.where(F.col("v") <= F.col("u"))
+        smins = le.groupBy("u").agg(F.min("v").alias("mn"))
+        smins = smins.select("u", F.least("mn", F.col("u")).alias("m"))
+        small_v = (
+            le.join(smins, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        small_u = smins.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        small = (
+            small_v.unionByName(small_u)
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        new_e = (
+            large.unionByName(small)
+            .select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionByName(
+                large.unionByName(small).select(
+                    F.col("b").alias("u"), F.col("a").alias("v")
+                )
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = new_e.exceptAll(e).limit(1).count()
+        e = new_e
+        if changed == 0:
+            break
+    comp = e.groupBy("u").agg(F.min("v").alias("mn"))
+    comp = comp.select(
+        F.col("u").alias("node"), F.least("mn", F.col("u")).alias("component")
+    )
+    # isolated nodes never appear in edges; callers union them as
+    # self-components (see canonical_map).
+    return comp
+
+
+def canonical_map(dict_df: DataFrame, **kwargs) -> DataFrame:
+    """(entity_id, canonical_id): every entity maps somewhere; entities
+    in no merge component map to themselves."""
+    edges = surface_candidate_edges(dict_df, **kwargs)
+    comp = connected_components(edges)
+    all_entities = dict_df.select("entity_id").distinct()
+    return (
+        all_entities.join(
+            comp.withColumnsRenamed({"node": "entity_id", "component": "canonical_id"}),
+            "entity_id",
+            "left",
+        )
+        .select(
+            "entity_id",
+            F.coalesce("canonical_id", "entity_id").alias("canonical_id"),
+        )
+    )
+
+
+def canonicalize_triples(triples: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Remap subj/obj to canonical ids and re-aggregate support.
+
+    ``mapping`` is dimension-sized -> broadcast joins; the only shuffle
+    is the final re-aggregation on the (rarely changed) canonical keys.
+    """
+    m_subj = mapping.withColumnsRenamed(
+        {"entity_id": "subj", "canonical_id": "subj_canon"}
+    )
+    m_obj = mapping.withColumnsRenamed(
+        {"entity_id": "obj", "canonical_id": "obj_canon"}
+    )
+    return (
+        triples.join(F.broadcast(m_subj), "subj", "left")
+        .join(F.broadcast(m_obj), "obj", "left")
+        .select(
+            F.coalesce("subj_canon", F.col("subj")).alias("subj"),
+            "pred",
+            F.coalesce("obj_canon", F.col("obj")).alias("obj"),
+            "score",
+            "articles",
+            "n_docs",
+        )
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.max("score").alias("score"),
+            F.sort_array(F.array_distinct(F.flatten(F.collect_list("articles")))).alias(
+                "articles"
+            ),
+            F.size(
+                F.array_distinct(F.flatten(F.collect_list("articles")))
+            ).cast("long").alias("n_docs"),
+        )
+    )

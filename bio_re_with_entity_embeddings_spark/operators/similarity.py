@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns.
+
+The reference's only similarity op is driver-side gensim
+``most_similar`` (examples/load_entity_embeddings.py:30-34). Here:
+
+* ``brute_force_topk`` — exact cosine top-k, fully native exprs
+  (zip_with dot product + window rank). The correctness baseline.
+* ``topk_matmul`` — the scale path: broadcast the query matrix, one
+  Arrow batch -> one NumPy matmul -> per-batch top-k, then a global
+  top-k window over the (tiny) per-batch survivors. Shuffles
+  O(batches * k) rows instead of O(n * q).
+* ``lsh_buckets`` / ``ann_topk`` — random-hyperplane LSH: sign-bit
+  bucket per vector (deterministic seed), candidates = bucket mates,
+  verify with exact cosine. Recall < 1 by construction; the bench
+  reports recall vs brute force.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine_cols(a, b):
+    """Double-precision cosine of two array<float|double> columns."""
+    da = F.transform(F.col(a) if isinstance(a, str) else a, lambda x: x.cast("double"))
+    db = F.transform(F.col(b) if isinstance(b, str) else b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(da, F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate(db, F.lit(0.0), lambda s, x: s + x * x))
+    return (dot / (na * nb)).cast("double")
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: (query_id, neighbor_id, rank, cosine)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_cols("q_vec", "n_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def topk_matmul(
+    vectors: DataFrame,
+    query_mat: np.ndarray,
+    query_ids: list,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow/NumPy top-k kernel: per-batch matmul + per-batch top-k,
+    then global rank over batch survivors only."""
+    spark = vectors.sparkSession
+    qm = np.asarray(query_mat, dtype=np.float32)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
+    bc = spark.sparkContext.broadcast((qn, list(query_ids)))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q, qids = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float32) for v in pdf[vec_col].values]
+            )
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+            sims = mat @ q.T  # (batch, n_queries)
+            ids = pdf[id_col].values
+            out = []
+            top = min(k + 1, len(ids))
+            for qi, qid in enumerate(qids):
+                col = sims[:, qi].astype(np.float64)
+                idx = np.argpartition(-col, top - 1)[:top]
+                for j in idx:
+                    if ids[j] != qid:
+                        out.append((qid, int(ids[j]), float(col[j])))
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "cosine"])
+
+    survivors = vectors.select(id_col, vec_col).mapInPandas(
+        run, "query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def lsh_bucket_expr(vec_col, planes: np.ndarray):
+    """Native-expression random-hyperplane bucket id: bit h set iff
+    dot(vec, plane_h) >= 0."""
+    v = F.transform(
+        F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+        lambda x: x.cast("double"),
+    )
+    bucket = F.lit(0).cast("long")
+    for h, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(v, p, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << h).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share the LSH bucket; exact cosine
+    verify within bucket. Multi-probe = 0 (bucket-exact); recall is
+    measured against brute force in tests/bench."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+        lsh_bucket_expr(vec_col, planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_bucket_expr(vec_col, planes).alias("bucket"),
+    )
+    scored = (
+        v.join(F.broadcast(q), "bucket", "inner")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_cols("q_vec", "n_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -1,0 +1,165 @@
+"""Per-partition checkpoint / metrics / lineage manifests -> exact
+resume (north rule; FIXTURES.md section 7).
+
+The reference's "resume" is file-existence caching per stage
+(``prepare_entity_dataset.py:118-126``, ``prepare_pair_dataset.py:130-138``):
+all-or-nothing, no lineage, silently stale. Here every stage writes
+
+  {base}/{stage}/data/bucket=N/*.parquet      (idempotent overwrite per bucket)
+  {base}/{stage}/_manifest/*.parquet          (manifest-LAST, appended)
+
+where ``bucket = pmod(xxhash64(repo), n_buckets)`` — the explicit
+repo-hash partitioning of the north rule. A rerun anti-joins the
+manifest and recomputes ONLY missing buckets; double-written manifest
+rows are deduped on read by (stage, partition_id) keeping the first
+run_id (writes are idempotent per bucket via dynamic partition
+overwrite, so data is never double-counted).
+
+Lineage: ``content_sha_xor`` is an order-insensitive XOR-fold of the
+rows' ``content_sha`` (first 15 hex chars as int64) — equality between
+the input snapshot's fold and the stage manifest fold is the per-row
+content-sha lineage invariant (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def with_bucket(df: DataFrame, key_col: str = "repo", n_buckets: int = 32) -> DataFrame:
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+    )
+
+
+def sha_xor(df: DataFrame, sha_col: str = "content_sha"):
+    """Order-insensitive lineage fold: bit_xor of sha prefix as int64."""
+    return F.bit_xor(F.conv(F.substring(F.col(sha_col), 1, 15), 16, 10).cast("long"))
+
+
+def _manifest_path(base: str, stage: str) -> str:
+    return os.path.join(base, stage, "_manifest")
+
+
+def _data_path(base: str, stage: str) -> str:
+    return os.path.join(base, stage, "data")
+
+
+def read_manifest(spark: SparkSession, base: str, stage: str) -> DataFrame | None:
+    path = _manifest_path(base, stage)
+    try:
+        m = spark.read.parquet(path)
+    except Exception:
+        return None
+    # Dedupe double-appends: keep the first manifest row per partition.
+    w_cols = ["stage", "partition_id"]
+    return (
+        m.groupBy(*w_cols)
+        .agg(
+            F.min_by(
+                F.struct("rows_in", "rows_out", "content_sha_xor", "wall_ms", "run_id"),
+                "run_id",
+            ).alias("s")
+        )
+        .select(*w_cols, "s.*")
+    )
+
+
+def run_stage(
+    spark: SparkSession,
+    base: str,
+    stage: str,
+    bucketed_input: DataFrame,
+    fn,
+    run_id: str | None = None,
+    sha_col: str = "content_sha",
+) -> DataFrame:
+    """Execute ``fn(input_subset) -> DataFrame`` per missing bucket set,
+    materialize + manifest, and return the full stage output.
+
+    ``bucketed_input`` must carry an int ``bucket`` column (use
+    ``with_bucket``); ``fn``'s output must preserve it. Completed
+    buckets are skipped entirely (their input is anti-joined away
+    before ``fn`` runs)."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    manifest = read_manifest(spark, base, stage)
+    todo = bucketed_input
+    if manifest is not None:
+        done = manifest.select(F.col("partition_id").alias("bucket")).distinct()
+        todo = bucketed_input.join(F.broadcast(done), "bucket", "left_anti")
+
+    t0 = time.perf_counter()
+    n_in_by_bucket = todo.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("rows_in"),
+        (
+            sha_xor(todo, sha_col)
+            if sha_col in todo.columns
+            else F.lit(0).cast("long")
+        ).alias("in_sha_xor"),
+    )
+    out = fn(todo)
+    assert "bucket" in out.columns, f"stage {stage}: fn must preserve 'bucket'"
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    out.write.mode("overwrite").partitionBy("bucket").parquet(_data_path(base, stage))
+    wall_ms = int((time.perf_counter() - t0) * 1000)
+
+    written = spark.read.parquet(_data_path(base, stage))
+    new_out = (
+        written.join(
+            F.broadcast(n_in_by_bucket.select("bucket")), "bucket", "left_semi"
+        )
+        if manifest is not None
+        else written
+    )
+    stats = new_out.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("rows_out"),
+        (
+            sha_xor(new_out, sha_col)
+            if sha_col in new_out.columns
+            else F.lit(0).cast("long")
+        ).alias("out_sha_xor"),
+    )
+    mrows = (
+        n_in_by_bucket.join(stats, "bucket", "full")
+        .select(
+            F.lit(stage).alias("stage"),
+            F.col("bucket").cast("int").alias("partition_id"),
+            F.coalesce("rows_in", F.lit(0)).cast("long").alias("rows_in"),
+            F.coalesce("rows_out", F.lit(0)).cast("long").alias("rows_out"),
+            F.format_string(
+                "%016x", F.coalesce("out_sha_xor", F.lit(0))
+            ).alias("content_sha_xor"),
+            F.lit(wall_ms).cast("long").alias("wall_ms"),
+            F.lit(run_id).alias("run_id"),
+        )
+    )
+    mrows.write.mode("append").parquet(_manifest_path(base, stage))
+    return spark.read.parquet(_data_path(base, stage))
+
+
+def lineage_check(
+    spark: SparkSession, base: str, stage: str, bucketed_input: DataFrame,
+    sha_col: str = "content_sha",
+) -> bool:
+    """Per-row lineage invariant: XOR-fold of input content shas equals
+    the manifest's fold, per bucket (stages that preserve one row per
+    doc; identity for the ingest stage)."""
+    manifest = read_manifest(spark, base, stage)
+    if manifest is None:
+        return False
+    inp = bucketed_input.groupBy("bucket").agg(
+        F.format_string("%016x", sha_xor(bucketed_input, sha_col)).alias("in_fold")
+    )
+    joined = manifest.join(
+        inp, manifest.partition_id == inp.bucket, "full"
+    ).select("partition_id", "content_sha_xor", "in_fold")
+    bad = joined.where(
+        F.col("content_sha_xor") != F.col("in_fold")
+    ).count()
+    return bad == 0
