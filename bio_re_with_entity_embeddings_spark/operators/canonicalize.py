@@ -55,58 +55,53 @@ def surface_candidate_edges(
         .distinct()
     )
 
-    # (b) minhash-LSH near-identical surfaces
+    # (b) minhash-LSH near-identical surfaces: bucket join on ids only,
+    # shingles re-joined for candidate verification.
     rows_per_band = max(n_hashes // bands, 1)
-    sh = dict_df.select(
-        "entity_id",
-        F.lower("surface").alias("s"),
-        _char_shingles("surface").alias("grams"),
-    ).withColumn(
-        "sig",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-            lambda i: F.array_min(
-                F.transform(
-                    F.col("grams"),
-                    lambda g: F.xxhash64(F.concat(g, F.lit("#"), i.cast("string"))),
-                )
-            ),
-        ),
-    )
-    banded = sh.select(
-        "entity_id",
-        "grams",
-        F.explode(
+    grams_tbl = dict_df.select(
+        "entity_id", _char_shingles("surface").alias("grams")
+    ).dropDuplicates(["entity_id"])
+    banded = (
+        dict_df.select(
+            "entity_id",
             F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(
-                                    F.col("sig"), b * rows_per_band + 1, rows_per_band
-                                ),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
+                F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+                lambda i: F.array_min(
+                    F.transform(_char_shingles("surface"), lambda g: F.xxhash64(g, i))
                 ),
-            )
-        ).alias("bb"),
-    ).select("entity_id", "grams", "bb.band", "bb.bucket")
-    l = banded.select(
-        F.col("entity_id").alias("a"), F.col("grams").alias("ga"), "band", "bucket"
+            ).alias("sig"),
+        )
+        .select(
+            "entity_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        )
+        .select("entity_id", "bb.band", "bb.bucket")
     )
-    r = banded.select(
-        F.col("entity_id").alias("b"), F.col("grams").alias("gb"), "band", "bucket"
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .where(F.col("x.entity_id") < F.col("y.entity_id"))
+        .select(
+            F.col("x.entity_id").alias("a"), F.col("y.entity_id").alias("b")
+        )
+        .distinct()
     )
     jac = F.size(F.array_intersect("ga", "gb")) / F.size(F.array_union("ga", "gb"))
     near = (
-        l.join(r, ["band", "bucket"])
-        .where(F.col("a") < F.col("b"))
-        .dropDuplicates(["a", "b"])
+        cand.join(
+            grams_tbl.withColumnsRenamed({"entity_id": "a", "grams": "ga"}), "a"
+        )
+        .join(grams_tbl.withColumnsRenamed({"entity_id": "b", "grams": "gb"}), "b")
         .where(jac >= jaccard_threshold)
         .select("a", "b")
     )

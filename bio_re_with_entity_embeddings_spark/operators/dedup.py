@@ -51,9 +51,7 @@ def minhash_signature(text_col, n_hashes: int = 32):
     sh = shingles(text_col)
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda s: F.xxhash64(F.concat(s, F.lit("#"), i.cast("string"))))
-        ),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
     )
 
 
@@ -72,50 +70,44 @@ def minhash_near_duplicates(
     shingle jaccard. Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
     """
     rows_per_band = n_hashes // bands
-    base = df.select(
+    # Candidate generation shuffles ONLY (doc, band, bucket) — the
+    # shingle arrays stay out of the bucket join and are re-joined just
+    # for the (few) candidate pairs at verify time.
+    sh_tbl = df.select(
+        F.col(id_col).cast("string").alias("doc"), shingles(text_col).alias("sh")
+    )
+    banded = df.select(
         F.col(id_col).cast("string").alias("doc"),
         minhash_signature(text_col, n_hashes).alias("sig"),
-        shingles(text_col).alias("sh"),
-    )
-    banded = base.select(
+    ).select(
         "doc",
-        "sh",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
                     F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
                     ).alias("bucket"),
                 ),
             )
         ).alias("bb"),
-    ).select("doc", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    left = banded.select(
-        F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"), "band", "bucket"
-    )
-    right = banded.select(
-        F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"), "band", "bucket"
-    )
     cand = (
-        left.join(right, ["band", "bucket"], "inner")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"], "inner")
+        .where(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
     return (
-        cand.withColumn("jaccard", jac.cast("double"))
+        cand.join(sh_tbl.withColumnsRenamed({"doc": "doc_a", "sh": "sh_a"}), "doc_a")
+        .join(sh_tbl.withColumnsRenamed({"doc": "doc_b", "sh": "sh_b"}), "doc_b")
+        .withColumn("jaccard", jac.cast("double"))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

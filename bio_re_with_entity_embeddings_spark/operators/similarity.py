@@ -144,10 +144,14 @@ def ann_topk(
     vec_col: str = "embedding",
     dim: int | None = None,
     seed: int = 42,
+    multi_probe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the LSH bucket; exact cosine
-    verify within bucket. Multi-probe = 0 (bucket-exact); recall is
-    measured against brute force in tests/bench."""
+    """Approximate top-k: candidates share an LSH bucket; exact cosine
+    verify within bucket. ``multi_probe=1`` additionally probes every
+    bucket at hamming distance 1 from the query's bucket (the standard
+    recall lever: probe count scales the QUERY side only — the corpus
+    side stays one bucket per vector). Recall vs brute force is
+    asserted in tests and reported by the bench."""
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
@@ -161,9 +165,21 @@ def ann_topk(
         F.col(vec_col).alias("q_vec"),
         lsh_bucket_expr(vec_col, planes).alias("bucket"),
     )
+    if multi_probe >= 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << h).cast("long"))
+                for h in range(n_planes)
+            ],
+        )
+        q = q.select(
+            "query_id", "q_vec", F.explode(probes).alias("bucket")
+        )
     scored = (
         v.join(F.broadcast(q), "bucket", "inner")
         .where(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cosine", cosine_cols("q_vec", "n_vec"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

@@ -1,0 +1,173 @@
+"""PubTator-format compat source, TSV export parity encodings,
+streaming wrappers, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bio_re_with_entity_embeddings_spark.functions import normalizers as N
+from bio_re_with_entity_embeddings_spark.operators import multimodal as MM
+from bio_re_with_entity_embeddings_spark.sources import pubtator as PT
+
+OFFSET_SAMPLE = """\
+100|t|BRAF V600E mutation in melanoma
+100|a|The V600E mutation drives tumor\tgrowth.
+100\t5\t10\tV600E\tMutation\tRS#:113488022
+100\t36\t41\tV600E\tMutation\tRS#:113488022
+100\t0\t4\tBRAF\tGene\t673
+100\t999\t1004\tphantom\tMutation\tRS#:999
+
+200|t|Aspirin and cancer
+200|a|
+200\t0\t7\tAspirin\tChemical\tMESH:D001241
+200\tbadstart\t5\tbroken\tGene\t673
+200\tshort\tline
+"""
+
+
+@pytest.fixture(scope="module")
+def offset_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("pubtator") / "sample.offset"
+    p.write_text(OFFSET_SAMPLE)
+    return str(p)
+
+
+def test_offset_documents(spark, offset_file):
+    docs = {r.pubmed_id: r for r in PT.read_offset_documents(spark, offset_file).collect()}
+    assert set(docs) == {"100", "200"}
+    # N10: title + " " + abstract, tabs stripped, trimmed
+    assert docs["100"].text == "BRAF V600E mutation in melanoma The V600E mutation drives tumorgrowth."
+    assert docs["200"].text == "Aspirin and cancer"
+
+
+def test_offset_annotations_and_span_filter(spark, offset_file):
+    docs = PT.read_offset_documents(spark, offset_file)
+    anns = PT.read_offset_annotations(spark, offset_file)
+    # malformed lines dropped (F3): 'badstart' and the 2-col line
+    assert anns.count() == 5
+    valid = PT.validate_spans(anns, docs)
+    rows = valid.collect()
+    # the out-of-bounds phantom (999..1004) is dropped (F4)
+    assert len(rows) == 4
+    assert all(r.mention.lower() in ("v600e", "braf", "aspirin") for r in rows)
+    # full normalizer path over the validated annotations
+    muts = N.extract_mutation(valid).collect()
+    assert {m.entity_id for m in muts} == {"rs113488022"}
+
+
+def test_tsv_exports(spark, tmp_path):
+    from bio_re_with_entity_embeddings_spark.sources import tsv
+
+    d2e = spark.createDataFrame(
+        [("d1", ["E2", "E1"]), ("d2", [])],
+        "doc_id string, entity_ids array<string>",
+    )
+    out = str(tmp_path / "d2e")
+    tsv.export_doc2entity(d2e, out)
+    back = spark.read.csv(out, sep="\t", header=True).collect()
+    got = {r.doc_id: r.entity_ids_str for r in back}
+    assert got["d1"] == "E1;;;E2"  # sorted, ';;;'-joined (N9)
+    assert got["d2"] is None  # empty set -> null
+
+
+def test_streaming_hourly_rollup(spark):
+    from bio_re_with_entity_embeddings_spark.streaming.incremental import (
+        streaming_hourly_rollup,
+    )
+
+    import shutil, tempfile, os
+    d = tempfile.mkdtemp(prefix="events_stream")
+    shutil.copy("/root/testdata/sf0.001/events.parquet", os.path.join(d, "events.parquet"))
+    schema = spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
+    agg = streaming_hourly_rollup(spark, d, schema)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rollup_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # append mode emits only windows closed by the watermark; the
+    # batch-mode oracle-checked rollup covers exact values — here we
+    # assert the stream runs and produces the right shape.
+    out = spark.sql("SELECT * FROM rollup_test")
+    assert set(out.columns) == {"hour_ts", "event_type", "n_events", "sum_value"}
+
+
+def test_streaming_incremental_mentions(spark, tmp_path):
+    from bio_re_with_entity_embeddings_spark import fixtures, schemas
+    from bio_re_with_entity_embeddings_spark.streaming.incremental import (
+        incremental_mentions,
+    )
+
+    dictionary = fixtures.make_dictionary()
+    rows = fixtures.make_corpus_rows(50, dictionary)
+    src_dir = str(tmp_path / "corpus_in")
+    spark.createDataFrame(rows, schemas.CORPUS).write.parquet(src_dir)
+
+    stream = spark.readStream.schema(schemas.CORPUS).parquet(src_dir)
+    got: list[int] = []
+
+    def sink(df, epoch_id):
+        got.append(df.count())
+
+    q = incremental_mentions(
+        spark,
+        stream,
+        [(e.surface, e.entity_id, e.entity_type) for e in dictionary],
+        sink,
+        str(tmp_path / "ckpt"),
+    ).start()
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    assert sum(got) > 0
+
+    # batch parity: streaming micro-batches == one batch run
+    from bio_re_with_entity_embeddings_spark.operators.mentions import detect_mentions
+    from bio_re_with_entity_embeddings_spark.plans.pipeline import ingest
+
+    batch_n = detect_mentions(
+        ingest(spark.read.schema(schemas.CORPUS).parquet(src_dir)),
+        [(e.surface, e.entity_id, e.entity_type) for e in dictionary],
+    ).count()
+    assert sum(got) == batch_n
+
+
+def test_multimodal_decode_stub(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = MM.media_from_documents(docs)
+    assert [(f.name, f.dataType) for f in media.schema.fields] == [
+        (f.name, f.dataType) for f in MM.MEDIA.fields
+    ]
+    feats = MM.decode_image_features(media, fake=True).toPandas()
+    n_images = media.where(F.col("modality") == "image").count()
+    assert len(feats) == n_images and n_images > 0
+    assert (feats["width"] % 8 == 0).all() and feats["n_channels"].isin([1, 2, 3]).all()
+    # deterministic: same payload -> same features
+    feats2 = MM.decode_image_features(media, fake=True).toPandas()
+    assert feats.sort_values("media_id").reset_index(drop=True).equals(
+        feats2.sort_values("media_id").reset_index(drop=True)
+    )
+
+
+def test_multimodal_real_decode_raises(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(3)
+    media = MM.media_from_documents(docs)
+    with pytest.raises(Exception) as exc:
+        MM.decode_image_features(media, fake=False).count()
+    assert "NotImplementedError" in str(exc.value) or "real image decode" in str(exc.value)
+
+
+def test_multimodal_frame_sampling(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = MM.media_from_documents(docs)
+    frames = MM.frame_sample_plan(media, every_n=10)
+    pdf = frames.toPandas()
+    assert (pdf["frame_idx"] % 10 == 0).all()
+    assert pdf.groupby("media_id").size().min() >= 1
