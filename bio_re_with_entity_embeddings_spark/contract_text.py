@@ -241,6 +241,28 @@ def sim_ann_lsh(spark, sf_dir):
 # --- the real trie pipeline (rows-only smoke at driver sf) ---------------
 
 
+@register("kg_pipeline_canonical")
+def kg_pipeline_canonical(spark, sf_dir):
+    """Full pipeline WITH stage 7 (minhash/CC canonicalization + remap):
+    entities sharing or nearly-sharing surfaces collapse to one
+    canonical node; support re-aggregated. Rows-only check; merge
+    semantics asserted in tests/test_canonicalize.py."""
+    from . import fixtures
+    from .deploy import ensure_shipped
+    from .plans import pipeline
+
+    ensure_shipped(spark)
+    sf = min(fixtures.sf_from_dir(sf_dir), 0.01)
+    dictionary = fixtures.make_dictionary()
+    corpus = fixtures.corpus_df(spark, sf, dictionary)
+    embeddings = _load(spark, sf_dir, "embeddings")
+    cfg = pipeline.PipelineConfig(canonicalize=True)
+    out = pipeline.build_triples(spark, corpus, dictionary, embeddings, cfg)
+    return out["triples"].select(
+        "subj", "pred", "obj", F.col("n_docs").cast("long").alias("n_docs")
+    )
+
+
 @register("kg_pipeline_triples")
 def kg_pipeline_triples(spark, sf_dir):
     """Full stage-1..6 pipeline (trie mentions -> pairs -> scoring ->

@@ -56,37 +56,46 @@ def surface_candidate_edges(
     )
 
     # (b) minhash-LSH near-identical surfaces: bucket join on ids only,
-    # shingles re-joined for candidate verification.
+    # shingles re-joined for candidate verification. Signature shape is
+    # explode + codegen min-aggs (see operators/dedup.py perf note).
     rows_per_band = max(n_hashes // bands, 1)
     grams_tbl = dict_df.select(
         "entity_id", _char_shingles("surface").alias("grams")
     ).dropDuplicates(["entity_id"])
-    banded = (
+    sig = (
         dict_df.select(
-            "entity_id",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-                lambda i: F.array_min(
-                    F.transform(_char_shingles("surface"), lambda g: F.xxhash64(g, i))
-                ),
-            ).alias("sig"),
+            "entity_id", F.explode(_char_shingles("surface")).alias("g")
         )
-        .select(
-            "entity_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.struct(
-                        b.alias("band"),
-                        F.xxhash64(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                        ).alias("bucket"),
-                    ),
-                )
-            ).alias("bb"),
+        .groupBy("entity_id")
+        .agg(
+            *[
+                F.min(F.xxhash64("g", F.lit(i))).alias(f"h{i}")
+                for i in range(n_hashes)
+            ]
         )
-        .select("entity_id", "bb.band", "bb.bucket")
     )
+    banded = sig.select(
+        "entity_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"h{i}")
+                                for i in range(
+                                    b * rows_per_band, (b + 1) * rows_per_band
+                                )
+                            ],
+                            F.lit(b),
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("entity_id", "bb.band", "bb.bucket")
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bucket"])

@@ -42,16 +42,25 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def minhash_signature(text_col, n_hashes: int = 32):
-    """array<bigint> minhash signature over word-3-gram shingles.
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 32
+) -> DataFrame:
+    """(doc, h0..h{n-1}) minhash signature columns over word-3-gram
+    shingles.
 
-    One xxhash64 per (shingle, seed); seeds are baked into the hashed
-    string so the whole signature is a single nested-HOF expression
-    (whole-stage codegen, no UDF)."""
-    sh = shingles(text_col)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+    Shape: explode(shingles) -> one hash-aggregate with n_hashes
+    ``min(xxhash64(gram, seed))`` columns. PERF NOTE: this is ~20x
+    faster than the "obvious" nested higher-order-function expression
+    (transform(sequence, i -> array_min(transform(grams, xxhash64)))):
+    Spark HOFs are interpreted per element-lambda call, while explode +
+    min-agg is whole-stage-codegen'd with map-side partial aggregation
+    (measured 21s -> 1.0s on 510 docs x ~54 shingles x 32 seeds)."""
+    ex = df.select(
+        F.col(id_col).cast("string").alias("doc"),
+        F.explode(shingles(text_col)).alias("g"),
+    )
+    return ex.groupBy("doc").agg(
+        *[F.min(F.xxhash64("g", F.lit(i))).alias(f"h{i}") for i in range(n_hashes)]
     )
 
 
@@ -76,20 +85,26 @@ def minhash_near_duplicates(
     sh_tbl = df.select(
         F.col(id_col).cast("string").alias("doc"), shingles(text_col).alias("sh")
     )
-    banded = df.select(
-        F.col(id_col).cast("string").alias("doc"),
-        minhash_signature(text_col, n_hashes).alias("sig"),
-    ).select(
+    sig = minhash_signatures(df, id_col, text_col, n_hashes)
+    banded = sig.select(
         "doc",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                    ).alias("bucket"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"h{i}")
+                                for i in range(
+                                    b * rows_per_band, (b + 1) * rows_per_band
+                                )
+                            ],
+                            F.lit(b),
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
@@ -143,48 +158,36 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash_bit_counts(text_col):
-    """array<long>[64]: per-bit sign sums over token hashes.
+def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, sh64): 64-bit SimHash of whitespace tokens.
 
-    Bit positions are unrolled as Python ints (shiftleft/shiftright
-    take literal shift amounts; the unrolled expression stays in
-    whole-stage codegen)."""
-    toks = F.split(
-        F.lower(F.trim(text_col if not isinstance(text_col, str) else F.col(text_col))),
-        r"\s+",
+    Bit b of sh64 is 1 iff sum over tokens of sign(bit b of
+    xxhash64(token)) is positive. Shape: explode(tokens) -> one
+    hash-aggregate with 64 codegen'd conditional sums, then a scalar
+    bit-pack — same perf rationale as ``minhash_signatures`` (token-
+    wise interpreted array folds are ~20x slower)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ex = df.select(
+        F.col(id_col).cast("string").alias("doc"), F.explode(toks).alias("t")
+    ).select("doc", F.xxhash64("t").alias("th"))
+    counts = ex.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("th", b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias(f"c{b}")
+            for b in range(64)
+        ]
     )
-    return F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(
-                        F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1,
-                        F.lit(1).cast("long"),
-                    ).otherwise(F.lit(-1).cast("long"))
-                    for b in range(64)
-                ]
-            ),
-            lambda x, y: x + y,
-        ),
-    )
-
-
-def pack_simhash(counts_col) -> "F.Column":
-    """Pack sign of each bit count into a 64-bit bigint. Pass a BOUND
-    column (not the counts expression) — the packing references it 64
-    times."""
-    c = F.col(counts_col) if isinstance(counts_col, str) else counts_col
-    out = F.lit(0).cast("long")
+    packed = F.lit(0).cast("long")
     for b in range(64):
-        out = out.bitwiseOR(
-            F.when(F.get(c, b) > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
-            )
+        packed = packed.bitwiseOR(
+            F.when(
+                F.col(f"c{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
         )
-    return out
+    return counts.select("doc", packed.alias("sh64"))
 
 
 def simhash_near_duplicates(
@@ -193,10 +196,7 @@ def simhash_near_duplicates(
     """SimHash near-dup pairs: 4x16-bit chunk banding (a pair within
     hamming distance <= 3 must share a chunk; wider distances need more
     chunks — documented approximation), then exact hamming verify."""
-    base = df.select(
-        F.col(id_col).cast("string").alias("doc"),
-        simhash_bit_counts(text_col).alias("cnts"),
-    ).select("doc", pack_simhash("cnts").alias("sh64"))
+    base = simhash_table(df, id_col, text_col)
     chunked = base.select(
         "doc",
         "sh64",

@@ -26,6 +26,7 @@ def generate_pairs(
     target_type: str,
     salt_buckets: int = 0,
     max_entities_per_doc: int = 0,
+    already_distinct: bool = False,
 ) -> DataFrame:
     """mentions -> (doc_id, subj, obj) distinct co-occurrence pairs.
 
@@ -39,8 +40,8 @@ def generate_pairs(
     the quadratic blow-up of degenerate hub files; dropped rows are
     observable via metrics, never silent at call sites that enable it.
     """
-    src = _typed_side(mentions, source_type, "subj", max_entities_per_doc)
-    tgt = _typed_side(mentions, target_type, "obj", max_entities_per_doc)
+    src = _typed_side(mentions, source_type, "subj", max_entities_per_doc, already_distinct)
+    tgt = _typed_side(mentions, target_type, "obj", max_entities_per_doc, already_distinct)
 
     if salt_buckets and salt_buckets > 1:
         src = src.withColumn(
@@ -59,13 +60,17 @@ def generate_pairs(
 
 
 def _typed_side(
-    mentions: DataFrame, entity_type: str, alias: str, cap: int
+    mentions: DataFrame, entity_type: str, alias: str, cap: int,
+    already_distinct: bool = False,
 ) -> DataFrame:
-    side = (
-        mentions.where(F.col("entity_type") == entity_type)
-        .select("doc_id", F.col("entity_id").alias(alias))
-        .distinct()
+    side = mentions.where(F.col("entity_type") == entity_type).select(
+        "doc_id", F.col("entity_id").alias(alias)
     )
+    if not already_distinct:
+        # One (doc, entity) row per side; callers that pass a pre-
+        # deduplicated (doc_id, entity_id, entity_type) table skip this
+        # shuffle entirely (the pipeline dedupes ONCE for all relations).
+        side = side.distinct()
     if cap and cap > 0:
         # Deterministic per-doc cap: keep the N lexicographically
         # smallest entity ids (hub-file bound; logged by pipeline metrics).

@@ -27,28 +27,33 @@ def predicate_for(source_type: str, target_type: str) -> str:
     )
 
 
+def support_agg(pairs: DataFrame) -> DataFrame:
+    """(doc_id, subj, obj) -> one row per (subj, obj) with sorted
+    article set + distinct-doc support (prepare_pair_dataset.py:42-53).
+    The ONLY shuffle of the pipeline tail — scoring is applied to this
+    aggregate directly (it is already distinct on (subj, obj)), so no
+    further join or exchange follows."""
+    return pairs.groupBy("subj", "obj").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("articles"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+
+
 def emit_triples(
-    pairs: DataFrame,
-    scored: DataFrame,
+    scored_support: DataFrame,
     source_type: str,
     target_type: str,
     threshold: float = 0.0,
 ) -> DataFrame:
-    """pairs(doc_id, subj, obj) + scored(subj, obj, score) -> TRIPLES rows."""
-    support = pairs.groupBy("subj", "obj").agg(
-        F.sort_array(F.collect_set("doc_id")).alias("articles"),
-        F.count_distinct("doc_id").alias("n_docs"),
-    )
+    """scored support rows -> TRIPLES rows (threshold gate + predicate)."""
     pred = predicate_for(source_type, target_type)
-    return (
-        support.join(scored.select("subj", "obj", "score"), ["subj", "obj"], "left")
-        .where(F.coalesce(F.col("score"), F.lit(0.0)) >= threshold)
-        .select(
-            "subj",
-            F.lit(pred).alias("pred"),
-            "obj",
-            "score",
-            "articles",
-            "n_docs",
-        )
+    return scored_support.where(
+        F.coalesce(F.col("score"), F.lit(0.0)) >= threshold
+    ).select(
+        "subj",
+        F.lit(pred).alias("pred"),
+        "obj",
+        "score",
+        "articles",
+        "n_docs",
     )

@@ -49,6 +49,7 @@ class PipelineConfig:
     max_entities_per_doc: int = 0
     langs: list[str] | None = None
     repo_partitions: int = 0  # >0: explicit repartition on hash(repo)
+    canonicalize: bool = False  # stage 7: minhash/CC entity dedup + remap
 
 
 def build_triples(
@@ -67,6 +68,21 @@ def build_triples(
     dict_entries = [(e.surface, e.entity_id, e.entity_type) for e in dictionary]
     mentions = mentions_op.detect_mentions(docs, dict_entries)
 
+    # The trie scan is the most expensive stage (full corpus + Python
+    # workers); every downstream consumer (doc2entity, entity2doc, and
+    # both sides of every relation join) reuses ONE materialization
+    # instead of re-running it per subtree (observed 6x re-execution
+    # in the unpersisted plan). Deduping (doc, entity) here also drops
+    # the per-side distinct shuffles in pair generation.
+    from pyspark.storagelevel import StorageLevel
+
+    mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
+    mentions_dedup = (
+        mentions.select("doc_id", "entity_id", "entity_type")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
     n_vecs = embeddings.selectExpr("max(vec_id) + 1 AS n").first()["n"]
     entities = fixtures.entities_df(spark, dictionary, int(n_vecs))
 
@@ -74,16 +90,20 @@ def build_triples(
     pair_parts: list[DataFrame] = []
     for src_t, tgt_t in cfg.relations:
         rel_pairs = pairs_op.generate_pairs(
-            mentions,
+            mentions_dedup,
             src_t,
             tgt_t,
             salt_buckets=cfg.salt_buckets,
             max_entities_per_doc=cfg.max_entities_per_doc,
+            already_distinct=True,
         )
-        distinct_pairs = rel_pairs.select("subj", "obj").distinct()
-        scored = scoring.score_pairs(distinct_pairs, entities, embeddings)
+        # support rows are distinct on (subj, obj) by construction, so
+        # the scoring kernel applies directly — no distinct-pairs
+        # subtree, no support<->score join, no extra exchange.
+        support = triples_op.support_agg(rel_pairs)
+        scored = scoring.score_pairs(support, entities, embeddings)
         triple_parts.append(
-            triples_op.emit_triples(rel_pairs, scored, src_t, tgt_t, cfg.threshold)
+            triples_op.emit_triples(scored, src_t, tgt_t, cfg.threshold)
         )
         pair_parts.append(rel_pairs)
 
@@ -93,6 +113,16 @@ def build_triples(
     all_pairs = pair_parts[0]
     for p in pair_parts[1:]:
         all_pairs = all_pairs.unionByName(p)
+
+    if cfg.canonicalize:
+        from ..operators import canonicalize as canon
+
+        dict_df = spark.createDataFrame(
+            [(e.surface, e.entity_id, e.entity_type) for e in dictionary],
+            "surface string, entity_id string, entity_type string",
+        )
+        mapping = canon.canonical_map(dict_df)
+        triples = canon.canonicalize_triples(triples, mapping)
 
     return {
         "docs": docs,

@@ -1,0 +1,97 @@
+"""Physical-plan regression tests: the optimizations that matter at
+100 TB must be visible in the plan, not assumed.
+
+* parquet scans push filters and prune columns,
+* dimension joins broadcast,
+* the pipeline's trie stage is computed once (cache reuse),
+* no per-row Python UDFs anywhere in the package (north-star rule) —
+  only Arrow (pandas_udf / mapInPandas) stages.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+PKG = pathlib.Path(__file__).resolve().parents[1] / "bio_re_with_entity_embeddings_spark"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    df = entrymod.queries()["rel_filter_project"](spark, SF_DIR)
+    plan = plan_of(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "l_discount" in pushed[0], pushed
+    schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # only the 5 referenced columns are read, not all 11
+    assert "l_partkey" not in schema and "l_quantity" not in schema
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = plan_of(entrymod.queries()["rel_broadcast_join"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    plan2 = plan_of(entrymod.queries()["kg_triples_scored"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan2 or "BroadcastNestedLoopJoin" in plan2
+
+
+def test_pipeline_mention_stage_cached(spark):
+    from bio_re_with_entity_embeddings_spark import fixtures
+    from bio_re_with_entity_embeddings_spark.deploy import ensure_shipped
+    from bio_re_with_entity_embeddings_spark.plans import pipeline
+
+    ensure_shipped(spark)
+    d = fixtures.make_dictionary()
+    corpus = fixtures.corpus_df(spark, 0.001, d)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = pipeline.build_triples(spark, corpus, d, emb)
+    plan = plan_of(out["triples"])
+    # every relation side reads the persisted mention table, not a
+    # fresh trie scan: cache scans must cover all MapInPandas mentions
+    assert plan.count("InMemoryTableScan") >= 6
+
+
+def test_whole_stage_codegen_in_aggregates(spark):
+    df = entrymod.queries()["rel_agg_groupby"](spark, SF_DIR)
+    df.collect()  # AQE: the FINAL plan exists only on the executed QueryExecution
+    plan = plan_of(df)
+    # codegen'd operators print with a "*(n) " stage prefix
+    assert "isFinalPlan=true" in plan and re.search(r"\*\(\d+\) HashAggregate", plan), plan[:800]
+
+
+def test_no_row_python_udfs_in_package():
+    """North-star rule (BASELINE.json): no per-row Python on the hot
+    path — @F.udf / F.udf( / sparkContext.parallelize loops are banned;
+    Arrow APIs (pandas_udf, mapInPandas) are the only Python stages."""
+    offenders = []
+    for py in PKG.rglob("*.py"):
+        src = py.read_text()
+        if re.search(r"\bF\.udf\(|@udf\b|\budf\(lambda", src):
+            offenders.append(py.name)
+        if re.search(r"\.rdd\b|parallelize\(", src):
+            offenders.append(py.name + " (RDD)")
+    assert not offenders, offenders
+
+
+def test_salted_join_structure(spark):
+    """Salting must add the salt to the join keys (visible in the plan)
+    and keep output invariant (invariance itself is covered by
+    test_golden_parity.test_salt_invariance)."""
+    from bio_re_with_entity_embeddings_spark import fixtures
+    from bio_re_with_entity_embeddings_spark.operators import pairs as pairs_op
+
+    m = spark.createDataFrame(
+        [("d1", "FN:0001", "fn"), ("d1", "PKG:0001", "pkg")],
+        "doc_id string, entity_id string, entity_type string",
+    )
+    salted = pairs_op.generate_pairs(m, "fn", "pkg", salt_buckets=4)
+    plan = plan_of(salted)
+    assert re.search(r"hashpartitioning\(doc_id#\d+, salt#\d+", plan), plan[:2000]
