@@ -46,8 +46,6 @@ def run_checkpointed(
     """
     cfg = config or P.PipelineConfig()
 
-    bucketed = M.with_bucket(corpus, "repo", n_buckets)
-
     docs = M.run_stage(
         spark,
         base_dir,
