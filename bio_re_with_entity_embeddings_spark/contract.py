@@ -78,8 +78,11 @@ _DICT_VALUES = ", ".join(
 )
 
 # Shared oracle CTEs: dictionary + word-boundary mention detection.
-_SQL_PRELUDE = f"""
-WITH dict(surface, entity_id, entity_type, vec_id) AS (
+# (documents.text is [A-Za-z0-9_ ]-only — asserted in tests — so the
+# space-padded LIKE here is EXACTLY the trie/token matcher's word-
+# boundary semantics on this table, making the full trie pipeline
+# oracle-checkable, not just its relational restatement.)
+_SQL_PRELUDE_BODY = f"""dict(surface, entity_id, entity_type, vec_id) AS (
   VALUES {_DICT_VALUES}
 ),
 mentions AS (
@@ -89,6 +92,7 @@ mentions AS (
     ON (' ' || lower(d.text) || ' ') LIKE ('% ' || e.surface || ' %')
 )
 """
+_SQL_PRELUDE = "\nWITH " + _SQL_PRELUDE_BODY
 
 
 def _dict_df(spark: SparkSession) -> DataFrame:

@@ -8,7 +8,15 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .contract import _SQL_COSINE, register, _load
+from .contract import (
+    DOC_DICT,
+    _SQL_COSINE,
+    _SQL_PAIRS,
+    _SQL_PRELUDE,
+    _SQL_PRELUDE_BODY,
+    register,
+    _load,
+)
 from .functions import text as TXT
 from .operators import dedup as DD
 from .operators import similarity as SIM
@@ -172,21 +180,112 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-@register("dedup_minhash")  # rows-only: xxhash64 has no DuckDB equivalent
+# MinHash signature/banding restated over md5 (the portable hash_mode —
+# minhash only needs a uniform hash with a total order, so min over
+# seeded md5 hex strings is a faithful signature both engines share).
+_MH_N, _MH_BANDS = 32, 8
+_MH_RPB = _MH_N // _MH_BANDS
+_SQL_MH_SIG = ",\n         ".join(
+    f"min(md5('{i}:' || g)) AS h{i}" for i in range(_MH_N)
+)
+_SQL_MH_BANDS = ", ".join(
+    "{'band': %d, 'bucket': md5(%s || '|%d')}"
+    % (b, " || '|' || ".join(f"h{i}" for i in range(b * _MH_RPB, (b + 1) * _MH_RPB)), b)
+    for b in range(_MH_BANDS)
+)
+_SQL_GRAMS = """
+  SELECT CAST(doc_id AS VARCHAR) AS doc,
+         list_distinct(list_transform(
+           range(greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
+           i -> array_to_string(list_slice(string_split_regex(lower(trim(text)), '\\s+'),
+                                           i + 1, i + 3), ' ')
+         )) AS grams
+  FROM docs2
+"""
+
+
+@register(
+    "dedup_minhash",
+    _SQL_DOCS_WITH_DUPS
+    + f"""
+, sh AS ({_SQL_GRAMS})
+, g AS (SELECT doc, unnest(grams) AS g FROM sh)
+, sig AS (
+  SELECT doc, {_SQL_MH_SIG}
+  FROM g GROUP BY doc
+)
+, banded AS (SELECT doc, unnest([{_SQL_MH_BANDS}]) AS bb FROM sig)
+, b2 AS (SELECT doc, bb.band AS band, bb.bucket AS bucket FROM banded)
+, cand AS (
+  SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+  FROM b2 x JOIN b2 y ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.doc < y.doc
+)
+SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+           / len(list_distinct(a.grams || b.grams)) AS jaccard
+  FROM cand c JOIN sh a ON a.doc = c.doc_a JOIN sh b ON b.doc = c.doc_b
+) WHERE jaccard >= 0.5
+""",
+)
 def dedup_minhash(spark, sf_dir):
-    """MinHash+LSH near-dup pairs; correctness vs exact jaccard is
-    asserted in tests/test_dedup.py (planted duplicates recovered)."""
-    return DD.minhash_near_duplicates(
-        _docs_with_dups(spark, sf_dir), "doc_id", "text", threshold=0.5
+    """MinHash+LSH near-dup pairs (banded bucket join + exact jaccard
+    verify), md5 hash_mode so DuckDB replays the identical signature,
+    banding, candidate and verify dataflow. The xxhash64 scale mode is
+    pinned against this one and the exact baseline in tests."""
+    out = DD.minhash_near_duplicates(
+        _docs_with_dups(spark, sf_dir), "doc_id", "text",
+        threshold=0.5, hash_mode="md5",
     )
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@register("dedup_simhash")  # rows-only
+# Portable simhash: token bit b comes from the b-th bit of the first 16
+# hex chars of md5(token); bit of doc = sign of the +/-1 vote sum.
+_SQL_SH_BITS = ",\n         ".join(
+    "sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, %d, 1)) - 1) >> %d) & 1 = 1"
+    " THEN 1 ELSE -1 END) AS c%d" % (b // 4 + 1, 3 - (b % 4), b)
+    for b in range(64)
+)
+_SQL_SH_SIGNS = ", ".join(f"c{b} > 0 AS b{b}" for b in range(64))
+_SQL_SH_HAMMING = " + ".join(
+    f"(CASE WHEN x.b{b} <> y.b{b} THEN 1 ELSE 0 END)" for b in range(64)
+)
+
+
+@register(
+    "dedup_simhash",
+    _SQL_DOCS_WITH_DUPS
+    + f"""
+, tk AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+  FROM docs2
+)
+, th AS (SELECT doc, md5(t) AS h FROM tk)
+, bits AS (
+  SELECT doc, {_SQL_SH_BITS}
+  FROM th GROUP BY doc
+)
+, sgn AS (SELECT doc, {_SQL_SH_SIGNS} FROM bits)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT x.doc AS doc_a, y.doc AS doc_b,
+         CAST({_SQL_SH_HAMMING} AS BIGINT) AS hamming
+  FROM sgn x JOIN sgn y ON x.doc < y.doc
+) WHERE hamming <= 7
+""",
+)
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (chunk-banded hamming)."""
-    return DD.simhash_near_duplicates(
-        _docs_with_dups(spark, sf_dir), "doc_id", "text", max_hamming=8
+    """SimHash near-dup pairs. 8x8-bit chunk banding is LOSSLESS for
+    hamming <= 7 (pigeonhole), so the oracle is simply every pair at
+    hamming <= 7 — computed all-pairs in DuckDB over the identical
+    md5-derived sign bits."""
+    out = DD.simhash_near_duplicates(
+        _docs_with_dups(spark, sf_dir), "doc_id", "text",
+        max_hamming=7, hash_mode="md5",
     )
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 # --- similarity search ---------------------------------------------------
@@ -218,67 +317,238 @@ def sim_topk_cosine(spark, sf_dir):
     )
 
 
-@register("sim_topk_matmul")  # rows-only: Arrow kernel variant
+@register(
+    "sim_topk_matmul",
+    f"""
+SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {_SQL_COS_Q} AS cosine,
+         CAST(row_number() OVER (PARTITION BY a.vec_id
+              ORDER BY {_SQL_COS_Q} DESC, b.vec_id) AS INT) AS rank
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 5
+)
+WHERE rank <= 5
+""",
+)
 def sim_topk_matmul(spark, sf_dir):
-    """Scale-path ANN baseline: broadcast query matrix + batched NumPy
-    matmul; equality with sim_topk_cosine asserted in tests."""
+    """Scale-path exact top-k: broadcast query matrix + batched NumPy
+    matmul + per-batch top-k (shuffles O(batches*k) survivor rows, not
+    O(n*q) scores). float64 here so the kernel's cosines agree with the
+    brute-force SQL oracle at round(...,6); the float32 scale default is
+    pinned against brute force in tests."""
     import numpy as np
 
     emb = _load(spark, sf_dir, "embeddings")
     qrows = emb.where(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
-    qmat = np.stack([np.asarray(r["embedding"], dtype=np.float32) for r in qrows])
-    return SIM.topk_matmul(emb, qmat, [r["vec_id"] for r in qrows], k=5)
+    qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    out = SIM.topk_matmul(
+        emb, qmat, [r["vec_id"] for r in qrows], k=5, dtype=np.float64
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
 
 
-@register("sim_ann_lsh")  # rows-only: approximate by construction
+# LSH hyperplanes are a pure function of (dim, n_planes, seed); restating
+# them as SQL literals makes the "approximate" index fully deterministic
+# and oracle-checkable: both engines assign identical buckets, probe the
+# same hamming-1 neighborhood, and verify with the same exact cosine.
+_ANN_PLANES = SIM._hyperplanes(dim=64, n_planes=6, seed=42)
+_SQL_BUCKET = " + ".join(
+    "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
+    + ", ".join(repr(float(x)) for x in plane)
+    + f"]) >= 0 THEN {1 << h} ELSE 0 END)"
+    for h, plane in enumerate(_ANN_PLANES)
+)
+_SQL_PROBES = ", ".join(["bucket"] + [f"xor(bucket, {1 << h})" for h in range(6)])
+
+
+@register(
+    "sim_ann_lsh",
+    f"""
+WITH v AS (
+  SELECT vec_id, embedding, {_SQL_BUCKET} AS bucket FROM embeddings
+),
+probes AS (
+  SELECT vec_id AS query_id, unnest([{_SQL_PROBES}]) AS bucket
+  FROM v WHERE vec_id < 5
+),
+cand AS (
+  SELECT DISTINCT p.query_id, n.vec_id AS neighbor_id
+  FROM probes p JOIN v n ON n.bucket = p.bucket AND n.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine FROM (
+  SELECT c.query_id, c.neighbor_id,
+         {_SQL_COS_Q} AS cosine,
+         CAST(row_number() OVER (PARTITION BY c.query_id
+              ORDER BY {_SQL_COS_Q} DESC, c.neighbor_id) AS INT) AS rank
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.query_id
+  JOIN embeddings b ON b.vec_id = c.neighbor_id
+)
+WHERE rank <= 5
+""",
+)
 def sim_ann_lsh(spark, sf_dir):
-    """LSH-bucketed approximate top-k; recall vs brute force asserted
-    in tests (>= 0.4 with 6 planes on 64-dim random vectors)."""
+    """LSH-bucketed approximate top-k (Arrow sign-matmul bucket kernel,
+    hamming-1 multi-probe on the query side, exact cosine verify within
+    buckets). Deterministic seed -> row-exact oracle; recall vs brute
+    force additionally asserted in tests."""
     emb = _load(spark, sf_dir, "embeddings")
-    return SIM.ann_topk(emb, emb.where(F.col("vec_id") < 5), k=5, dim=64)
+    out = SIM.ann_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
 
 
-# --- the real trie pipeline (rows-only smoke at driver sf) ---------------
+# --- the real trie pipeline, oracle-checked end to end -------------------
+#
+# documents.text is [A-Za-z0-9_ ]-only, so the Arrow trie/token detector's
+# word-boundary semantics coincide with the space-padded LIKE prelude —
+# the FULL production pipeline (mapInPandas mentions -> pair join ->
+# float32 Arrow scoring kernel -> triples [-> minhash/CC canonicalize])
+# is compared against a pure-SQL restatement. Scores: the float32 kernel
+# and the double-precision SQL cosine agree at round(...,6) on this data
+# (verified row-exactly; both engines are deterministic).
+
+def _documents_corpus(spark, sf_dir):
+    """documents table -> corpus schema (repo/path/commit/lang/content)."""
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("string").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit("c0").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
 
 
-@register("kg_pipeline_canonical")
+def _doc_dict_entries():
+    from .fixtures import DictEntry
+
+    return [DictEntry(s, e, t) for s, e, t, _v in DOC_DICT]
+
+
+def _doc_dict_entities(spark):
+    rows = sorted({(e, t, v) for _s, e, t, v in DOC_DICT})
+    return spark.createDataFrame(
+        rows, "entity_id string, entity_type string, vec_id long"
+    )
+
+
+def _run_doc_pipeline(spark, sf_dir, canonicalize: bool):
+    from .deploy import ensure_shipped
+    from .plans import pipeline
+
+    ensure_shipped(spark)
+    cfg = pipeline.PipelineConfig(
+        relations=[("op", "obj")],
+        predicates={("op", "obj"): "acts_on"},
+        threshold=-2.0,  # no score gate: emit every supported pair
+        canonicalize=canonicalize,
+    )
+    out = pipeline.build_triples(
+        spark,
+        _documents_corpus(spark, sf_dir),
+        _doc_dict_entries(),
+        _load(spark, sf_dir, "embeddings"),
+        cfg,
+        entities=_doc_dict_entities(spark),
+    )
+    return out["triples"].select(
+        "subj",
+        "pred",
+        "obj",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+_SQL_SCORED_TAIL = f"""
+, entity_vecs AS (
+  SELECT DISTINCT e.entity_id, e.vec_id, emb.embedding
+  FROM dict e JOIN embeddings emb ON emb.vec_id = e.vec_id
+),
+support AS (
+  SELECT subj, obj, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM pairs GROUP BY subj, obj
+),
+scored AS (
+  SELECT s.subj, 'acts_on' AS pred, s.obj, s.n_docs,
+         round({_SQL_COSINE}, 6) AS score
+  FROM support s
+  JOIN entity_vecs a ON a.entity_id = s.subj
+  JOIN entity_vecs b ON b.entity_id = s.obj
+)
+"""
+
+
+@register(
+    "kg_pipeline_triples",
+    _SQL_PRELUDE
+    + _SQL_PAIRS
+    + _SQL_SCORED_TAIL
+    + "SELECT subj, pred, obj, n_docs, score FROM scored",
+)
+def kg_pipeline_triples(spark, sf_dir):
+    """Full stage-1..6 production pipeline (ingest -> Arrow trie/token
+    mentions -> co-occurrence pair join -> support agg -> float32 Arrow
+    scoring kernel -> triple emission) over the documents table with the
+    DOC_DICT dictionary; synthetic-corpus parity is separately pinned by
+    tests/test_golden_parity.py (P/R vs an independent restatement)."""
+    return _run_doc_pipeline(spark, sf_dir, canonicalize=False)
+
+
+@register(
+    "kg_pipeline_canonical",
+    "\nWITH RECURSIVE "
+    + _SQL_PRELUDE_BODY
+    + _SQL_PAIRS
+    + _SQL_SCORED_TAIL
+    + """
+, edges AS (
+  SELECT a.entity_id AS u, b.entity_id AS v
+  FROM dict a JOIN dict b ON a.surface = b.surface AND a.entity_id <> b.entity_id
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u AND r.u <> e.v
+),
+canon AS (
+  SELECT e.entity_id,
+         least(e.entity_id, coalesce(r.mn, e.entity_id)) AS canonical_id
+  FROM (SELECT DISTINCT entity_id FROM dict) e
+  LEFT JOIN (SELECT u, min(v) AS mn FROM reach GROUP BY u) r
+    ON r.u = e.entity_id
+),
+cpairs AS (
+  SELECT DISTINCT p.doc_id, cs.canonical_id AS subj, co.canonical_id AS obj
+  FROM pairs p
+  JOIN canon cs ON cs.entity_id = p.subj
+  JOIN canon co ON co.entity_id = p.obj
+),
+merged AS (
+  SELECT cs.canonical_id AS subj, 'acts_on' AS pred, co.canonical_id AS obj,
+         max(t.score) AS score
+  FROM scored t
+  JOIN canon cs ON cs.entity_id = t.subj
+  JOIN canon co ON co.entity_id = t.obj
+  GROUP BY 1, 2, 3
+)
+SELECT m.subj, m.pred, m.obj,
+       CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_docs, m.score
+FROM merged m
+JOIN cpairs c ON c.subj = m.subj AND c.obj = m.obj
+GROUP BY m.subj, m.pred, m.obj, m.score
+""",
+)
 def kg_pipeline_canonical(spark, sf_dir):
     """Full pipeline WITH stage 7 (minhash/CC canonicalization + remap):
-    entities sharing or nearly-sharing surfaces collapse to one
-    canonical node; support re-aggregated. Rows-only check; merge
-    semantics asserted in tests/test_canonicalize.py."""
-    from . import fixtures
-    from .deploy import ensure_shipped
-    from .plans import pipeline
-
-    ensure_shipped(spark)
-    sf = min(fixtures.sf_from_dir(sf_dir), 0.01)
-    dictionary = fixtures.make_dictionary()
-    corpus = fixtures.corpus_df(spark, sf, dictionary)
-    embeddings = _load(spark, sf_dir, "embeddings")
-    cfg = pipeline.PipelineConfig(canonicalize=True)
-    out = pipeline.build_triples(spark, corpus, dictionary, embeddings, cfg)
-    return out["triples"].select(
-        "subj", "pred", "obj", F.col("n_docs").cast("long").alias("n_docs")
-    )
-
-
-@register("kg_pipeline_triples")
-def kg_pipeline_triples(spark, sf_dir):
-    """Full stage-1..6 pipeline (trie mentions -> pairs -> scoring ->
-    triples) on the generated corpus at the sf of ``sf_dir``, embeddings
-    from ``sf_dir``. Golden parity is enforced in tests/test_golden_parity.py;
-    here the driver records a rows-only check."""
-    from . import fixtures
-    from .deploy import ensure_shipped
-    from .plans import pipeline
-
-    ensure_shipped(spark)
-    sf = min(fixtures.sf_from_dir(sf_dir), 0.01)  # bound corpus gen cost
-    dictionary = fixtures.make_dictionary()
-    corpus = fixtures.corpus_df(spark, sf, dictionary)
-    embeddings = _load(spark, sf_dir, "embeddings")
-    out = pipeline.build_triples(spark, corpus, dictionary, embeddings)
-    return out["triples"].select(
-        "subj", "pred", "obj", "score", F.col("n_docs").cast("long").alias("n_docs")
-    )
+    entities sharing (or near-sharing, char-3-gram jaccard >= 0.6)
+    surfaces collapse to one canonical node; support re-aggregated from
+    the unioned article sets. On DOC_DICT the only merge component is
+    the exact shared surface (identical shingle sets -> LSH recall 1),
+    so the recursive-CC SQL restatement is exact, not approximate."""
+    return _run_doc_pipeline(spark, sf_dir, canonicalize=True)

@@ -11,17 +11,19 @@ no Python on the hot path):
 * simhash      — 64-bit sign-aggregated token hashes; chunk-banded
                  candidate join + hamming verify (bit_count)
 * n-gram jaccard — direct pairwise verify (small/partitioned inputs)
-* embedding cosine — near-dup via vector similarity
+* embedding cosine — multi-table hyperplane-LSH candidates + exact
+  cosine verify (crossJoin kept only as the validation baseline)
 
 Scale shape: LSH banding turns O(n^2) pair comparison into
 groupBy(band_hash) buckets; only bucket-mates are verified. Bucket
-skew (a degenerate band value) is bounded by AQE skew handling plus
-the per-bucket pair cap documented on ``minhash_near_duplicates``.
+skew (a degenerate band value) is bounded by ``max_bucket_size`` on
+``minhash_near_duplicates`` (oversized buckets are skipped per band)
+plus AQE skew handling on the bucket join itself.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, shingles
@@ -43,25 +45,42 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 32
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """(doc, h0..h{n-1}) minhash signature columns over word-3-gram
     shingles.
 
     Shape: explode(shingles) -> one hash-aggregate with n_hashes
-    ``min(xxhash64(gram, seed))`` columns. PERF NOTE: this is ~20x
+    ``min(hash(gram, seed))`` columns. PERF NOTE: this is ~20x
     faster than the "obvious" nested higher-order-function expression
     (transform(sequence, i -> array_min(transform(grams, xxhash64)))):
     Spark HOFs are interpreted per element-lambda call, while explode +
     min-agg is whole-stage-codegen'd with map-side partial aggregation
-    (measured 21s -> 1.0s on 510 docs x ~54 shingles x 32 seeds)."""
+    (measured 21s -> 1.0s on 510 docs x ~54 shingles x 32 seeds).
+
+    ``hash_mode``: 'xxhash64' (the fast scale default) or 'md5'
+    (min over seeded md5 hex strings — a hash every ANSI engine has, so
+    the whole LSH dataflow is cross-checkable row-exactly in DuckDB;
+    minhash only needs a uniform hash with a total order)."""
     ex = df.select(
         F.col(id_col).cast("string").alias("doc"),
         F.explode(shingles(text_col)).alias("g"),
     )
-    return ex.groupBy("doc").agg(
-        *[F.min(F.xxhash64("g", F.lit(i))).alias(f"h{i}") for i in range(n_hashes)]
-    )
+    if hash_mode == "md5":
+        hs = [
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("g")))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    else:
+        hs = [
+            F.min(F.xxhash64("g", F.lit(i))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    return ex.groupBy("doc").agg(*hs)
 
 
 def minhash_near_duplicates(
@@ -71,12 +90,21 @@ def minhash_near_duplicates(
     n_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    hash_mode: str = "xxhash64",
+    max_bucket_size: int = 2000,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs with exact jaccard verify.
 
     rows_per_band = n_hashes // bands; candidate pairs are doc pairs
     sharing >=1 band hash; each candidate is verified with the exact
     shingle jaccard. Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
+
+    ``max_bucket_size`` bounds the quadratic term: a degenerate bucket
+    (boilerplate shingle signatures shared by millions of docs) is
+    SKIPPED for candidate generation in that band (its members still
+    pair via their other bands, and byte-identical boilerplate belongs
+    to ``exact_duplicates``, which is linear). The cap makes worst-case
+    candidate count <= n_buckets * cap^2 instead of unbounded.
     """
     rows_per_band = n_hashes // bands
     # Candidate generation shuffles ONLY (doc, band, bucket) — the
@@ -85,29 +113,32 @@ def minhash_near_duplicates(
     sh_tbl = df.select(
         F.col(id_col).cast("string").alias("doc"), shingles(text_col).alias("sh")
     )
-    sig = minhash_signatures(df, id_col, text_col, n_hashes)
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, hash_mode)
+
+    def band_key(b: int):
+        cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        if hash_mode == "md5":
+            return F.md5(F.concat_ws("|", *cols, F.lit(str(b))))
+        return F.xxhash64(*cols, F.lit(b))
+
     banded = sig.select(
         "doc",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"h{i}")
-                                for i in range(
-                                    b * rows_per_band, (b + 1) * rows_per_band
-                                )
-                            ],
-                            F.lit(b),
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_key(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )
         ).alias("bb"),
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    # Per-bucket size gate: one window count over the same (band,
+    # bucket) partitioning the self-join shuffles on anyway.
+    w = Window.partitionBy("band", "bucket")
+    banded = banded.withColumn("_bsz", F.count(F.lit(1)).over(w)).where(
+        F.col("_bsz") <= max_bucket_size
+    ).drop("_bsz")
 
     cand = (
         banded.alias("x")
@@ -158,25 +189,45 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+_HEX = "0123456789abcdef"
+
+
+def _md5_bit(h, b: int):
+    """Bit b (0..63) of the 64-bit value spelled by the first 16 hex
+    chars of md5 column ``h`` — pure string/int codegen exprs that every
+    ANSI engine reproduces verbatim (portable simhash token hash)."""
+    digit = F.substring(h, b // 4 + 1, 1)
+    val = F.instr(F.lit(_HEX), digit) - 1
+    return F.shiftright(val, 3 - (b % 4)).bitwiseAND(F.lit(1))
+
+
+def simhash_table(
+    df: DataFrame, id_col: str, text_col: str, hash_mode: str = "xxhash64"
+) -> DataFrame:
     """(doc, sh64): 64-bit SimHash of whitespace tokens.
 
     Bit b of sh64 is 1 iff sum over tokens of sign(bit b of
-    xxhash64(token)) is positive. Shape: explode(tokens) -> one
+    hash(token)) is positive. Shape: explode(tokens) -> one
     hash-aggregate with 64 codegen'd conditional sums, then a scalar
     bit-pack — same perf rationale as ``minhash_signatures`` (token-
-    wise interpreted array folds are ~20x slower)."""
+    wise interpreted array folds are ~20x slower).
+
+    ``hash_mode='md5'``: token bits come from the first 16 hex chars of
+    md5(token) instead of xxhash64 — reproducible in any ANSI engine,
+    used by the DuckDB oracle cross-check (same sign-aggregation)."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     ex = df.select(
         F.col(id_col).cast("string").alias("doc"), F.explode(toks).alias("t")
-    ).select("doc", F.xxhash64("t").alias("th"))
+    )
+    if hash_mode == "md5":
+        ex = ex.select("doc", F.md5("t").alias("th"))
+        bit = lambda b: _md5_bit(F.col("th"), b)  # noqa: E731
+    else:
+        ex = ex.select("doc", F.xxhash64("t").alias("th"))
+        bit = lambda b: F.shiftright("th", b).bitwiseAND(F.lit(1))  # noqa: E731
     counts = ex.groupBy("doc").agg(
         *[
-            F.sum(
-                F.when(
-                    F.shiftright("th", b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                ).otherwise(F.lit(-1))
-            ).alias(f"c{b}")
+            F.sum(F.when(bit(b) == 1, F.lit(1)).otherwise(F.lit(-1))).alias(f"c{b}")
             for b in range(64)
         ]
     )
@@ -191,12 +242,24 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_duplicates(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 7,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """SimHash near-dup pairs: 4x16-bit chunk banding (a pair within
-    hamming distance <= 3 must share a chunk; wider distances need more
-    chunks — documented approximation), then exact hamming verify."""
-    base = simhash_table(df, id_col, text_col)
+    """SimHash near-dup pairs: 8x8-bit chunk banding + exact hamming
+    verify. Pigeonhole: a pair within hamming distance <= 7 MUST share
+    at least one of the 8 chunks, so for ``max_hamming <= 7`` (the
+    default) the banding is LOSSLESS — output is exactly every pair at
+    hamming <= max_hamming. Values above 7 raise (silent recall loss is
+    how near-dup pipelines rot); re-chunk wider instead."""
+    if max_hamming > 7:
+        raise ValueError(
+            "8-chunk banding guarantees recall only for hamming <= 7; "
+            f"got max_hamming={max_hamming} — increase chunk count instead"
+        )
+    base = simhash_table(df, id_col, text_col, hash_mode)
     chunked = base.select(
         "doc",
         "sh64",
@@ -205,11 +268,11 @@ def simhash_near_duplicates(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("sh64"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("sh64"), c * 8)
+                        .bitwiseAND(F.lit(0xFF))
                         .alias("ckey"),
                     )
-                    for c in range(4)
+                    for c in range(8)
                 ]
             )
         ).alias("cc"),
@@ -226,21 +289,76 @@ def simhash_near_duplicates(
     )
 
 
+def embedding_lsh_candidates(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    planes_per_table: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """(id_a, id_b) pairs sharing a random-hyperplane bucket in >= 1 of
+    ``n_tables`` independent hash tables. ONE Arrow kernel pass computes
+    all n_tables*planes_per_table sign bits; per-table keys are native
+    shift/mask splits. Recall for cosine >= 0.95 pairs with the default
+    (8 tables x 4 planes): 1 - (1 - p^4)^8 ~ 0.9998 where
+    p = 1 - theta/pi ~ 0.899 — a pair-mining-grade banding (the single-
+    bucket ann_topk shape would recall only ~0.53)."""
+    from .similarity import lsh_bucket_udf
+
+    total = n_tables * planes_per_table
+    bucket = lsh_bucket_udf(total, seed)
+    mask = (1 << planes_per_table) - 1
+    v = vectors.select(F.col(id_col).alias("id"), bucket(F.col(vec_col)).alias("bits"))
+    tabbed = v.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        F.shiftright("bits", t * planes_per_table)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bkey"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", F.col("tb.tbl").alias("tbl"), F.col("tb.bkey").alias("bkey"))
+    return (
+        tabbed.alias("x")
+        .join(tabbed.alias("y"), ["tbl", "bkey"], "inner")
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def embedding_near_duplicates(
     vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    threshold: float = 0.95,
+    threshold: float = 0.95, method: str = "lsh",
+    n_tables: int = 8, planes_per_table: int = 4, seed: int = 7,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brute force within AQE-planned
-    join; at scale, pre-bucket with the LSH ANN index in
-    operators/similarity.py and verify within buckets)."""
+    """Embedding-cosine near-dup pairs.
+
+    ``method='lsh'`` (default, the scale path): multi-table hyperplane
+    LSH candidates + exact cosine verify — candidate count is bounded
+    by bucket co-occupancy, never O(n^2). ``method='exact'``: brute
+    crossJoin, the validation baseline for samples only."""
     from .similarity import cosine_cols
 
     a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    if method == "exact":
+        cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = embedding_lsh_candidates(
+            vectors, id_col, vec_col, n_tables, planes_per_table, seed
+        )
+        cand = pairs.join(a, "id_a").join(b, "id_b")
     return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_cols("v_a", "v_b"))
+        cand.withColumn("cosine", cosine_cols("v_a", "v_b"))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

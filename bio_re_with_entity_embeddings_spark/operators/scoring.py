@@ -28,14 +28,40 @@ from pyspark.sql import types as T
 def embedding_matrix(embeddings: DataFrame) -> np.ndarray:
     """Collect the (dimension-sized) embedding table into a float32
     matrix with row index == vec_id. Rows absent from the table are
-    zero (score 0 -> below any positive threshold)."""
+    zero (score 0 -> below any positive threshold).
+
+    Requires a DENSE vec_id space (fixtures, gensim-export row ids):
+    allocation is ``max(vec_id)+1`` rows. For sparse/64-bit id spaces
+    use ``embedding_index`` (dense remap) — asserted here so a sparse
+    table fails loudly instead of OOMing the driver."""
     rows = embeddings.select("vec_id", "embedding").collect()
     n = max(r["vec_id"] for r in rows) + 1
+    if n > 4 * len(rows) + 1024:
+        raise ValueError(
+            f"sparse vec_id space (max id {n - 1} for {len(rows)} rows); "
+            "use embedding_index() instead of embedding_matrix()"
+        )
     dim = len(rows[0]["embedding"])
     mat = np.zeros((n, dim), dtype=np.float32)
     for r in rows:
         mat[r["vec_id"]] = np.asarray(r["embedding"], dtype=np.float32)
     return mat
+
+
+def embedding_index(embeddings: DataFrame) -> tuple[np.ndarray, "pd.Series"]:
+    """(matrix, vec_id -> row lookup) with a dense row space regardless
+    of how sparse the vec_id domain is (a 64-bit id space must not
+    allocate max(id)+1 rows on the driver). Row 0 is an all-zero
+    sentinel: ids absent from the table (or null) score 0."""
+    rows = embeddings.select("vec_id", "embedding").collect()
+    dim = len(rows[0]["embedding"]) if rows else 1
+    mat = np.zeros((len(rows) + 1, dim), dtype=np.float32)
+    ids = np.empty(len(rows), dtype=np.int64)
+    for i, r in enumerate(sorted(rows, key=lambda r: r["vec_id"])):
+        mat[i + 1] = np.asarray(r["embedding"], dtype=np.float32)
+        ids[i] = r["vec_id"]
+    lut = pd.Series(np.arange(1, len(rows) + 1, dtype=np.int64), index=ids)
+    return mat, lut
 
 
 def score_vectors(mat: np.ndarray, a_idx: np.ndarray, b_idx: np.ndarray) -> np.ndarray:
@@ -61,19 +87,19 @@ def score_pairs(
     broadcast-sized (entity_id, vec_id) dimension.
     """
     spark = pairs.sparkSession
-    mat = embedding_matrix(embeddings)
-    bc = spark.sparkContext.broadcast(mat)
+    mat, lut = embedding_index(embeddings)
+    bc = spark.sparkContext.broadcast((mat, lut))
 
     @F.pandas_udf(T.DoubleType())
     def cosine(a: pd.Series, b: pd.Series) -> pd.Series:
-        m = bc.value
-        return pd.Series(
-            score_vectors(
-                m,
-                a.to_numpy(dtype=np.int64),
-                b.to_numpy(dtype=np.int64),
-            )
-        )
+        m, idx = bc.value
+        # vec ids arrive coalesced to -1 for entities absent from the
+        # dimension; -1 (and any id not in the table) maps to sentinel
+        # row 0 (zero vector -> score 0). Spark does not short-circuit
+        # UDF args under when(), so the kernel must be total.
+        ai = idx.reindex(a.to_numpy(dtype=np.int64)).fillna(0).to_numpy(dtype=np.int64)
+        bi = idx.reindex(b.to_numpy(dtype=np.int64)).fillna(0).to_numpy(dtype=np.int64)
+        return pd.Series(score_vectors(m, ai, bi))
 
     vecs = entities.select("entity_id", "vec_id")
     subj_vec = vecs.withColumnsRenamed({"entity_id": "subj", "vec_id": "subj_vec"})
@@ -83,10 +109,10 @@ def score_pairs(
         .join(F.broadcast(obj_vec), "obj", "left")
         .withColumn(
             "score",
-            F.when(
-                F.col("subj_vec").isNotNull() & F.col("obj_vec").isNotNull(),
-                cosine(F.col("subj_vec"), F.col("obj_vec")),
-            ).otherwise(F.lit(0.0)),
+            cosine(
+                F.coalesce(F.col("subj_vec"), F.lit(-1)),
+                F.coalesce(F.col("obj_vec"), F.lit(-1)),
+            ),
         )
         .drop("subj_vec", "obj_vec")
     )

@@ -71,11 +71,16 @@ def topk_matmul(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dtype=np.float32,
 ) -> DataFrame:
     """Arrow/NumPy top-k kernel: per-batch matmul + per-batch top-k,
-    then global rank over batch survivors only."""
+    then global rank over batch survivors only.
+
+    ``dtype=np.float32`` halves memory bandwidth (the scale default);
+    ``np.float64`` makes the cosines agree with a double-precision SQL
+    restatement at round(...,6) — the oracle-exact variant."""
     spark = vectors.sparkSession
-    qm = np.asarray(query_mat, dtype=np.float32)
+    qm = np.asarray(query_mat, dtype=dtype)
     qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
     bc = spark.sparkContext.broadcast((qn, list(query_ids)))
 
@@ -85,7 +90,7 @@ def topk_matmul(
             if pdf.empty:
                 continue
             mat = np.stack(
-                [np.asarray(v, dtype=np.float32) for v in pdf[vec_col].values]
+                [np.asarray(v, dtype=q.dtype) for v in pdf[vec_col].values]
             )
             mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
             sims = mat @ q.T  # (batch, n_queries)
@@ -116,22 +121,41 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim)).astype(np.float64)
 
 
-def lsh_bucket_expr(vec_col, planes: np.ndarray):
-    """Native-expression random-hyperplane bucket id: bit h set iff
-    dot(vec, plane_h) >= 0."""
-    v = F.transform(
-        F.col(vec_col) if isinstance(vec_col, str) else vec_col,
-        lambda x: x.cast("double"),
-    )
-    bucket = F.lit(0).cast("long")
-    for h, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(v, p, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
-        )
-        bucket = bucket + F.when(dot >= 0, F.lit(1 << h).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+# Per-worker plane-matrix memo: {(dim, n_planes, seed): ndarray}. Planes
+# are derived deterministically from the seed, so every worker (and the
+# SQL oracle's literal restatement) sees the same hyperplanes without
+# shipping them — and without a driver-side .first() dim probe.
+_PLANES_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _planes_memo(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    key = (dim, n_planes, seed)
+    p = _PLANES_CACHE.get(key)
+    if p is None:
+        p = _hyperplanes(dim, n_planes, seed)
+        _PLANES_CACHE[key] = p
+    return p
+
+
+def lsh_bucket_udf(n_planes: int = 6, seed: int = 42):
+    """Arrow-batched bucket kernel: one float64 ``sign(V @ P.T)`` matmul
+    + bit-pack per batch (bit h set iff dot(vec, plane_h) >= 0). Replaces
+    the per-element HOF fold over literal plane arrays, which Spark
+    interprets (measured ~20x penalty on this workload class) and which
+    bloated the plan by n_planes*dim literals. Dim is taken from the
+    first batch — no driver-side probe."""
+    import pandas as pd  # noqa: F811 (worker-side import)
+
+    @F.pandas_udf("long")
+    def bucket(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype="int64")
+        mat = np.stack([np.asarray(x, dtype=np.float64) for x in v.values])
+        planes = _planes_memo(mat.shape[1], n_planes, seed)
+        signs = mat @ planes.T >= 0  # (batch, n_planes)
+        weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+        return pd.Series(signs @ weights)
+
     return bucket
 
 
@@ -142,7 +166,6 @@ def ann_topk(
     n_planes: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = None,
     seed: int = 42,
     multi_probe: int = 1,
 ) -> DataFrame:
@@ -151,19 +174,19 @@ def ann_topk(
     bucket at hamming distance 1 from the query's bucket (the standard
     recall lever: probe count scales the QUERY side only — the corpus
     side stays one bucket per vector). Recall vs brute force is
-    asserted in tests and reported by the bench."""
-    if dim is None:
-        dim = len(vectors.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, seed)
+    asserted in tests and reported by the bench; the bucket assignment
+    itself is deterministic (fixed seed), so the output is also pinned
+    row-exactly by a DuckDB restatement with literal hyperplanes."""
+    bucket = lsh_bucket_udf(n_planes, seed)
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("n_vec"),
-        lsh_bucket_expr(vec_col, planes).alias("bucket"),
+        bucket(F.col(vec_col)).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        lsh_bucket_expr(vec_col, planes).alias("bucket"),
+        bucket(F.col(vec_col)).alias("bucket"),
     )
     if multi_probe >= 1:
         probes = F.array(

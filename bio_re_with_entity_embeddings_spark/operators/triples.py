@@ -70,9 +70,10 @@ def emit_triples(
     source_type: str,
     target_type: str,
     threshold: float = 0.0,
+    pred: str | None = None,
 ) -> DataFrame:
     """scored support rows -> TRIPLES rows (threshold gate + predicate)."""
-    pred = predicate_for(source_type, target_type)
+    pred = pred or predicate_for(source_type, target_type)
     return scored_support.where(
         F.coalesce(F.col("score"), F.lit(0.0)) >= threshold
     ).select(

@@ -63,6 +63,19 @@ class PipelineConfig:
     repo_partitions: int = 0  # >0: explicit repartition on hash(repo)
     canonicalize: bool = False  # stage 7: minhash/CC entity dedup + remap
     eager_cache: bool = True  # materialize shared mention cache before fan-out
+    # (source_type, target_type) -> predicate overrides; falls back to
+    # triples_op.predicate_for (the reference's per-type-pair datasets).
+    predicates: dict[tuple[str, str], str] | None = None
+    # Scale-path AQE advisory partition size ("16m"): more, smaller
+    # tasks load-balance the explosion join (observed 20s vs 58s task
+    # walls at 64MB). Session-scoped knob, surfaced here instead of
+    # mutated silently; None leaves the session conf untouched.
+    advisory_partition_bytes: str | None = "16m"
+
+    def predicate(self, src_t: str, tgt_t: str) -> str:
+        if self.predicates and (src_t, tgt_t) in self.predicates:
+            return self.predicates[(src_t, tgt_t)]
+        return triples_op.predicate_for(src_t, tgt_t)
 
 
 def build_triples(
@@ -71,17 +84,22 @@ def build_triples(
     dictionary: list[fixtures.DictEntry],
     embeddings: DataFrame,
     config: PipelineConfig | None = None,
+    entities: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Return all pipeline outputs as lazy DataFrames (the scale path
-    materializes its shared detector output eagerly, see module doc)."""
+    materializes its shared detector output eagerly, see module doc).
+
+    ``entities``: optional (entity_id, entity_type, vec_id) dimension;
+    by default derived from the fixture vec-index convention."""
     cfg = config or PipelineConfig()
     docs = ingest(corpus, cfg.langs)
     if cfg.repo_partitions:
         docs = docs.repartition(cfg.repo_partitions, F.col("repo"))
 
     dict_entries = [(e.surface, e.entity_id, e.entity_type) for e in dictionary]
-    n_vecs = embeddings.selectExpr("max(vec_id) + 1 AS n").first()["n"]
-    entities = fixtures.entities_df(spark, dictionary, int(n_vecs))
+    if entities is None:
+        n_vecs = embeddings.selectExpr("max(vec_id) + 1 AS n").first()["n"]
+        entities = fixtures.entities_df(spark, dictionary, int(n_vecs))
 
     if cfg.articles_cap < 0:
         return _build_scale(
@@ -130,7 +148,9 @@ def _build_parity(
         support = triples_op.support_agg(rel_pairs, cfg.articles_cap)
         scored = scoring.score_pairs(support, entities, embeddings)
         triple_parts.append(
-            triples_op.emit_triples(scored, src_t, tgt_t, cfg.threshold)
+            triples_op.emit_triples(
+                scored, src_t, tgt_t, cfg.threshold, pred=cfg.predicate(src_t, tgt_t)
+            )
         )
         pair_parts.append(rel_pairs)
 
@@ -169,7 +189,13 @@ def _build_scale(
     # Smaller AQE advisory size for the explosion join: the default
     # 64MB coalesces its output into few, uneven tasks (observed 20s vs
     # 58s task walls in one stage) — more, smaller tasks load-balance.
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+    # Surfaced as a config knob (lazy plans execute after this returns,
+    # so a set/restore scope cannot work — None opts out instead).
+    if cfg.advisory_partition_bytes:
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            cfg.advisory_partition_bytes,
+        )
 
     ents = mentions_op.detect_entity_sets(
         docs, dict_entries, entity_idx, type_codes
@@ -207,7 +233,7 @@ def _build_scale(
             for (s, t) in cfg.relations
             for x in (
                 F.lit(type_codes[s] * 256 + type_codes[t]),
-                F.lit(triples_op.predicate_for(s, t)),
+                F.lit(cfg.predicate(s, t)),
             )
         ]
     )

@@ -77,7 +77,7 @@ def test_ann_lsh_recall(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 20)
     bf = SIM.brute_force_topk(emb, queries, k=5).toPandas()
-    ann = SIM.ann_topk(emb, queries, k=5, n_planes=4, dim=64).toPandas()
+    ann = SIM.ann_topk(emb, queries, k=5, n_planes=4).toPandas()
     bf_set = set(map(tuple, bf[["query_id", "neighbor_id"]].itertuples(index=False)))
     ann_set = set(map(tuple, ann[["query_id", "neighbor_id"]].itertuples(index=False)))
     # ANN results must be a plausible approximation: nonempty, and all
@@ -88,6 +88,8 @@ def test_ann_lsh_recall(spark):
 
 
 def test_embedding_near_duplicates_self_consistency(spark):
+    """Default (LSH-bucketed) path: identical vectors share every
+    bucket, so planted exact copies are always recovered."""
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(100)
     doubled = emb.unionByName(
         emb.where(F.col("vec_id") < 3).withColumn(
@@ -98,3 +100,122 @@ def test_embedding_near_duplicates_self_consistency(spark):
     pairs = {(r.id_a, r.id_b) for r in got.itertuples()}
     for i in range(3):
         assert (i, 1000 + i) in pairs
+
+
+def test_embedding_near_duplicates_lsh_matches_exact(spark):
+    """Bucketed output == brute-force output on planted near-dups
+    (tiny perturbations of real vectors -> cosine ~ 0.9999; 8x4-table
+    recall at that band ~ 1 - 2e-4 — deterministic seed, pinned)."""
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(60)
+    )
+    near = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 2000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.000001)).alias("embedding"),
+    )
+    base = emb.unionByName(near)
+    lsh = DD.embedding_near_duplicates(base, threshold=0.999).toPandas()
+    exact = DD.embedding_near_duplicates(base, threshold=0.999, method="exact").toPandas()
+    key = lambda df: sorted((r.id_a, r.id_b) for r in df.itertuples())  # noqa: E731
+    assert key(lsh) == key(exact)
+    assert len(exact) >= 5
+
+
+def test_simhash_banding_lossless_vs_all_pairs(docs):
+    """8x8-bit chunk banding must emit EXACTLY every pair at hamming
+    <= 7 (pigeonhole guarantee, incl. distances 4-7 that the old 4x16
+    banding silently dropped)."""
+    sh = DD.simhash_table(docs, "doc_id", "text")
+    a = sh.select(F.col("doc").alias("doc_a"), F.col("sh64").alias("h_a"))
+    b = sh.select(F.col("doc").alias("doc_b"), F.col("sh64").alias("h_b"))
+    brute = (
+        a.crossJoin(b)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .where(F.col("hamming") <= 7)
+    )
+    want = {(r.doc_a, r.doc_b, r.hamming) for r in brute.collect()}
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in DD.simhash_near_duplicates(docs, "doc_id", "text").collect()
+    }
+    assert got == want
+    assert any(h >= 4 for _, _, h in want), "fixture must exercise hamming 4-7"
+
+
+def test_simhash_rejects_unguaranteed_radius(docs):
+    with pytest.raises(ValueError, match="hamming"):
+        DD.simhash_near_duplicates(docs, "doc_id", "text", max_hamming=8)
+
+
+def test_minhash_hash_modes_agree_on_planted(docs):
+    md5_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in DD.minhash_near_duplicates(
+            docs, "doc_id", "text", threshold=0.99, hash_mode="md5"
+        ).collect()
+    }
+    xx_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in DD.minhash_near_duplicates(
+            docs, "doc_id", "text", threshold=0.99, hash_mode="xxhash64"
+        ).collect()
+    }
+    # jaccard ~1 pairs share every band under ANY uniform hash
+    assert md5_pairs == xx_pairs
+    assert len(md5_pairs) >= 10
+
+
+def test_minhash_bucket_cap_bounds_degenerate_bucket(spark):
+    """Adversarial flood: thousands of identical-signature docs share
+    every LSH bucket — without the cap the bucket join is quadratic
+    (~4.5M candidate pairs here). With the cap the flood is skipped
+    (exact_duplicates owns byte-identical content, linearly) while
+    normal-sized buckets still pair."""
+    flood = spark.range(3000).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.lit("aa bb cc dd ee ff gg hh ii jj kk ll").alias("text"),
+    )
+    pair = spark.createDataFrame(
+        [
+            ("p1", "one two three four five six seven eight nine ten"),
+            ("p2", "one two three four five six seven eight nine zzz"),
+        ],
+        "doc_id string, text string",
+    )
+    df = flood.unionByName(pair)
+    got = DD.minhash_near_duplicates(
+        df, "doc_id", "text", threshold=0.5, max_bucket_size=100
+    ).toPandas()
+    pairs = {(r.doc_a, r.doc_b) for r in got.itertuples()}
+    assert ("p1", "p2") in pairs
+    assert len(pairs) == 1, f"flood leaked {len(pairs) - 1} quadratic pairs"
+
+
+def test_embedding_index_sparse_ids(spark):
+    """Dense remap: 10^12-range vec ids must not allocate max(id)+1
+    rows; absent/null ids score 0 via the sentinel row."""
+    from bio_re_with_entity_embeddings_spark.operators import scoring
+
+    emb = spark.createDataFrame(
+        [(10**12 + 7, [1.0, 0.0]), (10**12 + 9, [1.0, 0.0]), (5, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="sparse"):
+        scoring.embedding_matrix(emb)
+    mat, lut = scoring.embedding_index(emb)
+    assert mat.shape == (4, 2)
+    pairs = spark.createDataFrame(
+        [("a", "b", 3), ("a", "missing", 1)], "subj string, obj string, n_docs long"
+    )
+    entities = spark.createDataFrame(
+        [("a", 10**12 + 7), ("b", 10**12 + 9)], "entity_id string, vec_id long"
+    )
+    out = {
+        r["obj"]: r["score"]
+        for r in scoring.score_pairs(pairs, entities, emb).collect()
+    }
+    assert out["b"] == pytest.approx(1.0)
+    assert out["missing"] == 0.0
