@@ -10,14 +10,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# Tiny per-language stopword lists for the stopword-vote language-ID
 # heuristic. Deterministic, self-contained (no external models).
+# SCOPE: whitespace-tokenized LATIN-SCRIPT languages only — scripts
+# without whitespace word boundaries (zh/ja/th...) cannot be identified
+# by token voting and are deliberately not listed; they fall through to
+# 'und' rather than silently misfiring (a previous pinyin-syllable "zh"
+# list could never match real Chinese text).
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "is", "in", "that", "for"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
     "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
     "fr": ["le", "la", "de", "et", "un", "est", "que", "pour"],
-    "zh": ["de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1"],
+    "it": ["il", "la", "di", "che", "e", "non", "un", "per"],
+    "pt": ["o", "a", "de", "que", "e", "do", "um", "para"],
 }
 
 

@@ -210,6 +210,12 @@ def detect_entity_sets(
 
     ``entity_idx``: entity_id -> stable int index (see pipeline's
     idx_dim); types are carried as strings (tiny dictionary column).
+
+    Matcher choice mirrors ``detect_mentions`` exactly: the C-speed
+    token-probe path ONLY when every surface is a single
+    ``[A-Za-z0-9_]+`` token (the probe can never see a multi-token or
+    punctuated surface); otherwise the boundary-checked Aho-Corasick
+    automaton with the same per-doc set dedup.
     """
     spark = docs.sparkSession
     patterns = _patterns_from_entries(dict_entries)
@@ -217,6 +223,9 @@ def detect_entity_sets(
         type_codes = {
             t: i for i, t in enumerate(sorted({e[2] for e in dict_entries}))
         }
+    all_token_surfaces = all(
+        s and all(ch in _WORD for ch in s) for s in patterns
+    )
     # surface -> list[(idx, type_code)] — ints only past this point,
     # so the join/agg keys downstream are fixed-width.
     compact = {
@@ -225,7 +234,7 @@ def detect_entity_sets(
     }
     bc = spark.sparkContext.broadcast(compact)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run_tokens(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import re
 
         pats = bc.value
@@ -245,8 +254,29 @@ def detect_entity_sets(
                 out.extend((doc_id, i, t) for i, t in seen)
             yield pd.DataFrame(out, columns=cols)
 
+    def run_trie(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pats = bc.value
+        key = ("sets", id(pats))
+        auto = _AUTOMATON_CACHE.get(key)
+        if auto is None:
+            auto = AhoCorasick({s: [] for s in pats})
+            _AUTOMATON_CACHE.clear()
+            _AUTOMATON_CACHE[key] = auto
+        cols = ["doc_id", "entity_idx", "type_code"]
+        for pdf in batches:
+            out: list[tuple] = []
+            for doc_id, content in zip(pdf["doc_id"].values, pdf["content"].values):
+                if not content:
+                    continue
+                seen: set = set()
+                for _b, _e, surface in auto.find(content):
+                    seen.update(pats[surface])
+                out.extend((doc_id, i, t) for i, t in seen)
+            yield pd.DataFrame(out, columns=cols)
+
+    runner = run_tokens if all_token_surfaces else run_trie
     return docs.select("doc_id", "content").mapInPandas(
-        run, "doc_id string, entity_idx int, type_code int"
+        runner, "doc_id string, entity_idx int, type_code int"
     )
 
 

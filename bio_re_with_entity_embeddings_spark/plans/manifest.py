@@ -9,11 +9,14 @@ all-or-nothing, no lineage, silently stale. Here every stage writes
   {base}/{stage}/_manifest/*.parquet          (manifest-LAST, appended)
 
 where ``bucket = pmod(xxhash64(repo), n_buckets)`` — the explicit
-repo-hash partitioning of the north rule. A rerun anti-joins the
-manifest and recomputes ONLY missing buckets; double-written manifest
-rows are deduped on read by (stage, partition_id) keeping the first
-run_id (writes are idempotent per bucket via dynamic partition
-overwrite, so data is never double-counted).
+repo-hash partitioning of the north rule. A rerun recomputes a bucket
+iff it has no manifest row OR its input changed — the manifest stores
+each bucket's input row count and input sha-xor fold, and resume
+compares them against the current input, so a grown/edited corpus
+recomputes exactly the touched buckets (per-bucket dynamic partition
+overwrite keeps that idempotent). Double-written manifest rows are
+deduped on read by (stage, partition_id) keeping the LATEST (ts,
+run_id) row — the data directory always reflects the last writer.
 
 Lineage: ``content_sha_xor`` is an order-insensitive XOR-fold of the
 rows' ``content_sha`` (first 15 hex chars as int64) — equality between
@@ -56,14 +59,20 @@ def read_manifest(spark: SparkSession, base: str, stage: str) -> DataFrame | Non
         m = spark.read.parquet(path)
     except Exception:
         return None
-    # Dedupe double-appends: keep the first manifest row per partition.
+    # Dedupe re-runs: keep the LATEST manifest row per partition (the
+    # per-bucket dynamic overwrite means data reflects the last writer;
+    # a bucket recomputed for changed input must not resurrect stale
+    # input stats). (ts, run_id) orders deterministically.
     w_cols = ["stage", "partition_id"]
     return (
         m.groupBy(*w_cols)
         .agg(
-            F.min_by(
-                F.struct("rows_in", "rows_out", "content_sha_xor", "wall_ms", "run_id"),
-                "run_id",
+            F.max_by(
+                F.struct(
+                    "rows_in", "rows_out", "content_sha_xor", "in_sha_xor",
+                    "wall_ms", "run_id",
+                ),
+                F.struct("ts", "run_id"),
             ).alias("s")
         )
         .select(*w_cols, "s.*")
@@ -79,29 +88,51 @@ def run_stage(
     run_id: str | None = None,
     sha_col: str = "content_sha",
 ) -> DataFrame:
-    """Execute ``fn(input_subset) -> DataFrame`` per missing bucket set,
+    """Execute ``fn(input_subset) -> DataFrame`` per stale bucket set,
     materialize + manifest, and return the full stage output.
 
     ``bucketed_input`` must carry an int ``bucket`` column (use
-    ``with_bucket``); ``fn``'s output must preserve it. Completed
-    buckets are skipped entirely (their input is anti-joined away
-    before ``fn`` runs)."""
+    ``with_bucket``); ``fn``'s output must preserve it. A bucket is
+    DONE (skipped, its input anti-joined away before ``fn`` runs) iff
+    it has a manifest row AND that row's recorded input stats — row
+    count + content-sha xor fold — equal the current input's. Buckets
+    whose input grew or changed are recomputed and idempotently
+    overwritten; the one extra cost of change detection is a map-side-
+    combinable count+xor aggregate over the full input per rerun."""
     run_id = run_id or uuid.uuid4().hex[:12]
     manifest = read_manifest(spark, base, stage)
-    todo = bucketed_input
-    if manifest is not None:
-        done = manifest.select(F.col("partition_id").alias("bucket")).distinct()
-        todo = bucketed_input.join(F.broadcast(done), "bucket", "left_anti")
 
     t0 = time.perf_counter()
-    n_in_by_bucket = todo.groupBy("bucket").agg(
+    cur_stats = bucketed_input.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("rows_in"),
         (
-            sha_xor(todo, sha_col)
-            if sha_col in todo.columns
+            sha_xor(bucketed_input, sha_col)
+            if sha_col in bucketed_input.columns
             else F.lit(0).cast("long")
         ).alias("in_sha_xor"),
     )
+    if manifest is not None:
+        done = (
+            manifest.select(
+                F.col("partition_id").alias("bucket"),
+                F.col("rows_in").alias("m_rows_in"),
+                F.col("in_sha_xor").alias("m_in_sha_xor"),
+            )
+            .join(cur_stats, "bucket", "inner")
+            .where(
+                (F.col("m_rows_in") == F.col("rows_in"))
+                & F.col("m_in_sha_xor").eqNullSafe(
+                    F.format_string("%016x", F.col("in_sha_xor"))
+                )
+            )
+            .select("bucket")
+        )
+        todo = bucketed_input.join(F.broadcast(done), "bucket", "left_anti")
+        n_in_by_bucket = cur_stats.join(F.broadcast(done), "bucket", "left_anti")
+    else:
+        todo = bucketed_input
+        n_in_by_bucket = cur_stats
+
     out = fn(todo)
     assert "bucket" in out.columns, f"stage {stage}: fn must preserve 'bucket'"
 
@@ -135,8 +166,12 @@ def run_stage(
             F.format_string(
                 "%016x", F.coalesce("out_sha_xor", F.lit(0))
             ).alias("content_sha_xor"),
+            F.format_string(
+                "%016x", F.coalesce("in_sha_xor", F.lit(0))
+            ).alias("in_sha_xor"),
             F.lit(wall_ms).cast("long").alias("wall_ms"),
             F.lit(run_id).alias("run_id"),
+            F.lit(time.time_ns()).cast("long").alias("ts"),
         )
     )
     mrows.write.mode("append").parquet(_manifest_path(base, stage))
@@ -159,7 +194,10 @@ def lineage_check(
     joined = manifest.join(
         inp, manifest.partition_id == inp.bucket, "full"
     ).select("partition_id", "content_sha_xor", "in_fold")
+    # Null-safe: a bucket present on only ONE side (input never
+    # manifested, or manifest row with no input) is a lineage failure,
+    # not a silently-dropped null comparison.
     bad = joined.where(
-        F.col("content_sha_xor") != F.col("in_fold")
+        ~F.col("content_sha_xor").eqNullSafe(F.col("in_fold"))
     ).count()
     return bad == 0

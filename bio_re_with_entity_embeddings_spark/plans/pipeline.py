@@ -15,7 +15,7 @@ Two execution shapes, same semantics on (subj, pred, obj, n_docs):
   ``pairs`` output instead of inline arrays, and the hot pipeline is
   dictionary-encoded — per-doc DISTINCT entity sets emitted directly
   by the Arrow detector (no distinct exchange), int32 entity indices +
-  xxhash64 doc keys through ONE fused self-join + ONE support
+  128-bit (2x xxhash64) doc keys through ONE fused self-join + ONE support
   aggregate for all relations (string keys are memory-bandwidth-bound;
   ints cut shuffled/hashed bytes ~6x), strings restored by broadcast
   join on the (tiny) support output.
@@ -200,8 +200,15 @@ def _build_scale(
     ents = mentions_op.detect_entity_sets(
         docs, dict_entries, entity_idx, type_codes
     )
+    # 128-bit doc key (two independently-seeded xxhash64 longs): at the
+    # advertised 10^12-doc scale a single 64-bit key expects ~27k
+    # birthday collisions (silently merging distinct docs and inflating
+    # co-occurrence counts); at 128 bits the expectation is ~3e-15.
+    # Still fixed-width ints — shuffled key bytes go 8->16, far below
+    # the 6x saving vs sha-256 strings that motivated the encoding.
     ents = ents.select(
         F.xxhash64("doc_id").alias("dk"),
+        F.xxhash64("doc_id", F.lit(1)).alias("dk2"),
         F.col("entity_idx").alias("eid"),
         F.col("type_code").alias("tc"),
     ).persist(StorageLevel.DISK_ONLY)
@@ -210,8 +217,12 @@ def _build_scale(
 
     # ONE self-join + ONE aggregate covers every relation; every key is
     # fixed-width (long/int), relation filtering is int arithmetic.
-    a = ents.select("dk", F.col("eid").alias("subj"), F.col("tc").alias("stc"))
-    b = ents.select("dk", F.col("eid").alias("obj"), F.col("tc").alias("ttc"))
+    a = ents.select(
+        "dk", "dk2", F.col("eid").alias("subj"), F.col("tc").alias("stc")
+    )
+    b = ents.select(
+        "dk", "dk2", F.col("eid").alias("obj"), F.col("tc").alias("ttc")
+    )
     if cfg.salt_buckets and cfg.salt_buckets > 1:
         a = a.withColumn(
             "salt", F.pmod(F.xxhash64("subj"), F.lit(cfg.salt_buckets)).cast("int")
@@ -219,9 +230,9 @@ def _build_scale(
         b = b.withColumn(
             "salt", F.explode(F.sequence(F.lit(0), F.lit(cfg.salt_buckets - 1)))
         )
-        joined = a.join(b, ["dk", "salt"]).drop("salt")
+        joined = a.join(b, ["dk", "dk2", "salt"]).drop("salt")
     else:
-        joined = a.join(b, "dk")
+        joined = a.join(b, ["dk", "dk2"])
 
     rel_code = (F.col("stc") * 256 + F.col("ttc")).alias("rc")
     wanted_codes = [
@@ -238,7 +249,7 @@ def _build_scale(
         ]
     )
     pairs = joined.select(
-        "dk", "subj", "obj", rel_code
+        "dk", "dk2", "subj", "obj", rel_code
     ).where(
         F.col("rc").isin(wanted_codes) & (F.col("subj") != F.col("obj"))
     )
@@ -276,18 +287,21 @@ def _build_scale(
     if cfg.canonicalize:
         triples = _canonicalize(spark, triples, dict_entries)
 
-    # Evidence edges (the pair->doc table) keep the hashed doc key;
-    # join back to docs on xxhash64(doc_id) when lineage is needed.
+    # Evidence edges (the pair->doc table) keep the hashed doc key
+    # pair; join back to docs on (xxhash64(doc_id), xxhash64(doc_id,1))
+    # when lineage is needed.
     return {
         "docs": docs,
         "mentions": ents,
-        "doc2entity": ents.groupBy("dk").agg(
+        "doc2entity": ents.groupBy("dk", "dk2").agg(
             F.sort_array(F.collect_set("eid")).alias("entity_ids")
         ),
         "entity2doc": ents.groupBy("eid").agg(
             F.count(F.lit(1)).alias("n_docs")
         ),
-        "pairs": pairs.select(F.col("dk").alias("doc_id"), "subj", "obj"),
+        "pairs": pairs.select(
+            F.col("dk").alias("doc_id"), F.col("dk2").alias("doc_id2"), "subj", "obj"
+        ),
         "triples": triples,
     }
 

@@ -41,8 +41,12 @@ def run_checkpointed(
       ingest    corpus -> docs (doc_id, content_sha, bucket)
       mentions  docs -> mention rows (bucket preserved)
       triples   global (cannot be bucket-local: pairs join across the
-                whole doc axis) — gated on ALL ingest/mention buckets
-                being complete, rewritten atomically per run
+                whole doc axis) — checkpointed as ONE manifest bucket
+                whose input fingerprint is the count + content-sha
+                xor-fold of the whole mention table: a rerun with
+                unchanged mentions skips the tail entirely; a crash
+                mid-tail (or any upstream bucket change) recomputes it
+                idempotently.
     """
     cfg = config or P.PipelineConfig()
 
@@ -69,39 +73,52 @@ def run_checkpointed(
 
     # Triple emission consumes the materialized mention table — a
     # global aggregate over all buckets (pair co-occurrence crosses
-    # bucket boundaries by definition).
+    # bucket boundaries by definition). It runs through the SAME
+    # manifest machinery as the bucket-local stages, as one logical
+    # bucket: the stage is skipped when its input fingerprint (mention
+    # count + content-sha xor-fold) matches the manifest, recomputed
+    # idempotently otherwise — so the all-upstream-buckets-complete
+    # gate is enforced by construction (run_stage returned only after
+    # completing them) and a crash mid-tail resumes exactly.
     n_vecs = embeddings.selectExpr("max(vec_id) + 1 AS n").first()["n"]
     entities = fixtures.entities_df(spark, dictionary, int(n_vecs))
-    mentions_dedup = mentions.select(
-        "doc_id", "entity_id", "entity_type"
-    ).distinct()
 
     from ..operators import pairs as pairs_op
 
-    triple_parts = []
-    for src_t, tgt_t in cfg.relations:
-        rel_pairs = pairs_op.generate_pairs(
-            mentions_dedup, src_t, tgt_t,
-            salt_buckets=cfg.salt_buckets,
-            max_entities_per_doc=cfg.max_entities_per_doc,
-            already_distinct=True,
-        )
-        support = triples_op.support_agg(rel_pairs, max(cfg.articles_cap, 0))
-        scored = scoring.score_pairs(support, entities, embeddings)
-        triple_parts.append(
-            triples_op.emit_triples(scored, src_t, tgt_t, cfg.threshold)
-        )
-    triples = triple_parts[0]
-    for t in triple_parts[1:]:
-        triples = triples.unionByName(t)
+    def build_triples_tail(mention_rows: DataFrame) -> DataFrame:
+        mentions_dedup = mention_rows.select(
+            "doc_id", "entity_id", "entity_type"
+        ).distinct()
+        triple_parts = []
+        for src_t, tgt_t in cfg.relations:
+            rel_pairs = pairs_op.generate_pairs(
+                mentions_dedup, src_t, tgt_t,
+                salt_buckets=cfg.salt_buckets,
+                max_entities_per_doc=cfg.max_entities_per_doc,
+                already_distinct=True,
+            )
+            support = triples_op.support_agg(rel_pairs, max(cfg.articles_cap, 0))
+            scored = scoring.score_pairs(support, entities, embeddings)
+            triple_parts.append(
+                triples_op.emit_triples(
+                    scored, src_t, tgt_t, cfg.threshold,
+                    pred=cfg.predicate(src_t, tgt_t),
+                )
+            )
+        triples = triple_parts[0]
+        for t in triple_parts[1:]:
+            triples = triples.unionByName(t)
+        return triples.withColumn("bucket", F.lit(0).cast("int"))
 
-    out_path = f"{base_dir}/triples/data"
-    triples.write.mode("overwrite").parquet(out_path)
+    tail_input = mentions.withColumn("bucket", F.lit(0).cast("int"))
+    triples = M.run_stage(
+        spark, base_dir, "triples", tail_input, build_triples_tail, run_id=run_id
+    )
 
     return {
         "docs": docs,
         "mentions": mentions,
-        "triples": spark.read.parquet(out_path),
+        "triples": triples.drop("bucket"),
     }
 
 

@@ -72,6 +72,58 @@ def test_resume_skips_completed_buckets(spark, workdir):
         assert kept[b] == "r1"
 
 
+def test_grown_corpus_recomputes_changed_buckets(spark, workdir):
+    """A bucket whose INPUT changed (grown corpus) must be recomputed,
+    not skipped forever on the strength of an old manifest row; buckets
+    with identical input stay attributed to the first run."""
+    dictionary = fixtures.make_dictionary()
+    rows = fixtures.make_corpus_rows(200, dictionary)
+    small = pipeline.ingest(spark.createDataFrame(rows, schemas.CORPUS))
+    big = pipeline.ingest(
+        spark.createDataFrame(
+            fixtures.make_corpus_rows(260, dictionary), schemas.CORPUS
+        )
+    )
+    b_small = M.with_bucket(small, "repo", 8).cache()
+    b_big = M.with_bucket(big, "repo", 8).cache()
+    M.run_stage(spark, workdir, "st", b_small, lambda df: df, run_id="r1")
+
+    grown = {
+        r.bucket
+        for r in b_big.groupBy("bucket").count()
+        .join(
+            b_small.groupBy("bucket").count().withColumnRenamed("count", "c0"),
+            "bucket", "left",
+        )
+        .where(~F.col("count").eqNullSafe(F.col("c0")))
+        .collect()
+    }
+    assert grown, "fixture must actually grow some buckets"
+
+    out = M.run_stage(spark, workdir, "st", b_big, lambda df: df, run_id="r2")
+    assert out.count() == 260
+    got = sorted(r.doc_id for r in out.select("doc_id").collect())
+    exp = sorted(r.doc_id for r in b_big.select("doc_id").collect())
+    assert got == exp  # no stale rows, no dropped new rows
+    m = M.read_manifest(spark, workdir, "st").toPandas()
+    kept = dict(zip(m["partition_id"], m["run_id"]))
+    for b, rid in kept.items():
+        assert rid == ("r2" if b in grown else "r1"), (b, rid)
+    assert M.lineage_check(spark, workdir, "st", b_big)
+    # and the old, smaller input now FAILS lineage (null-safe compare)
+    assert not M.lineage_check(spark, workdir, "st", b_small.where(F.col("bucket").isin(list(grown))))
+
+
+def test_lineage_check_nullsafe_missing_buckets(spark, workdir):
+    """Buckets present in the input but absent from the manifest are a
+    lineage FAILURE (the old null != value comparison dropped them)."""
+    docs = M.with_bucket(_corpus(spark), "repo", 8).cache()
+    partial = docs.where(F.col("bucket") < 2)
+    M.run_stage(spark, workdir, "st", partial, lambda df: df, run_id="r1")
+    assert M.lineage_check(spark, workdir, "st", partial)
+    assert not M.lineage_check(spark, workdir, "st", docs)
+
+
 def test_rerun_is_idempotent(spark, workdir):
     docs = M.with_bucket(_corpus(spark), "repo", 8)
     M.run_stage(spark, workdir, "st", docs, lambda df: df, run_id="r1")

@@ -76,6 +76,53 @@ def test_crash_resume_exactness(spark, world, tmp_path):
     assert runner.verify_lineage(spark, corpus, base, 8)
 
 
+def test_crash_in_tail_resumes(spark, world, tmp_path):
+    """Kill AFTER the mention stage but mid-tail (triples data written,
+    manifest append lost — the torn state a crash leaves): the rerun
+    must recompute the tail and end byte-identical; upstream buckets
+    stay untouched."""
+    import shutil
+
+    dictionary, corpus, embeddings = world
+    base = str(tmp_path / "ckpt4")
+    out1 = runner.run_checkpointed(
+        spark, corpus, dictionary, embeddings, base, n_buckets=8, run_id="r1"
+    )
+    t1 = _triples_set(out1["triples"])
+    # torn tail: manifest gone, data half-written
+    shutil.rmtree(f"{base}/triples/_manifest")
+    shutil.rmtree(f"{base}/triples/data")
+    out2 = runner.run_checkpointed(
+        spark, corpus, dictionary, embeddings, base, n_buckets=8, run_id="r2"
+    )
+    assert _triples_set(out2["triples"]) == t1
+    for stage in ("ingest", "mentions"):
+        m = M.read_manifest(spark, base, stage).toPandas()
+        assert (m["run_id"] == "r1").all(), stage
+    m = M.read_manifest(spark, base, "triples").toPandas()
+    assert (m["run_id"] == "r2").all()
+
+
+def test_grown_corpus_rerun_matches_clean(spark, world, tmp_path):
+    """Rerun over a GROWN corpus recomputes exactly the changed buckets
+    plus the tail, and equals a clean run on the grown corpus."""
+    dictionary, corpus, embeddings = world
+    base = str(tmp_path / "ckpt5")
+    small = corpus.limit(200)
+    runner.run_checkpointed(
+        spark, small, dictionary, embeddings, base, n_buckets=8, run_id="r1"
+    )
+    out = runner.run_checkpointed(
+        spark, corpus, dictionary, embeddings, base, n_buckets=8, run_id="r2"
+    )
+    clean = runner.run_checkpointed(
+        spark, corpus, dictionary, embeddings, str(tmp_path / "clean5"),
+        n_buckets=8, run_id="rc",
+    )
+    assert _triples_set(out["triples"]) == _triples_set(clean["triples"])
+    assert runner.verify_lineage(spark, corpus, base, 8)
+
+
 def test_checkpointed_matches_lazy_pipeline(spark, world, tmp_path):
     dictionary, corpus, embeddings = world
     base = str(tmp_path / "ckpt3")

@@ -47,6 +47,40 @@ def test_scale_articles_empty_parity_full(both):
     assert all(len(a) == 0 for a in scale["articles"])
 
 
+def test_scale_path_multi_token_surfaces(spark):
+    """Multi-token / punctuated dictionary surfaces (the norm in the
+    reference's PubTator/MeSH surface universe) must match on the scale
+    path too — detect_entity_sets falls back to the boundary-checked
+    Aho-Corasick matcher, identically to the parity path."""
+    dictionary = [
+        fixtures.DictEntry("read frame", "FN:9001", fixtures.FN),
+        fixtures.DictEntry("lib.core", "PKG:9002", fixtures.PKG),
+        fixtures.DictEntry("emit_block01", "FN:9003", fixtures.FN),
+    ]
+    rows = [
+        ("o/r1", "a.py", "c1", "python",
+         "x read frame y lib.core z emit_block01"),
+        ("o/r2", "b.py", "c2", "python",
+         "read framex xlib.core emit_block01x"),  # boundary decoys only
+        ("o/r3", "c.py", "c3", "python",
+         "READ FRAME lib.core"),  # case-insensitive multi-token
+    ]
+    corpus = spark.createDataFrame(rows, schemas.CORPUS)
+    embeddings = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    parity = pipeline.build_triples(
+        spark, corpus, dictionary, embeddings,
+        pipeline.PipelineConfig(threshold=-2.0),  # no score gate here
+    )
+    scale = pipeline.build_triples(
+        spark, corpus, dictionary, embeddings,
+        pipeline.PipelineConfig(articles_cap=-1, threshold=-2.0),
+    )
+    kp, ks = _key(parity["triples"].toPandas()), _key(scale["triples"].toPandas())
+    assert kp == ks
+    assert ("FN:9001", "uses", "PKG:9002") in kp
+    assert kp[("FN:9001", "uses", "PKG:9002")][0] == 2  # r1 + r3, not the decoy row
+
+
 def test_scale_salted_invariance(spark, both):
     dictionary = fixtures.make_dictionary()
     rows = fixtures.make_corpus_rows(400, dictionary)
