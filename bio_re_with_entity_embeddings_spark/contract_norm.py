@@ -38,7 +38,6 @@ ANN_ROWS: list[tuple] = [
 ]
 
 MESH_DRUGBANK = [("MESH:D001", "DB01|DB02"), ("MESH:D002", "DB03")]
-DOID_XREF = [("MESH:D003", "DOID:162"), ("MESH:D003", "DOID:0001816")]
 
 _ANN_SCHEMA = (
     "pubmed_id string, start_offset int, end_offset int, "
@@ -157,11 +156,23 @@ def norm_disease(spark, sf_dir):
     return _shaped(N.extract_disease(_ann_df(spark)))
 
 
+# The MESH->DOID dimension is PARSED from the .obo fixture (S7, the
+# real ontology source — sources/obo.py), not a literal: the oracle
+# embeds the expected parse result, so this query checks parser + join.
+_OBO_MESH_XREF = [
+    ("MESH:D003", "DOID:162"),
+    ("MESH:D003", "DOID:1816"),
+    ("MESH:D004", "DOID:1816"),
+    ("MESH:D006394", "DOID:1816"),
+    ("MESH:D008659", "DOID:14667"),
+]
+
+
 @register(
     "norm_disease_doid",
     _SQL_ANN
     + f"""
-, xref(mesh, doid) AS (VALUES {", ".join(f"('{m}', '{d}')" for m, d in DOID_XREF)})
+, xref(mesh, doid) AS (VALUES {", ".join(f"('{m}', '{d}')" for m, d in _OBO_MESH_XREF)})
 SELECT a.pubmed_id, x.doid AS entity_id, a.mention, a.start_offset, a.end_offset
 FROM ann a
 JOIN xref x ON x.mesh = string_split(a.concept_id, ';')[1]
@@ -170,7 +181,9 @@ WHERE a.entity_type IS NOT NULL AND a.entity_type LIKE '%Disease%'
 """,
 )
 def norm_disease_doid(spark, sf_dir):
-    xref = spark.createDataFrame(DOID_XREF, "mesh string, doid string")
+    from .sources import obo
+
+    xref = obo.mesh_to_doid(obo.parse_obo(spark))
     return _shaped(N.extract_disease(_ann_df(spark), xref))
 
 
@@ -256,3 +269,49 @@ def norm_hgvs_doid(spark, sf_dir):
         canonicalize_hgvs(F.col("id")).alias("hgvs_key"),
         clean_doid(F.col("doid")).alias("doid_clean"),
     )
+
+
+# --- S7: OBO ontology parse + hierarchy (sources/obo.py) -----------------
+# The oracle is the EXPECTED parse+path result of the checked-in
+# mini_doid.obo fixture as literals — the Spark side actually scans and
+# parses the file and derives root->parent paths iteratively, so a
+# regression anywhere in stanza split / field extraction / id
+# normalization / synonym filtering / path propagation breaks the hash.
+
+_OBO_EXPECTED = """
+(  'DOID:14566', 'DOID:14566', 'disease of cellular proliferation', NULL,
+   'DOID:4', NULL, '', 'DOID:4#'),
+(  'DOID:14667', 'DOID:14667', 'disease of metabolism', NULL,
+   'DOID:4', 'MESH:D008659', '', 'DOID:4#'),
+(  'DOID:162', 'DOID:162', 'cancer', 'DOID:50686#',
+   'DOID:14566', 'MESH:D003', 'malignant neoplasm;malignant tumor',
+   'DOID:4#>DOID:14566#'),
+(  'DOID:1816', 'DOID:1816', 'angiosarcoma', 'DOID:2123#',
+   'DOID:162;DOID:60100', 'MESH:D003;MESH:D004;MESH:D006394',
+   'hemangiosarcoma',
+   'DOID:4#>DOID:14566#>DOID:162#;DOID:4#>DOID:14566#>DOID:162#>DOID:60100#'),
+(  'DOID:4', 'DOID:4', 'disease', NULL, NULL, NULL, '', NULL),
+(  'DOID:60100', 'DOID:60100', 'musculoskeletal system cancer', NULL,
+   'DOID:162', NULL, '', 'DOID:4#>DOID:14566#>DOID:162#'),
+(  'DOID:7', 'DOID:7', 'disease of anatomical entity', NULL,
+   'DOID:4', NULL, '', 'DOID:4#'),
+(  'DOID:9999', 'DOID:9999', 'orphan term', NULL,
+   'DOID:12345', NULL, '', '')
+"""
+
+
+@register(
+    "obo_ontology",
+    f"""
+SELECT * FROM (VALUES {_OBO_EXPECTED})
+AS t(id, doid, name, alternative_ids, parent_ids, mesh_terms, synonyms,
+     parent_paths)
+""",
+)
+def obo_ontology(spark, sf_dir):
+    """OBO parse (S7) + memoized parent-path derivation, exported in
+    the reference's ontology_tsv encoding (disease_ontology.py:143-149,
+    :151-225 parse, :227-271 paths)."""
+    from .sources import obo
+
+    return obo.reference_tsv_frame(obo.with_parent_paths(obo.parse_obo(spark)))

@@ -1,0 +1,137 @@
+"""OBO ontology source (S7) + word2vec-format export (M2 compat):
+parse semantics vs the reference's disease_ontology.py, hierarchy
+derivation, and byte-level embedding interchange."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bio_re_with_entity_embeddings_spark.sources import obo, word2vec
+
+
+@pytest.fixture(scope="module")
+def terms(spark):
+    return obo.parse_obo(spark).cache()
+
+
+@pytest.fixture(scope="module")
+def terms_pp(spark, terms):
+    return obo.with_parent_paths(terms).cache()
+
+
+def test_parse_fields(terms):
+    t = {r["doid"]: r for r in terms.collect()}
+    # zero-stripping id normalization (clean_id parity)
+    assert "DOID:1816" in t and "DOID:0001816" not in t
+    assert t["DOID:162"]["alt_ids"] == ["DOID:50686"]
+    # names + synonyms lowercased; only well-formed EXACT [] synonyms
+    assert t["DOID:162"]["name"] == "cancer"
+    assert t["DOID:162"]["synonyms"] == ["malignant neoplasm", "malignant tumor"]
+    # MESH xrefs only (NCI dropped), sorted
+    assert t["DOID:1816"]["mesh_terms"] == ["MESH:D003", "MESH:D004", "MESH:D006394"]
+    # is_a comment stripped + id-normalized, multi-parent kept
+    assert t["DOID:1816"]["parent_ids"] == ["DOID:162", "DOID:60100"]
+    # [Typedef] excluded; final [Term] stanza INCLUDED (divergence from
+    # the reference's flush-on-next-stanza, documented in sources/obo.py)
+    assert "DOID:has_material_basis_in" not in t
+    assert "DOID:14667" in t
+
+
+def test_parent_paths(terms_pp):
+    pp = {r["doid"]: r["parent_paths"] for r in terms_pp.collect()}
+    assert pp["DOID:4"] is None  # root: no parents -> NULL
+    assert pp["DOID:7"] == "DOID:4#"
+    assert pp["DOID:162"] == "DOID:4#>DOID:14566#"
+    # diamond: one chain per distinct parent path, sorted, ';'-joined
+    assert pp["DOID:1816"] == (
+        "DOID:4#>DOID:14566#>DOID:162#;"
+        "DOID:4#>DOID:14566#>DOID:162#>DOID:60100#"
+    )
+    # parent missing from the file -> empty-string contribution
+    assert pp["DOID:9999"] == ""
+
+
+def test_term_paths_and_prefixes(terms_pp):
+    paths = {
+        (r["doid"], r["path"]) for r in obo.term_paths(terms_pp).collect()
+    }
+    assert ("DOID:1816", "DOID:4#>DOID:14566#>DOID:162#>DOID:1816#") in paths
+    assert ("DOID:1816", "DOID:4#>DOID:14566#>DOID:162#>DOID:60100#>DOID:1816#") in paths
+    assert ("DOID:9999", "DOID:9999#") in paths  # missing parent -> own root
+    assert not any(d == "DOID:4" for d, _ in paths)  # parentless: none
+
+    pref = {
+        r["prefix"]
+        for r in obo.path_prefixes(terms_pp).where(F.col("doid") == "DOID:162").collect()
+    }
+    assert pref == {
+        "DOID:4#",
+        "DOID:4#>DOID:14566#",
+        "DOID:4#>DOID:14566#>DOID:162#",
+    }
+    true_only = {
+        r["prefix"]
+        for r in obo.path_prefixes(terms_pp, only_true_prefixes=True)
+        .where(F.col("doid") == "DOID:162")
+        .collect()
+    }
+    assert true_only == {"DOID:4#", "DOID:4#>DOID:14566#"}
+    # parentless term yields its own marker
+    root_pref = {
+        r["prefix"]
+        for r in obo.path_prefixes(terms_pp).where(F.col("doid") == "DOID:4").collect()
+    }
+    assert root_pref == {"DOID:4#"}
+
+
+def test_lookup_maps(terms):
+    mesh = {
+        (r["mesh"], r["doid"]) for r in obo.mesh_to_doid(terms).collect()
+    }
+    assert ("MESH:D003", "DOID:162") in mesh and ("MESH:D003", "DOID:1816") in mesh
+    surf = {r["surface"]: r["doid"] for r in obo.surface_to_doid(terms).collect()}
+    assert surf["cancer"] == "DOID:162"
+    assert surf["hemangiosarcoma"] == "DOID:1816"
+    assert "primary cancer" not in surf  # RELATED synonym filtered
+
+
+def test_word2vec_roundtrip_binary_and_text(spark, tmp_path):
+    emb = spark.createDataFrame(
+        [("rs113488022", [0.5, -1.25, 3.0]), ("MESH:D003", [1.0, 2.0, -0.125])],
+        "entity_id string, embedding array<float>",
+    )
+    for binary in (True, False):
+        p = str(tmp_path / f"vecs_{binary}.bin")
+        n = word2vec.save_word2vec_format(emb, p, binary=binary)
+        assert n == 2
+        back = {
+            r["entity_id"]: r["embedding"]
+            for r in word2vec.load_word2vec_format(spark, p, binary=binary).collect()
+        }
+        assert set(back) == {"rs113488022", "MESH:D003"}
+        np.testing.assert_array_equal(
+            np.asarray(back["rs113488022"], dtype=np.float32),
+            np.asarray([0.5, -1.25, 3.0], dtype=np.float32),
+        )
+
+
+def test_word2vec_binary_layout(spark, tmp_path):
+    """Byte-exact header + '<tag> ' + little-endian float32 payload —
+    the layout KeyedVectors.load_word2vec_format(binary=True) reads."""
+    emb = spark.createDataFrame(
+        [("a", [1.0, 2.0])], "entity_id string, embedding array<float>"
+    )
+    p = str(tmp_path / "layout.bin")
+    word2vec.save_word2vec_format(emb, p)
+    raw = open(p, "rb").read()
+    assert raw == b"1 2\na " + np.asarray([1.0, 2.0], dtype="<f4").tobytes()
+
+
+def test_word2vec_rejects_spacey_tags(spark, tmp_path):
+    emb = spark.createDataFrame(
+        [("bad tag", [1.0])], "entity_id string, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="whitespace"):
+        word2vec.save_word2vec_format(emb, str(tmp_path / "x.bin"))
