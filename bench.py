@@ -37,6 +37,7 @@ HEADLINE_QUERIES = [
     "dedup_minhash",
     "dedup_exact",
     "sim_topk_matmul",
+    "sim_ann_lsh",
     "text_stats",
 ]
 
@@ -108,11 +109,46 @@ def main() -> None:
     spark.catalog.clearCache()
     timings["kg_pipeline"] = round(wall, 3)
 
+    if os.environ.get("SPARK_GRAFT_SKIP_HEADLINE"):
+        # scaling runs measure kg_pipeline throughput only — the
+        # fixed-cost headline queries would just dilute wall-clock.
+        result = {
+            "metric": "kg_pipeline_wall",
+            "value": timings["kg_pipeline"],
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "master": f"local[{cpus}]",
+            "shuffle_partitions": shuffle,
+            "files": n_files,
+            "triples": n_triples,
+            "triples_per_sec": round(n_triples / timings["kg_pipeline"], 1),
+            "files_per_sec": round(n_files / timings["kg_pipeline"], 1),
+        }
+        print(json.dumps(result))
+        spark.stop()
+        return
+
     qs = entrymod.queries()
     for name in HEADLINE_QUERIES:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # The contract dedup_minhash runs the md5 hash_mode (the
+        # DuckDB-checkable oracle variant; an md5 per (gram, seed) is
+        # ~2x the xxhash64 signature cost) — record it under its own
+        # name; "dedup_minhash" stays the PRODUCTION xxhash64 mode,
+        # comparable round-over-round.
+        key = "dedup_minhash_md5_oracle" if name == "dedup_minhash" else name
+        timings[key] = round(time.perf_counter() - t0, 3)
+
+    from bio_re_with_entity_embeddings_spark.contract_text import _docs_with_dups
+    from bio_re_with_entity_embeddings_spark.operators import dedup as DD
+
+    t0 = time.perf_counter()
+    DD.minhash_near_duplicates(
+        _docs_with_dups(spark, sf_dir), "doc_id", "text", threshold=0.5
+    ).count()
+    timings["dedup_minhash"] = round(time.perf_counter() - t0, 3)
 
     result = {
         "metric": "kg_pipeline_wall",

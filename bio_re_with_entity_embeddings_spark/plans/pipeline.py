@@ -71,6 +71,15 @@ class PipelineConfig:
     # walls at 64MB). Session-scoped knob, surfaced here instead of
     # mutated silently; None leaves the session conf untouched.
     advisory_partition_bytes: str | None = "16m"
+    # Scale path: repartition the detector output by dk BEFORE the
+    # persist so the cached table carries HashPartitioning(dk) and the
+    # fused self-join plans ZERO exchanges (one exchange at cache time
+    # instead of two at join time — on a multi-executor cluster that
+    # halves the NETWORK bytes of the widest stage; set True there).
+    # Default False for local mode: measured a wash on one box (the
+    # shuffles are memory-local) and the exchange-free join forfeits
+    # AQE's coalesce/skew freedom on that stage.
+    prepartition_by_dk: bool = False
 
     def predicate(self, src_t: str, tgt_t: str) -> str:
         if self.predicates and (src_t, tgt_t) in self.predicates:
@@ -200,39 +209,69 @@ def _build_scale(
     ents = mentions_op.detect_entity_sets(
         docs, dict_entries, entity_idx, type_codes
     )
-    # 128-bit doc key (two independently-seeded xxhash64 longs): at the
-    # advertised 10^12-doc scale a single 64-bit key expects ~27k
-    # birthday collisions (silently merging distinct docs and inflating
-    # co-occurrence counts); at 128 bits the expectation is ~3e-15.
-    # Still fixed-width ints — shuffled key bytes go 8->16, far below
-    # the 6x saving vs sha-256 strings that motivated the encoding.
+    # 128-bit doc identity, 64-bit join key: at the advertised 10^12-doc
+    # scale a single 64-bit key expects ~27k birthday collisions
+    # (silently merging distinct docs and fabricating cross-doc pairs).
+    # Widening the JOIN KEY to two longs fixes that but measured ~2x on
+    # the fused self-join (the hash table keys double). Instead the
+    # second hash rides as PAYLOAD: the join hashes/probes the 8-byte
+    # dk only, and a post-join xor filter (cheap codegen) drops exactly
+    # the rows a dk collision would have fabricated. Residual risk is a
+    # 128-bit double collision (~1e-15 at 10^12 docs).
+    # (eid, tc) ride PACKED in one int (eid<2^23 asserted, tc<2^8) —
+    # the join input is the widest shuffle of the pipeline; every
+    # payload byte through it is paid twice (both sides).
+    assert len(entity_idx) < (1 << 23), "entity_idx must fit 23 bits"
     ents = ents.select(
         F.xxhash64("doc_id").alias("dk"),
         F.xxhash64("doc_id", F.lit(1)).alias("dk2"),
-        F.col("entity_idx").alias("eid"),
-        F.col("type_code").alias("tc"),
-    ).persist(StorageLevel.DISK_ONLY)
+        (F.col("entity_idx") * 256 + F.col("type_code")).alias("et"),
+    )
+    if cfg.prepartition_by_dk:
+        # Cached HashPartitioning(dk) is inherited by BOTH (alias-only)
+        # projections of the self-join, so the join plans zero
+        # additional exchanges (see PipelineConfig.prepartition_by_dk).
+        ents = ents.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "dk"
+        )
+    ents = ents.persist(StorageLevel.DISK_ONLY)
     if cfg.eager_cache:
         ents.count()
 
     # ONE self-join + ONE aggregate covers every relation; every key is
     # fixed-width (long/int), relation filtering is int arithmetic.
     a = ents.select(
-        "dk", "dk2", F.col("eid").alias("subj"), F.col("tc").alias("stc")
+        "dk", F.col("dk2").alias("dk2a"), F.col("et").alias("eta")
     )
     b = ents.select(
-        "dk", "dk2", F.col("eid").alias("obj"), F.col("tc").alias("ttc")
+        "dk", F.col("dk2").alias("dk2b"), F.col("et").alias("etb")
     )
     if cfg.salt_buckets and cfg.salt_buckets > 1:
         a = a.withColumn(
-            "salt", F.pmod(F.xxhash64("subj"), F.lit(cfg.salt_buckets)).cast("int")
+            "salt", F.pmod(F.xxhash64("eta"), F.lit(cfg.salt_buckets)).cast("int")
         )
         b = b.withColumn(
             "salt", F.explode(F.sequence(F.lit(0), F.lit(cfg.salt_buckets - 1)))
         )
-        joined = a.join(b, ["dk", "dk2", "salt"]).drop("salt")
+        joined = a.join(b, ["dk", "salt"]).drop("salt")
     else:
-        joined = a.join(b, ["dk", "dk2"])
+        joined = a.join(b, "dk")
+    # xor==0 (not dk2a == dk2b): a plain equality here gets extracted
+    # by Catalyst as a SECOND join equi-key, which re-widens the join
+    # hash to 16 bytes — measured ~13% on the fused join at local[8].
+    # The xor form stays a post-join filter: hash/probe on the 8-byte
+    # dk, collision rows (rare) eliminated right after.
+    joined = (
+        joined.where(F.col("dk2a").bitwiseXOR(F.col("dk2b")) == 0)
+        .select(
+            "dk",
+            F.col("dk2a").alias("dk2"),
+            F.shiftright("eta", 8).alias("subj"),
+            F.shiftright("etb", 8).alias("obj"),
+            F.col("eta").bitwiseAND(F.lit(255)).alias("stc"),
+            F.col("etb").bitwiseAND(F.lit(255)).alias("ttc"),
+        )
+    )
 
     rel_code = (F.col("stc") * 256 + F.col("ttc")).alias("rc")
     wanted_codes = [
@@ -290,13 +329,14 @@ def _build_scale(
     # Evidence edges (the pair->doc table) keep the hashed doc key
     # pair; join back to docs on (xxhash64(doc_id), xxhash64(doc_id,1))
     # when lineage is needed.
+    eid = F.shiftright("et", 8)
     return {
         "docs": docs,
         "mentions": ents,
         "doc2entity": ents.groupBy("dk", "dk2").agg(
-            F.sort_array(F.collect_set("eid")).alias("entity_ids")
+            F.sort_array(F.collect_set(eid)).alias("entity_ids")
         ),
-        "entity2doc": ents.groupBy("eid").agg(
+        "entity2doc": ents.groupBy(eid.alias("eid")).agg(
             F.count(F.lit(1)).alias("n_docs")
         ),
         "pairs": pairs.select(
