@@ -552,3 +552,31 @@ def kg_pipeline_canonical(spark, sf_dir):
     the exact shared surface (identical shingle sets -> LSH recall 1),
     so the recursive-CC SQL restatement is exact, not approximate."""
     return _run_doc_pipeline(spark, sf_dir, canonicalize=True)
+
+
+# --- multimodal: real PPM decode cross-checked against the synthesis ---
+
+
+@register(
+    "mm_image_dims",
+    """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(8 + doc_id % 9 AS INT) AS width,
+       CAST(6 + doc_id % 5 AS INT) AS height,
+       3 AS n_channels
+FROM documents WHERE doc_id % 3 = 0
+""",
+)
+def mm_image_dims(spark, sf_dir):
+    """Binary-column image decode (pure-NumPy P6 parser inside
+    mapInPandas): dimensions extracted from REAL payload bytes must
+    equal the synthesis formula the oracle recomputes arithmetically —
+    a genuine header-parse check, not a tautology (the Spark side never
+    sees the formula, only the bytes)."""
+    from .operators import multimodal as MM
+
+    docs = _load(spark, sf_dir, "documents")
+    media = MM.synth_media(docs)
+    return MM.decode_image_features(media).select(
+        "media_id", "width", "height", "n_channels"
+    )

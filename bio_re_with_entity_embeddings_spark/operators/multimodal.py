@@ -1,20 +1,35 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary
-columns with typed metadata, processed in Arrow batches.
+"""Multimodal columns: image/audio/video as opaque binary columns with
+typed metadata, processed in Arrow batches.
 
-The decode step itself is STUBBED (no image/audio libraries in this
-environment): ``decode_image_features`` raises ``NotImplementedError``
-unless ``fake=True``, in which case a deterministic fake decoder
-derives (width, height, n_channels) from the payload bytes. Everything
-Spark-side — schema, partitioning, ``mapInPandas`` batch shape, UDF
-signatures — is real and tested, so swapping in PIL/ffmpeg is a
-one-function change.
+The decode step is REAL for the uncompressed container formats that
+need no external library — decoded with struct/NumPy only:
+
+* PPM/PGM (``P6``/``P5``) and uncompressed 24/32-bit BMP images —
+  dimensions, channels, mean intensity, and an 8x8 grayscale thumbnail
+  embedding (``array<float>``) that feeds the similarity operators
+  (``operators/similarity.py``) like any other embedding column.
+* PCM16 WAV audio — sample rate, channels, duration, RMS amplitude.
+* video: modeled as a frame-indexed expansion plan (native explode)
+  over per-frame payloads, each frame an image decode.
+
+Compressed codecs (JPEG/PNG/FLAC/MP4...) are detected by magic number
+and rejected with ``NotImplementedError`` naming the format — the ONLY
+stubbed branch, because their decoders aren't in this environment; the
+dispatch, schema, partitioning, and Arrow batch shape are identical,
+so adding PIL/ffmpeg is one branch per codec.
+
+Everything runs in ``mapInPandas`` iterators: no per-row Python crosses
+the JVM boundary, payload bytes stay in Arrow buffers, and the decode
+parallelizes with partitions exactly like the mention detector.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -32,56 +47,174 @@ MEDIA = T.StructType(
 IMAGE_FEATURES = T.StructType(
     [
         T.StructField("media_id", T.StringType(), False),
+        T.StructField("format", T.StringType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("mean_intensity", T.DoubleType(), True),
+        T.StructField("thumbnail", T.ArrayType(T.FloatType()), True),
         T.StructField("payload_sha", T.StringType(), False),
         T.StructField("n_bytes", T.LongType(), False),
     ]
 )
 
+AUDIO_FEATURES = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("payload_sha", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
 
-def media_from_documents(docs: DataFrame) -> DataFrame:
-    """Synthesize a deterministic media table from a text table (the
-    fixture path: payload = utf-8 bytes of text)."""
-    return docs.select(
-        F.col("doc_id").cast("string").alias("media_id"),
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.pmod(F.col("doc_id").cast("long"), F.lit(3)) + 1).cast("int"),
-        ).alias("modality"),
-        F.encode("text", "utf-8").alias("payload"),
-        F.lit("application/octet-stream").alias("mime"),
-    )
+_COMPRESSED_MAGICS = [
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"\x89PNG", "png"),
+    (b"GIF8", "gif"),
+    (b"fLaC", "flac"),
+    (b"\x00\x00\x00\x18ftyp", "mp4"),
+    (b"\x00\x00\x00\x20ftyp", "mp4"),
+]
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, int]:
-    h = hashlib.sha256(payload).digest()
-    return (h[0] + 1) * 8, (h[1] + 1) * 8, (h[2] % 3) + 1
+def _reject_compressed(raw: bytes) -> None:
+    for magic, name in _COMPRESSED_MAGICS:
+        if raw.startswith(magic):
+            raise NotImplementedError(
+                f"{name} decode needs a codec library (not in this env); "
+                "uncompressed PPM/PGM/BMP/WAV are decoded natively"
+            )
 
 
-def decode_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
-    """Arrow-batched decode -> IMAGE_FEATURES rows. Real decode needs
-    an image library (absent here); the pipeline shape is identical."""
+def decode_image(raw: bytes) -> tuple[str, np.ndarray]:
+    """(format, HxWxC uint8 array) for PPM (P6), PGM (P5), and
+    uncompressed 24/32-bit BMP payloads."""
+    _reject_compressed(raw)
+    if raw[:2] in (b"P6", b"P5"):
+        return _decode_pnm(raw)
+    if raw[:2] == b"BM":
+        return _decode_bmp(raw)
+    raise ValueError(f"unrecognized image container: {raw[:8]!r}")
+
+
+def _decode_pnm(raw: bytes) -> tuple[str, np.ndarray]:
+    # header: magic, whitespace/comment-separated width height maxval
+    fields: list[bytes] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(raw) and raw[i : i + 1].isspace():
+            i += 1
+        if raw[i : i + 1] == b"#":  # comment to EOL
+            while i < len(raw) and raw[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(raw) and not raw[j : j + 1].isspace():
+            j += 1
+        fields.append(raw[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = (int(x) for x in fields)
+    if maxval > 255:
+        raise ValueError("16-bit PNM not supported")
+    channels = 3 if raw[:2] == b"P6" else 1
+    px = np.frombuffer(raw, dtype=np.uint8, count=w * h * channels, offset=i)
+    return ("ppm" if channels == 3 else "pgm"), px.reshape(h, w, channels)
+
+
+def _decode_bmp(raw: bytes) -> tuple[str, np.ndarray]:
+    data_offset = struct.unpack_from("<I", raw, 10)[0]
+    hdr_size = struct.unpack_from("<I", raw, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("pre-BITMAPINFOHEADER BMP not supported")
+    w, h = struct.unpack_from("<ii", raw, 18)
+    planes, bpp = struct.unpack_from("<HH", raw, 26)
+    compression = struct.unpack_from("<I", raw, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    nch = bpp // 8
+    flipped = h > 0
+    h = abs(h)
+    row_bytes = (w * nch + 3) & ~3  # rows padded to 4 bytes
+    rows = np.frombuffer(
+        raw, dtype=np.uint8, count=row_bytes * h, offset=data_offset
+    ).reshape(h, row_bytes)[:, : w * nch]
+    img = rows.reshape(h, w, nch)[:, :, ::-1]  # BGR(A) -> (A)RGB
+    if flipped:
+        img = img[::-1]
+    if nch == 4:
+        img = img[:, :, 1:]  # drop alpha (stored first after reverse)
+    return "bmp", np.ascontiguousarray(img)
+
+
+def decode_wav(raw: bytes) -> tuple[int, int, np.ndarray]:
+    """(sample_rate, n_channels, samples float64 in [-1, 1]) for
+    PCM16 RIFF/WAVE payloads."""
+    _reject_compressed(raw)
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i = 12
+    fmt = None
+    while i + 8 <= len(raw):
+        chunk_id = raw[i : i + 4]
+        size = struct.unpack_from("<I", raw, i + 4)[0]
+        body = i + 8
+        if chunk_id == b"fmt ":
+            audio_fmt, nch, rate = struct.unpack_from("<HHI", raw, body)
+            bits = struct.unpack_from("<H", raw, body + 14)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"WAV format={audio_fmt} bits={bits}; only PCM16 here"
+                )
+            fmt = (rate, nch)
+        elif chunk_id == b"data" and fmt is not None:
+            pcm = np.frombuffer(raw, dtype="<i2", count=size // 2, offset=body)
+            rate, nch = fmt
+            return rate, nch, pcm.astype(np.float64) / 32768.0
+        i = body + size + (size & 1)
+    raise ValueError("WAV data chunk not found")
+
+
+def _thumbnail(img: np.ndarray, side: int = 8) -> np.ndarray:
+    """8x8 grayscale thumbnail embedding via block averaging (area
+    interpolation) — the classic perceptual-hash feature; returned as
+    float32 in [0, 1] for the cosine/LSH similarity operators."""
+    gray = img.mean(axis=2, dtype=np.float64)
+    h, w = gray.shape
+    ys = (np.arange(side + 1) * h) // side
+    xs = (np.arange(side + 1) * w) // side
+    out = np.empty((side, side), dtype=np.float64)
+    for r in range(side):
+        for c in range(side):
+            block = gray[ys[r] : max(ys[r + 1], ys[r] + 1),
+                         xs[c] : max(xs[c + 1], xs[c] + 1)]
+            out[r, c] = block.mean()
+    return (out / 255.0).astype(np.float32).ravel()
+
+
+def decode_image_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched image decode -> IMAGE_FEATURES rows (dims,
+    channels, mean intensity, thumbnail embedding, lineage sha)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for media_id, payload in zip(pdf["media_id"].values, pdf["payload"].values):
                 raw = bytes(payload)
-                if fake:
-                    w, h, c = _fake_decode(raw)
-                else:
-                    raise NotImplementedError(
-                        "real image decode requires PIL/opencv (not in this env); "
-                        "pass fake=True for the deterministic stub"
-                    )
+                fmt, img = decode_image(raw)
                 out.append(
                     (
                         media_id,
-                        w,
-                        h,
-                        c,
+                        fmt,
+                        int(img.shape[1]),
+                        int(img.shape[0]),
+                        int(img.shape[2]),
+                        float(img.mean(dtype=np.float64)),
+                        _thumbnail(img).tolist(),
                         hashlib.sha256(raw).hexdigest(),
                         len(raw),
                     )
@@ -89,8 +222,8 @@ def decode_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
             yield pd.DataFrame(
                 out,
                 columns=[
-                    "media_id", "width", "height", "n_channels",
-                    "payload_sha", "n_bytes",
+                    "media_id", "format", "width", "height", "n_channels",
+                    "mean_intensity", "thumbnail", "payload_sha", "n_bytes",
                 ],
             )
 
@@ -99,11 +232,43 @@ def decode_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
     ).mapInPandas(run, IMAGE_FEATURES)
 
 
+def decode_audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched WAV decode -> AUDIO_FEATURES rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"].values, pdf["payload"].values):
+                raw = bytes(payload)
+                rate, nch, samples = decode_wav(raw)
+                n = len(samples) // max(nch, 1)
+                rms = float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0
+                out.append(
+                    (
+                        media_id, rate, nch, n,
+                        n / rate if rate else None, rms,
+                        hashlib.sha256(raw).hexdigest(), len(raw),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_rate", "n_channels", "n_samples",
+                    "duration_s", "rms", "payload_sha", "n_bytes",
+                ],
+            )
+
+    return media.where(F.col("modality") == "audio").select(
+        "media_id", "payload"
+    ).mapInPandas(run, AUDIO_FEATURES)
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling PLAN: expands (video, n_frames-metadata)
-    into (media_id, frame_idx) rows natively; the per-frame decode UDF
-    slots in after (stubbed like decode_image_features). n_frames is
-    derived deterministically from payload size here."""
+    into (media_id, frame_idx) rows natively; the per-frame payload
+    decode slots in as decode_image_features over the frame table.
+    n_frames is derived from payload size here (container parsing for
+    real codecs would replace this expression only)."""
     vids = media.where(F.col("modality") == "video").select(
         "media_id", (F.length("payload") / 16).cast("int").alias("n_frames")
     )
@@ -117,3 +282,51 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
             )
         ).alias("frame_idx"),
     )
+
+
+# --- deterministic REAL-payload fixture generation (executor-side) -------
+
+
+def synth_media(docs: DataFrame) -> DataFrame:
+    """Deterministic media table with REAL container payloads derived
+    from each doc_id: PPM images (doc_id % 3 == 0), PCM16 WAVs
+    (== 1), synthetic 'video' frame stacks (== 2). Generation happens
+    inside mapInPandas — no driver materialization."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"].values:
+                did = int(doc_id)
+                if did % 3 == 0:
+                    out.append((str(did), "image", synth_ppm(did), "image/x-portable-pixmap"))
+                elif did % 3 == 1:
+                    out.append((str(did), "audio", synth_wav(did), "audio/wav"))
+                else:
+                    payload = hashlib.sha256(str(did).encode()).digest() * ((did % 7) + 4)
+                    out.append((str(did), "video", payload, "application/octet-stream"))
+            yield pd.DataFrame(out, columns=["media_id", "modality", "payload", "mime"])
+
+    return docs.select(F.col("doc_id").cast("long").alias("doc_id")).mapInPandas(
+        run, MEDIA
+    )
+
+
+def synth_ppm(seed: int) -> bytes:
+    """Deterministic little P6 image: width/height from the seed,
+    gradient + seed-hash pixels."""
+    w, h = 8 + (seed % 9), 6 + (seed % 5)
+    rng = np.random.RandomState(seed & 0x7FFFFFFF)
+    px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return b"P6\n# synth\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def synth_wav(seed: int, rate: int = 8000, n: int = 1600) -> bytes:
+    """Deterministic PCM16 WAV: one sine period count from the seed."""
+    t = np.arange(n, dtype=np.float64)
+    freq = 100.0 + (seed % 50) * 10.0
+    samples = (np.sin(2 * np.pi * freq * t / rate) * 12000).astype("<i2")
+    data = samples.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data

@@ -139,35 +139,106 @@ def test_streaming_incremental_mentions(spark, tmp_path):
     assert sum(got) == batch_n
 
 
-def test_multimodal_decode_stub(spark):
+def test_multimodal_real_ppm_decode(spark):
+    import numpy as np
+
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    media = MM.media_from_documents(docs)
+    media = MM.synth_media(docs)
     assert [(f.name, f.dataType) for f in media.schema.fields] == [
         (f.name, f.dataType) for f in MM.MEDIA.fields
     ]
-    feats = MM.decode_image_features(media, fake=True).toPandas()
+    feats = MM.decode_image_features(media).toPandas()
     n_images = media.where(F.col("modality") == "image").count()
     assert len(feats) == n_images and n_images > 0
-    assert (feats["width"] % 8 == 0).all() and feats["n_channels"].isin([1, 2, 3]).all()
+    # dims follow the synth_ppm formula exactly
+    for r in feats.itertuples():
+        seed = int(r.media_id)
+        assert (r.width, r.height, r.n_channels) == (8 + seed % 9, 6 + seed % 5, 3)
+        assert len(r.thumbnail) == 64
+        assert all(0.0 <= float(v) <= 1.0 for v in r.thumbnail)
+    # mean intensity matches an independent NumPy decode of the payload
+    seed = int(feats["media_id"].iloc[0])
+    _, img = MM.decode_image(MM.synth_ppm(seed))
+    got = float(feats.set_index("media_id").loc[str(seed), "mean_intensity"])
+    assert got == pytest.approx(float(img.mean()), abs=1e-9)
     # deterministic: same payload -> same features
-    feats2 = MM.decode_image_features(media, fake=True).toPandas()
-    assert feats.sort_values("media_id").reset_index(drop=True).equals(
-        feats2.sort_values("media_id").reset_index(drop=True)
+    feats2 = MM.decode_image_features(media).toPandas()
+    assert feats.sort_values("media_id")["payload_sha"].tolist() == (
+        feats2.sort_values("media_id")["payload_sha"].tolist()
     )
 
 
-def test_multimodal_real_decode_raises(spark):
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(3)
-    media = MM.media_from_documents(docs)
+def test_multimodal_bmp_decode_roundtrip():
+    """24-bit BMP with row padding decodes to the exact pixels."""
+    import struct as st
+
+    import numpy as np
+
+    px = np.arange(3 * 2 * 3, dtype=np.uint8).reshape(2, 3, 3)  # h=2 w=3
+    row_bytes = (3 * 3 + 3) & ~3  # 12 (9 + 3 padding)
+    body = b""
+    for row in px[::-1]:  # bottom-up storage
+        body += row[:, ::-1].tobytes() + b"\x00" * (row_bytes - 9)
+    hdr = (
+        b"BM"
+        + st.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + st.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, len(body), 0, 0, 0, 0)
+    )
+    fmt, img = MM.decode_image(hdr + body)
+    assert fmt == "bmp"
+    np.testing.assert_array_equal(img, px)
+
+
+def test_multimodal_audio_decode(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = MM.synth_media(docs)
+    feats = MM.decode_audio_features(media).toPandas()
+    n_audio = media.where(F.col("modality") == "audio").count()
+    assert len(feats) == n_audio and n_audio > 0
+    assert (feats["sample_rate"] == 8000).all()
+    assert (feats["n_channels"] == 1).all()
+    assert (feats["n_samples"] == 1600).all()
+    assert feats["duration_s"].sub(0.2).abs().lt(1e-9).all()
+    # full sine periods -> RMS == amplitude/sqrt(2) within quantization
+    import numpy as np
+
+    assert feats["rms"].between(0.25, 0.27).all(), feats["rms"].describe()
+    amp = 12000 / 32768.0
+    assert feats["rms"].iloc[0] == pytest.approx(amp / np.sqrt(2), rel=2e-2)
+
+
+def test_multimodal_compressed_formats_rejected(spark):
+    media = spark.createDataFrame(
+        [("j1", "image", bytearray(b"\xff\xd8\xff\xe0" + b"x" * 64), "image/jpeg")],
+        MM.MEDIA,
+    )
     with pytest.raises(Exception) as exc:
-        MM.decode_image_features(media, fake=False).count()
-    assert "NotImplementedError" in str(exc.value) or "real image decode" in str(exc.value)
+        MM.decode_image_features(media).count()
+    assert "jpeg" in str(exc.value)
 
 
 def test_multimodal_frame_sampling(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    media = MM.media_from_documents(docs)
+    media = MM.synth_media(docs)
     frames = MM.frame_sample_plan(media, every_n=10)
     pdf = frames.toPandas()
     assert (pdf["frame_idx"] % 10 == 0).all()
     assert pdf.groupby("media_id").size().min() >= 1
+
+
+def test_multimodal_thumbnail_feeds_similarity(spark):
+    """The thumbnail column is a first-class embedding: identical
+    images are exact cosine-1 near-dups through the standard operator."""
+    from bio_re_with_entity_embeddings_spark.operators import dedup as DD
+
+    rows = [("1", "image", MM.synth_ppm(7), "x"), ("2", "image", MM.synth_ppm(7), "x"),
+            ("3", "image", MM.synth_ppm(8), "x")]
+    media = spark.createDataFrame(
+        [(a, b, bytearray(c), d) for a, b, c, d in rows], MM.MEDIA
+    )
+    feats = MM.decode_image_features(media).select(
+        F.col("media_id").cast("long").alias("vec_id"),
+        F.col("thumbnail").alias("embedding"),
+    )
+    pairs = DD.embedding_near_duplicates(feats, threshold=0.9999).toPandas()
+    assert {(r.id_a, r.id_b) for r in pairs.itertuples()} == {(1, 2)}
