@@ -1,0 +1,81 @@
+"""PV-DBOW compat trainer (M1/M4): parameter-averaged distributed SGD
+must learn the topic structure of a synthetic tagged corpus, decay its
+learning rate, and be rerun-deterministic."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from bio_re_with_entity_embeddings_spark.ml import doc2vec as D2V
+
+A_WORDS = ["alpha", "apple", "amber", "arrow", "atlas", "azure"]
+B_WORDS = ["bolt", "brick", "bronze", "basalt", "boron", "burlap"]
+
+
+@pytest.fixture(scope="module")
+def tagged(spark):
+    rows = []
+    rng = np.random.RandomState(7)
+    for i in range(60):
+        topic_a = i % 2 == 0
+        words = list(rng.choice(A_WORDS if topic_a else B_WORDS, size=12))
+        tags = [f"A{(i // 2) % 4}"] if topic_a else [f"B{(i // 2) % 4}"]
+        rows.append((tags, [str(w) for w in words]))
+    return spark.createDataFrame(
+        rows, "tags array<string>, words array<string>"
+    ).cache()
+
+
+def _vecs(df):
+    return {r["entity_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in df.collect()}
+
+
+def _cos(a, b):
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_vocab_build(spark, tagged):
+    tags, words, cdf = D2V.build_vocab(tagged, min_count=1)
+    assert set(tags) == {f"A{i}" for i in range(4)} | {f"B{i}" for i in range(4)}
+    assert set(words) <= set(A_WORDS + B_WORDS)
+    assert len(cdf) == len(words) and cdf[-1] == pytest.approx(1.0)
+
+
+def test_learns_topic_clusters(spark, tagged):
+    vecs = _vecs(D2V.train_pv_dbow(tagged, vector_size=16, epochs=8, seed=11))
+    assert set(vecs) == {f"A{i}" for i in range(4)} | {f"B{i}" for i in range(4)}
+    intra = [
+        _cos(vecs[f"A{i}"], vecs[f"A{j}"]) for i in range(4) for j in range(i + 1, 4)
+    ] + [
+        _cos(vecs[f"B{i}"], vecs[f"B{j}"]) for i in range(4) for j in range(i + 1, 4)
+    ]
+    inter = [_cos(vecs[f"A{i}"], vecs[f"B{j}"]) for i in range(4) for j in range(4)]
+    assert np.mean(intra) > np.mean(inter) + 0.15, (np.mean(intra), np.mean(inter))
+    # rank criterion (gensim most_similar analog): every tag's 3
+    # nearest neighbors are its own topic's other tags
+    for t, v in vecs.items():
+        ranked = sorted(
+            (o for o in vecs if o != t), key=lambda o: -_cos(v, vecs[o])
+        )
+        assert all(o[0] == t[0] for o in ranked[:3]), (t, ranked[:3])
+
+
+def test_deterministic_across_runs(spark, tagged):
+    v1 = _vecs(D2V.train_pv_dbow(tagged, vector_size=8, epochs=2, seed=5))
+    v2 = _vecs(D2V.train_pv_dbow(tagged, vector_size=8, epochs=2, seed=5))
+    for k in v1:
+        np.testing.assert_array_equal(v1[k], v2[k])
+
+
+def test_exports_through_word2vec_format(spark, tagged, tmp_path):
+    """Trainer output -> word2vec .bin -> scoring-ready embeddings
+    (the reference's train -> export -> consume loop, end to end)."""
+    from bio_re_with_entity_embeddings_spark.sources import word2vec as W2V
+
+    emb = D2V.train_pv_dbow(tagged, vector_size=8, epochs=2, seed=5)
+    p = str(tmp_path / "doctags.bin")
+    n = W2V.save_word2vec_format(emb, p)
+    assert n == 8
+    back = W2V.load_word2vec_format(spark, p)
+    assert back.count() == 8 and set(back.columns) == {"entity_id", "embedding"}
