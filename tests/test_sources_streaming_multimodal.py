@@ -242,3 +242,51 @@ def test_multimodal_thumbnail_feeds_similarity(spark):
     )
     pairs = DD.embedding_near_duplicates(feats, threshold=0.9999).toPandas()
     assert {(r.id_a, r.id_b) for r in pairs.itertuples()} == {(1, 2)}
+
+
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState exact-dedup: duplicates recognized ACROSS
+    micro-batches via the checkpointed state store (maxFilesPerTrigger=1
+    forces one batch per file)."""
+    from bio_re_with_entity_embeddings_spark.streaming.incremental import (
+        streaming_dedup,
+    )
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    schema = "doc_id string, text string"
+    b1 = spark.createDataFrame(
+        [("1", "the quick fox"), ("2", "unique text two")], schema
+    )
+    b2 = spark.createDataFrame(
+        [("3", "THE  quick   FOX"), ("4", "unique text two"), ("5", "fresh")],
+        schema,
+    )
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        streaming_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["doc_id"]: r for r in spark.sql("SELECT * FROM dedup_stream").collect()}
+    assert len(rows) == 5
+    # doc 3 normalizes to doc 1's fingerprint; doc 4 duplicates doc 2
+    assert not rows["1"]["is_duplicate"] and not rows["2"]["is_duplicate"]
+    assert not rows["5"]["is_duplicate"]
+    assert rows["3"]["is_duplicate"] and rows["3"]["keeper"] == "1"
+    assert rows["4"]["is_duplicate"] and rows["4"]["keeper"] == "2"
+    assert rows["3"]["n_seen"] == 2 and rows["4"]["n_seen"] == 2
