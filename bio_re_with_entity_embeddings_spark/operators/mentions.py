@@ -149,7 +149,10 @@ def detect_mentions(docs: DataFrame, dict_entries: Sequence[tuple[str, str, str]
         import re
 
         pats = bc.value
-        token_re = re.compile(r"[A-Za-z0-9_]+")
+        # tokenize the ONCE-lowered content (boundaries are identical:
+        # a char is word-class iff its lowercase is) — one str.lower()
+        # per doc instead of one per token; spans index the original.
+        token_re = re.compile(r"[a-z0-9_]+")
         cols = ["doc_id", "entity_id", "entity_type", "mention", "begin", "end"]
         get = pats.get
         for pdf in batches:
@@ -157,12 +160,12 @@ def detect_mentions(docs: DataFrame, dict_entries: Sequence[tuple[str, str, str]
             for doc_id, content in zip(pdf["doc_id"].values, pdf["content"].values):
                 if not content:
                     continue
-                for m in token_re.finditer(content):
-                    links = get(m.group().lower())
+                for m in token_re.finditer(content.lower()):
+                    links = get(m.group())
                     if links is None:
                         continue
-                    mention = m.group()
                     begin, end = m.start(), m.end()
+                    mention = content[begin:end]
                     for entity_id, entity_type in links:
                         out.append((doc_id, entity_id, entity_type, mention, begin, end))
             yield pd.DataFrame(out, columns=cols)
@@ -238,7 +241,7 @@ def detect_entity_sets(
         import re
 
         pats = bc.value
-        token_re = re.compile(r"[A-Za-z0-9_]+")
+        findall = re.compile(r"[a-z0-9_]+").findall  # over lowered content
         get = pats.get
         cols = ["doc_id", "entity_idx", "type_code"]
         for pdf in batches:
@@ -247,10 +250,11 @@ def detect_entity_sets(
                 if not content:
                     continue
                 seen: set = set()
-                for m in token_re.finditer(content):
-                    links = get(m.group().lower())
+                update = seen.update
+                for tok in findall(content.lower()):
+                    links = get(tok)
                     if links:
-                        seen.update(links)
+                        update(links)
                 out.extend((doc_id, i, t) for i, t in seen)
             yield pd.DataFrame(out, columns=cols)
 
@@ -277,6 +281,97 @@ def detect_entity_sets(
     runner = run_tokens if all_token_surfaces else run_trie
     return docs.select("doc_id", "content").mapInPandas(
         runner, "doc_id string, entity_idx int, type_code int"
+    )
+
+
+def detect_entity_arrays(
+    docs: DataFrame,
+    dict_entries: Sequence[tuple[str, str, str]],
+    entity_idx: dict[str, int],
+    type_codes: dict[str, int] | None = None,
+    max_entities_per_doc: int = 0,
+) -> DataFrame:
+    """Scale-path detector emitting ONE ROW PER DOC:
+    (doc_id, ets array<int>) with each element ``entity_idx*256 +
+    type_code``, sorted. Feeding pair generation from these arrays
+    (double explode) removes the doc-keyed self-join entirely — the
+    k^2 pair expansion happens map-side in the same stage that scans
+    the cached arrays, so no shuffle precedes the support partials and
+    doc-key hash collisions are structurally impossible (pairs never
+    leave their doc row).
+
+    ``max_entities_per_doc`` > 0 truncates each doc's (sorted) set —
+    the hub-doc bound: one row explodes to at most cap^2 pairs.
+    Matcher choice mirrors ``detect_mentions`` (token probe only for
+    single-word-token surfaces, Aho-Corasick otherwise)."""
+    spark = docs.sparkSession
+    patterns = _patterns_from_entries(dict_entries)
+    if type_codes is None:
+        type_codes = {
+            t: i for i, t in enumerate(sorted({e[2] for e in dict_entries}))
+        }
+    all_token_surfaces = all(
+        s and all(ch in _WORD for ch in s) for s in patterns
+    )
+    compact = {
+        s: [entity_idx[eid] * 256 + type_codes[et] for eid, et in links]
+        for s, links in patterns.items()
+    }
+    bc = spark.sparkContext.broadcast(compact)
+    cap = max_entities_per_doc
+
+    def emit(doc_id, seen: set) -> tuple:
+        ets = sorted(seen)
+        if cap > 0:
+            ets = ets[:cap]
+        return (doc_id, ets)
+
+    def run_tokens(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        pats = bc.value
+        # findall over the ONCE-lowered content beats finditer +
+        # per-token str.lower(): one C pass, no 30M match objects.
+        findall = re.compile(r"[a-z0-9_]+").findall
+        get = pats.get
+        for pdf in batches:
+            out: list[tuple] = []
+            for doc_id, content in zip(pdf["doc_id"].values, pdf["content"].values):
+                if not content:
+                    continue
+                seen: set = set()
+                update = seen.update
+                for tok in findall(content.lower()):
+                    links = get(tok)
+                    if links:
+                        update(links)
+                if seen:
+                    out.append(emit(doc_id, seen))
+            yield pd.DataFrame(out, columns=["doc_id", "ets"])
+
+    def run_trie(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pats = bc.value
+        key = ("arr", id(pats))
+        auto = _AUTOMATON_CACHE.get(key)
+        if auto is None:
+            auto = AhoCorasick({s: [] for s in pats})
+            _AUTOMATON_CACHE.clear()
+            _AUTOMATON_CACHE[key] = auto
+        for pdf in batches:
+            out: list[tuple] = []
+            for doc_id, content in zip(pdf["doc_id"].values, pdf["content"].values):
+                if not content:
+                    continue
+                seen: set = set()
+                for _b, _e, surface in auto.find(content):
+                    seen.update(pats[surface])
+                if seen:
+                    out.append(emit(doc_id, seen))
+            yield pd.DataFrame(out, columns=["doc_id", "ets"])
+
+    runner = run_tokens if all_token_surfaces else run_trie
+    return docs.select("doc_id", "content").mapInPandas(
+        runner, "doc_id string, ets array<int>"
     )
 
 

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -186,12 +186,17 @@ def _build_parity(
 def _build_scale(
     spark, docs, dict_entries, entities, embeddings, cfg
 ) -> dict[str, DataFrame]:
-    idx_dim = entities.withColumn(
-        "idx", F.row_number().over(Window.orderBy("entity_id")).cast("int")
+    # The entity dim is broadcast-sized and must be collected anyway
+    # (the detector's broadcast dict) — enumerate indices driver-side
+    # instead of a single-partition row_number window (one fewer job +
+    # no WindowExec on the critical path).
+    ids = sorted(
+        r["entity_id"] for r in entities.select("entity_id").distinct().collect()
     )
-    entity_idx = {
-        r["entity_id"]: r["idx"] for r in idx_dim.select("entity_id", "idx").collect()
-    }
+    entity_idx = {eid: i + 1 for i, eid in enumerate(ids)}
+    idx_dim = spark.createDataFrame(
+        [(i, eid) for eid, i in entity_idx.items()], "idx int, entity_id string"
+    )
     all_types = sorted({e[2] for e in dict_entries})
     type_codes = {t: i for i, t in enumerate(all_types)}
 
@@ -206,72 +211,32 @@ def _build_scale(
             cfg.advisory_partition_bytes,
         )
 
-    ents = mentions_op.detect_entity_sets(
-        docs, dict_entries, entity_idx, type_codes
-    )
-    # 128-bit doc identity, 64-bit join key: at the advertised 10^12-doc
-    # scale a single 64-bit key expects ~27k birthday collisions
-    # (silently merging distinct docs and fabricating cross-doc pairs).
-    # Widening the JOIN KEY to two longs fixes that but measured ~2x on
-    # the fused self-join (the hash table keys double). Instead the
-    # second hash rides as PAYLOAD: the join hashes/probes the 8-byte
-    # dk only, and a post-join xor filter (cheap codegen) drops exactly
-    # the rows a dk collision would have fabricated. Residual risk is a
-    # 128-bit double collision (~1e-15 at 10^12 docs).
-    # (eid, tc) ride PACKED in one int (eid<2^23 asserted, tc<2^8) —
-    # the join input is the widest shuffle of the pipeline; every
-    # payload byte through it is paid twice (both sides).
+    # ONE detector pass emits a ROW PER DOC with the packed entity set
+    # (et = entity_idx*256 + type_code, sorted; eid<2^23 asserted).
+    # Per-doc arrays make the pair stage shuffle-free (below) and make
+    # doc-key collisions structurally impossible on that path — pairs
+    # never leave their doc row, so no 64-vs-128-bit key tradeoff
+    # exists; the hashed (dk, dk2) pair exists only to key the
+    # doc-level OUTPUT tables (doc2entity / evidence edges).
     assert len(entity_idx) < (1 << 23), "entity_idx must fit 23 bits"
-    ents = ents.select(
+    arrs = mentions_op.detect_entity_arrays(
+        docs, dict_entries, entity_idx, type_codes, cfg.max_entities_per_doc
+    )
+    arrs = arrs.select(
         F.xxhash64("doc_id").alias("dk"),
         F.xxhash64("doc_id", F.lit(1)).alias("dk2"),
-        (F.col("entity_idx") * 256 + F.col("type_code")).alias("et"),
+        "ets",
     )
     if cfg.prepartition_by_dk:
         # Cached HashPartitioning(dk) is inherited by BOTH (alias-only)
-        # projections of the self-join, so the join plans zero
-        # additional exchanges (see PipelineConfig.prepartition_by_dk).
-        ents = ents.repartition(
+        # projections of the join strategy's self-join, so it plans
+        # zero additional exchanges (see PipelineConfig docstring).
+        arrs = arrs.repartition(
             int(spark.conf.get("spark.sql.shuffle.partitions")), "dk"
         )
-    ents = ents.persist(StorageLevel.DISK_ONLY)
+    arrs = arrs.persist(StorageLevel.DISK_ONLY)
     if cfg.eager_cache:
-        ents.count()
-
-    # ONE self-join + ONE aggregate covers every relation; every key is
-    # fixed-width (long/int), relation filtering is int arithmetic.
-    a = ents.select(
-        "dk", F.col("dk2").alias("dk2a"), F.col("et").alias("eta")
-    )
-    b = ents.select(
-        "dk", F.col("dk2").alias("dk2b"), F.col("et").alias("etb")
-    )
-    if cfg.salt_buckets and cfg.salt_buckets > 1:
-        a = a.withColumn(
-            "salt", F.pmod(F.xxhash64("eta"), F.lit(cfg.salt_buckets)).cast("int")
-        )
-        b = b.withColumn(
-            "salt", F.explode(F.sequence(F.lit(0), F.lit(cfg.salt_buckets - 1)))
-        )
-        joined = a.join(b, ["dk", "salt"]).drop("salt")
-    else:
-        joined = a.join(b, "dk")
-    # xor==0 (not dk2a == dk2b): a plain equality here gets extracted
-    # by Catalyst as a SECOND join equi-key, which re-widens the join
-    # hash to 16 bytes — measured ~13% on the fused join at local[8].
-    # The xor form stays a post-join filter: hash/probe on the 8-byte
-    # dk, collision rows (rare) eliminated right after.
-    joined = (
-        joined.where(F.col("dk2a").bitwiseXOR(F.col("dk2b")) == 0)
-        .select(
-            "dk",
-            F.col("dk2a").alias("dk2"),
-            F.shiftright("eta", 8).alias("subj"),
-            F.shiftright("etb", 8).alias("obj"),
-            F.col("eta").bitwiseAND(F.lit(255)).alias("stc"),
-            F.col("etb").bitwiseAND(F.lit(255)).alias("ttc"),
-        )
-    )
+        arrs.count()
 
     rel_code = (F.col("stc") * 256 + F.col("ttc")).alias("rc")
     wanted_codes = [
@@ -287,7 +252,64 @@ def _build_scale(
             )
         ]
     )
-    pairs = joined.select(
+
+    if cfg.salt_buckets and cfg.salt_buckets > 1:
+        # JOIN strategy (hub-salted): per-entity rows derived from the
+        # same cached arrays; the subj side replicates across salt
+        # buckets so a hub doc's pair expansion spreads over
+        # salt_buckets reducers instead of one. The dk2 collision guard
+        # is an xor POST-join filter, never a second equi-key (Catalyst
+        # would extract a plain equality into the join hash: +13%).
+        ents = arrs.select("dk", "dk2", F.explode("ets").alias("et"))
+        a = ents.select("dk", F.col("dk2").alias("dk2a"), F.col("et").alias("eta"))
+        b = ents.select("dk", F.col("dk2").alias("dk2b"), F.col("et").alias("etb"))
+        a = a.withColumn(
+            "salt", F.pmod(F.xxhash64("eta"), F.lit(cfg.salt_buckets)).cast("int")
+        )
+        b = b.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(cfg.salt_buckets - 1)))
+        )
+        joined = (
+            a.join(b, ["dk", "salt"])
+            .drop("salt")
+            .where(F.col("dk2a").bitwiseXOR(F.col("dk2b")) == 0)
+        )
+        raw_pairs = joined.select(
+            "dk",
+            F.col("dk2a").alias("dk2"),
+            F.shiftright("eta", 8).alias("subj"),
+            F.shiftright("etb", 8).alias("obj"),
+            F.col("eta").bitwiseAND(F.lit(255)).alias("stc"),
+            F.col("etb").bitwiseAND(F.lit(255)).alias("ttc"),
+        )
+    else:
+        # ARRAY strategy (default): k^2 pair expansion by double
+        # explode in the SAME stage that scans the cached arrays — no
+        # shuffle at all before the map-combined support partials
+        # (the join strategy shuffles the full entity-row table twice).
+        # Measured: the post-detector tail went from 1.64x to ~CPU-bound
+        # scaling at 2->8 threads. Hub docs are bounded by
+        # max_entities_per_doc (cap^2 rows from one input row); beyond
+        # that, salt_buckets>1 switches to the salted join.
+        raw_pairs = (
+            arrs.select("dk", "dk2", F.explode("ets").alias("eta"), "ets")
+            .select(
+                "dk",
+                "dk2",
+                "eta",
+                F.explode("ets").alias("etb"),
+            )
+            .select(
+                "dk",
+                "dk2",
+                F.shiftright("eta", 8).alias("subj"),
+                F.shiftright("etb", 8).alias("obj"),
+                F.col("eta").bitwiseAND(F.lit(255)).alias("stc"),
+                F.col("etb").bitwiseAND(F.lit(255)).alias("ttc"),
+            )
+        )
+
+    pairs = raw_pairs.select(
         "dk", "dk2", "subj", "obj", rel_code
     ).where(
         F.col("rc").isin(wanted_codes) & (F.col("subj") != F.col("obj"))
@@ -329,16 +351,17 @@ def _build_scale(
     # Evidence edges (the pair->doc table) keep the hashed doc key
     # pair; join back to docs on (xxhash64(doc_id), xxhash64(doc_id,1))
     # when lineage is needed.
-    eid = F.shiftright("et", 8)
     return {
         "docs": docs,
-        "mentions": ents,
-        "doc2entity": ents.groupBy("dk", "dk2").agg(
-            F.sort_array(F.collect_set(eid)).alias("entity_ids")
+        "mentions": arrs,
+        "doc2entity": arrs.select(
+            "dk",
+            "dk2",
+            F.transform("ets", lambda x: F.shiftright(x, 8)).alias("entity_ids"),
         ),
-        "entity2doc": ents.groupBy(eid.alias("eid")).agg(
-            F.count(F.lit(1)).alias("n_docs")
-        ),
+        "entity2doc": arrs.select(
+            F.explode(F.transform("ets", lambda x: F.shiftright(x, 8))).alias("eid")
+        ).groupBy("eid").agg(F.count(F.lit(1)).alias("n_docs")),
         "pairs": pairs.select(
             F.col("dk").alias("doc_id"), F.col("dk2").alias("doc_id2"), "subj", "obj"
         ),
