@@ -1,0 +1,259 @@
+"""spark-submit CLI — the reference's command-line surface, one
+subcommand per reference entry point, runnable as
+
+    spark-submit --py-files <pkg.zip> -m ... OR
+    spark-submit cli.py <subcommand> ...    OR
+    python -m bio_re_with_entity_embeddings_spark.cli <subcommand> ...
+
+Reference entry points mirrored (semantics, not flags-for-flags):
+
+* ``prepare-entities``   <- prepare_entity_dataset.py:86-96
+  (--working_dir/--entity_type): corpus scan -> mention detection ->
+  doc2entity / entity2doc exports per entity type.
+* ``prepare-pairs``      <- prepare_pair_dataset.py:82-94
+  (--source_type/--target_type): co-occurrence pair dataset + the
+  ';;;'-joined instances export.
+* ``build-triples``      — the full KG pipeline (this engine's
+  superset entry point): mentions -> pairs -> scoring -> thresholded
+  triples into the partitioned graph table (sources/iceberg.py).
+* ``train-embeddings``   <- learn_embeddings.py:85-91: PV-DBOW compat
+  trainer over the doc2vec input (off the hot path).
+* ``extract-vectors``    <- extract_document_vectors.py:8-37: doctag
+  vectors -> word2vec-format .bin + .vocab sidecar.
+* ``resume-run``         — checkpointed runner (plans/runner.py):
+  per-bucket manifests, exact resume, lineage verification.
+
+Every subcommand takes --corpus as a parquet path or (with --catalog)
+an Iceberg table name; dictionaries arrive as a TSV of
+(surface, entity_id, entity_type).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark(args):
+    from .session import get_spark
+
+    return get_spark(app_name=f"kg-{args.cmd}", master=args.master)
+
+
+def _read_corpus(spark, args):
+    from .sources import iceberg
+
+    return iceberg.read_corpus(spark, args.corpus, args.catalog)
+
+
+def _read_dictionary(spark, path: str):
+    from . import fixtures
+
+    rows = (
+        spark.read.csv(path, sep="\t", header=True)
+        .select("surface", "entity_id", "entity_type")
+        .collect()
+    )
+    return [fixtures.DictEntry(r[0], r[1], r[2]) for r in rows]
+
+
+def cmd_prepare_entities(args) -> int:
+    from .operators import aggregates, mentions as mentions_op
+    from .plans.pipeline import ingest
+    from .sources import tsv
+
+    spark = _spark(args)
+    dictionary = _read_dictionary(spark, args.dictionary)
+    entries = [
+        (e.surface, e.entity_id, e.entity_type)
+        for e in dictionary
+        if args.entity_type in (None, e.entity_type)
+    ]
+    docs = ingest(_read_corpus(spark, args))
+    mentions = mentions_op.detect_mentions(docs, entries)
+    tsv.export_doc2entity(
+        aggregates.doc_to_entities(mentions), f"{args.working_dir}/doc2entity"
+    )
+    tsv.export_instances(
+        aggregates.entity_to_docs(mentions), f"{args.working_dir}/instances"
+    )
+    tsv.write_id_list(
+        mentions.select("doc_id"), "doc_id", f"{args.working_dir}/doc_ids"
+    )
+    print(f"mentions: {mentions.count()}", file=sys.stderr)
+    return 0
+
+
+def cmd_prepare_pairs(args) -> int:
+    from .operators import mentions as mentions_op, pairs as pairs_op, triples as triples_op
+    from .plans.pipeline import ingest
+    from .sources import tsv
+
+    spark = _spark(args)
+    dictionary = _read_dictionary(spark, args.dictionary)
+    entries = [(e.surface, e.entity_id, e.entity_type) for e in dictionary]
+    docs = ingest(_read_corpus(spark, args))
+    mentions = mentions_op.detect_mentions(docs, entries)
+    rel_pairs = pairs_op.generate_pairs(
+        mentions.select("doc_id", "entity_id", "entity_type").distinct(),
+        args.source_type,
+        args.target_type,
+        salt_buckets=args.salt_buckets,
+        already_distinct=True,
+    )
+    support = triples_op.support_agg(rel_pairs)
+    tsv.export_pair_instances(
+        support.select("subj", "obj", "articles"),
+        f"{args.working_dir}/pair_instances",
+    )
+    print(f"pairs: {support.count()}", file=sys.stderr)
+    return 0
+
+
+def cmd_build_triples(args) -> int:
+    from .plans import pipeline
+    from .sources import iceberg
+
+    spark = _spark(args)
+    dictionary = _read_dictionary(spark, args.dictionary)
+    embeddings = spark.read.parquet(args.embeddings)
+    cfg = pipeline.PipelineConfig(
+        threshold=args.threshold,
+        articles_cap=-1 if args.scale else 0,
+        salt_buckets=args.salt_buckets,
+        canonicalize=args.canonicalize,
+    )
+    out = pipeline.build_triples(
+        spark, _read_corpus(spark, args), dictionary, embeddings, cfg
+    )
+    iceberg.write_triples(out["triples"], args.output, args.catalog)
+    print(f"triples written to {args.output}", file=sys.stderr)
+    return 0
+
+
+def cmd_train_embeddings(args) -> int:
+    from .ml import doc2vec
+
+    spark = _spark(args)
+    tagged = spark.read.parquet(args.input)
+    emb = doc2vec.train_pv_dbow(
+        tagged,
+        vector_size=args.vector_size,
+        epochs=args.epochs,
+        seed=args.seed,
+    )
+    emb.write.mode("overwrite").parquet(args.output)
+    print(f"doctag vectors -> {args.output}", file=sys.stderr)
+    return 0
+
+
+def cmd_extract_vectors(args) -> int:
+    from .sources import tsv, word2vec
+
+    spark = _spark(args)
+    emb = spark.read.parquet(args.embedding_model)
+    n = word2vec.save_word2vec_format(
+        emb, f"{args.output_dir}/{args.model_name}.bin",
+        tag_col=args.tag_col, vec_col=args.vec_col,
+    )
+    tsv.write_id_list(emb, args.tag_col, f"{args.output_dir}/{args.model_name}.vocab")
+    print(f"{n} vectors -> {args.output_dir}/{args.model_name}.bin", file=sys.stderr)
+    return 0
+
+
+def cmd_resume_run(args) -> int:
+    from .plans import runner
+
+    spark = _spark(args)
+    dictionary = _read_dictionary(spark, args.dictionary)
+    embeddings = spark.read.parquet(args.embeddings)
+    out = runner.run_checkpointed(
+        spark,
+        _read_corpus(spark, args),
+        dictionary,
+        embeddings,
+        args.working_dir,
+        n_buckets=args.n_buckets,
+    )
+    ok = runner.verify_lineage(
+        spark, _read_corpus(spark, args), args.working_dir, args.n_buckets
+    )
+    print(
+        f"triples: {out['triples'].count()}  lineage_ok: {ok}", file=sys.stderr
+    )
+    return 0 if ok else 1
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("bio-re-with-entity-embeddings-spark")
+    p.add_argument("--master", default=None, help="spark master override")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, corpus=True):
+        if corpus:
+            sp.add_argument("--corpus", required=True,
+                            help="parquet path or (with --catalog) Iceberg table")
+            sp.add_argument("--catalog", default=None)
+        sp.add_argument("--dictionary", required=True,
+                        help="TSV of (surface, entity_id, entity_type)")
+
+    sp = sub.add_parser("prepare-entities")
+    common(sp)
+    sp.add_argument("--working_dir", required=True)
+    sp.add_argument("--entity_type", default=None)
+    sp.set_defaults(fn=cmd_prepare_entities)
+
+    sp = sub.add_parser("prepare-pairs")
+    common(sp)
+    sp.add_argument("--working_dir", required=True)
+    sp.add_argument("--source_type", required=True)
+    sp.add_argument("--target_type", required=True)
+    sp.add_argument("--salt_buckets", type=int, default=0)
+    sp.set_defaults(fn=cmd_prepare_pairs)
+
+    sp = sub.add_parser("build-triples")
+    common(sp)
+    sp.add_argument("--embeddings", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--threshold", type=float, default=0.0)
+    sp.add_argument("--scale", action="store_true",
+                    help="scale path: evidence edges out-of-line")
+    sp.add_argument("--salt_buckets", type=int, default=0)
+    sp.add_argument("--canonicalize", action="store_true")
+    sp.set_defaults(fn=cmd_build_triples)
+
+    sp = sub.add_parser("train-embeddings")
+    sp.add_argument("--input", required=True,
+                    help="parquet of (tags array, words array)")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--vector_size", type=int, default=64)
+    sp.add_argument("--epochs", type=int, default=10)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.set_defaults(fn=cmd_train_embeddings)
+
+    sp = sub.add_parser("extract-vectors")
+    sp.add_argument("--embedding_model", required=True,
+                    help="parquet of (entity_id, embedding)")
+    sp.add_argument("--output_dir", required=True)
+    sp.add_argument("--model_name", required=True)
+    sp.add_argument("--tag_col", default="entity_id")
+    sp.add_argument("--vec_col", default="embedding")
+    sp.set_defaults(fn=cmd_extract_vectors)
+
+    sp = sub.add_parser("resume-run")
+    common(sp)
+    sp.add_argument("--working_dir", required=True)
+    sp.add_argument("--embeddings", required=True)
+    sp.add_argument("--n_buckets", type=int, default=32)
+    sp.set_defaults(fn=cmd_resume_run)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

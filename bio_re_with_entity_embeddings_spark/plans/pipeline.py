@@ -13,12 +13,16 @@ Two execution shapes, same semantics on (subj, pred, obj, n_docs):
   reference restatement.
 * SCALE path (``articles_cap < 0``): evidence edges live in the
   ``pairs`` output instead of inline arrays, and the hot pipeline is
-  dictionary-encoded — per-doc DISTINCT entity sets emitted directly
-  by the Arrow detector (no distinct exchange), int32 entity indices +
-  128-bit (2x xxhash64) doc keys through ONE fused self-join + ONE support
-  aggregate for all relations (string keys are memory-bandwidth-bound;
-  ints cut shuffled/hashed bytes ~6x), strings restored by broadcast
-  join on the (tiny) support output.
+  dictionary-encoded — the Arrow detector emits ONE ROW PER DOC with
+  the packed sorted entity array (no distinct exchange), pair
+  generation DOUBLE-EXPLODES those arrays map-side (no doc-keyed join,
+  no shuffle before the map-combined support partials; per-stage
+  2->8-thread scaling measured 3.76-4.3x), ONE support aggregate for
+  all relations via int arithmetic, strings restored by broadcast join
+  on the (tiny) support output. Hub docs: ``max_entities_per_doc``
+  bounds the per-row explosion; ``salt_buckets>1`` switches to the
+  salted self-join strategy (same arrays, 8-byte join key, xor-guarded
+  128-bit doc identity).
 """
 
 from __future__ import annotations

@@ -1,0 +1,104 @@
+"""spark-submit CLI surface: every reference entry point has a
+runnable subcommand producing the reference's export formats."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from bio_re_with_entity_embeddings_spark import cli, fixtures, schemas
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def world(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("cli")
+    dictionary = fixtures.make_dictionary()
+    corpus_path = str(base / "corpus")
+    spark.createDataFrame(
+        fixtures.make_corpus_rows(120, dictionary), schemas.CORPUS
+    ).write.parquet(corpus_path)
+    dict_path = str(base / "dict")
+    fixtures.dictionary_df(spark, dictionary).write.csv(
+        dict_path, sep="\t", header=True
+    )
+    return base, corpus_path, dict_path
+
+
+def test_cli_prepare_entities(spark, world):
+    base, corpus, dct = world
+    rc = cli.main([
+        "prepare-entities", "--corpus", corpus, "--dictionary", dct,
+        "--working_dir", str(base / "ents"),
+    ])
+    assert rc == 0
+    d2e = spark.read.csv(str(base / "ents" / "doc2entity"), sep="\t", header=True)
+    assert d2e.count() > 0 and "entity_ids_str" in d2e.columns
+
+
+def test_cli_prepare_pairs(spark, world):
+    base, corpus, dct = world
+    rc = cli.main([
+        "prepare-pairs", "--corpus", corpus, "--dictionary", dct,
+        "--working_dir", str(base / "pairs"),
+        "--source_type", fixtures.FN, "--target_type", fixtures.PKG,
+    ])
+    assert rc == 0
+    inst = spark.read.csv(
+        str(base / "pairs" / "pair_instances"), sep="\t", header=True
+    )
+    assert inst.count() > 0
+    assert set(inst.columns) == {"source_id", "target_id", "articles_str"}
+
+
+def test_cli_build_triples_and_read_back(spark, world):
+    from bio_re_with_entity_embeddings_spark.sources import iceberg
+
+    base, corpus, dct = world
+    out = str(base / "graph")
+    rc = cli.main([
+        "build-triples", "--corpus", corpus, "--dictionary", dct,
+        "--embeddings", f"{SF_DIR}/embeddings.parquet",
+        "--output", out, "--scale", "--threshold", "-2.0",
+    ])
+    assert rc == 0
+    back = iceberg.read_triples(spark, out)
+    assert back.count() > 0
+    assert {"subj", "pred", "obj", "score", "n_docs"} <= set(back.columns)
+
+
+def test_cli_train_and_extract(spark, world, tmp_path):
+    base, corpus, dct = world
+    rng = np.random.RandomState(1)
+    tagged = spark.createDataFrame(
+        [(["T%d" % (i % 4)], [str(w) for w in rng.choice(list("abcdefgh"), 8)])
+         for i in range(24)],
+        "tags array<string>, words array<string>",
+    )
+    tagged_path = str(tmp_path / "tagged")
+    tagged.write.parquet(tagged_path)
+    emb_path = str(tmp_path / "emb")
+    rc = cli.main([
+        "train-embeddings", "--input", tagged_path, "--output", emb_path,
+        "--vector_size", "8", "--epochs", "2",
+    ])
+    assert rc == 0
+    rc = cli.main([
+        "extract-vectors", "--embedding_model", emb_path,
+        "--output_dir", str(tmp_path), "--model_name", "m1",
+    ])
+    assert rc == 0
+    raw = open(str(tmp_path / "m1.bin"), "rb").read()
+    assert raw.startswith(b"4 8\n")
+
+
+def test_cli_resume_run(spark, world):
+    base, corpus, dct = world
+    rc = cli.main([
+        "resume-run", "--corpus", corpus, "--dictionary", dct,
+        "--working_dir", str(base / "ckpt"),
+        "--embeddings", f"{SF_DIR}/embeddings.parquet",
+        "--n_buckets", "4",
+    ])
+    assert rc == 0  # lineage verified inside
