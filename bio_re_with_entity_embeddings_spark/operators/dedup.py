@@ -247,36 +247,74 @@ def simhash_near_duplicates(
     text_col: str,
     max_hamming: int = 7,
     hash_mode: str = "xxhash64",
+    max_bucket_size: int = 2000,
 ) -> DataFrame:
     """SimHash near-dup pairs: 8x8-bit chunk banding + exact hamming
     verify. Pigeonhole: a pair within hamming distance <= 7 MUST share
     at least one of the 8 chunks, so for ``max_hamming <= 7`` (the
     default) the banding is LOSSLESS — output is exactly every pair at
     hamming <= max_hamming. Values above 7 raise (silent recall loss is
-    how near-dup pipelines rot); re-chunk wider instead."""
+    how near-dup pipelines rot); re-chunk wider instead.
+
+    Scale shape (the part that matters at 10^9 docs):
+
+    * ``max_hamming <= 3`` auto-selects COMPOSITE banding: all
+      C(8,2)=28 two-chunk 16-bit keys. A pair differing in <= 3 chunks
+      still agrees on >= 5, hence on at least one two-chunk composite —
+      lossless, with 65536-value keys instead of 256, so bucket
+      co-occupancy is n/65536 per table (Manku et al.'s block-key
+      trick, WWW'07).
+    * ``max_hamming in (4, 7]`` uses single-chunk banding (the only
+      lossless option with 8 chunks of a 64-bit simhash).
+    * ``max_bucket_size`` bounds the quadratic term in BOTH modes (same
+      window gate as ``minhash_near_duplicates``): single-chunk keys
+      have only 256 values, so at n docs an ungated self-join is
+      ~n^2/32 candidates. Buckets above the cap are SKIPPED for
+      candidate generation in that band; their members still pair via
+      every OTHER shared band, so recall weakens only for pairs whose
+      EVERY shared band is degenerate (near-identical boilerplate —
+      which ``exact_duplicates`` catches linearly). Worst-case
+      candidates <= n_bands * (key_space) * cap^2 / 2 instead of
+      unbounded. Single-chunk banding SATURATES once n >> 256 * cap
+      (every bucket exceeds the cap): at that scale run the composite
+      mode (``max_hamming <= 3``), whose 65536-value keys stay under
+      cap up to ~65536 * cap docs.
+    """
     if max_hamming > 7:
         raise ValueError(
             "8-chunk banding guarantees recall only for hamming <= 7; "
             f"got max_hamming={max_hamming} — increase chunk count instead"
         )
     base = simhash_table(df, id_col, text_col, hash_mode)
+
+    def ck(c: int):
+        return F.shiftright(F.col("sh64"), c * 8).bitwiseAND(F.lit(0xFF))
+
+    if max_hamming <= 3:
+        combos = [(i, j) for i in range(8) for j in range(i + 1, 8)]
+        structs = [
+            F.struct(
+                F.lit(t).alias("chunk"),
+                (ck(i) * 256 + ck(j)).alias("ckey"),
+            )
+            for t, (i, j) in enumerate(combos)
+        ]
+    else:
+        structs = [
+            F.struct(F.lit(c).alias("chunk"), ck(c).alias("ckey"))
+            for c in range(8)
+        ]
     chunked = base.select(
         "doc",
         "sh64",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("sh64"), c * 8)
-                        .bitwiseAND(F.lit(0xFF))
-                        .alias("ckey"),
-                    )
-                    for c in range(8)
-                ]
-            )
-        ).alias("cc"),
+        F.explode(F.array(*structs)).alias("cc"),
     ).select("doc", "sh64", F.col("cc.chunk").alias("chunk"), F.col("cc.ckey").alias("ckey"))
+    # Per-bucket size gate: one window count over the same (chunk,
+    # ckey) partitioning the self-join shuffles on anyway.
+    w = Window.partitionBy("chunk", "ckey")
+    chunked = chunked.withColumn("_bsz", F.count(F.lit(1)).over(w)).where(
+        F.col("_bsz") <= max_bucket_size
+    ).drop("_bsz")
     a = chunked.select(F.col("doc").alias("doc_a"), F.col("sh64").alias("h_a"), "chunk", "ckey")
     b = chunked.select(F.col("doc").alias("doc_b"), F.col("sh64").alias("h_b"), "chunk", "ckey")
     return (
@@ -289,43 +327,71 @@ def simhash_near_duplicates(
     )
 
 
+def derive_planes_per_table(
+    n_vectors: int, target_bucket_size: int = 1024, floor: int = 4
+) -> int:
+    """Scale-safe hyperplane count: enough planes that EXPECTED bucket
+    co-occupancy n / 2^planes stays near ``target_bucket_size``.
+    ``max(floor, ceil(log2(n / target)))`` — 4 at sample scale (the
+    round-1 default), 17 at 100M vectors, 20 at 10^9."""
+    import math
+
+    if n_vectors <= target_bucket_size:
+        return floor
+    return max(floor, math.ceil(math.log2(n_vectors / target_bucket_size)))
+
+
 def embedding_lsh_candidates(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_tables: int = 8,
-    planes_per_table: int = 4,
+    planes_per_table: int | None = None,
     seed: int = 7,
+    target_bucket_size: int = 1024,
+    max_bucket_size: int = 2000,
 ) -> DataFrame:
     """(id_a, id_b) pairs sharing a random-hyperplane bucket in >= 1 of
     ``n_tables`` independent hash tables. ONE Arrow kernel pass computes
-    all n_tables*planes_per_table sign bits; per-table keys are native
-    shift/mask splits. Recall for cosine >= 0.95 pairs with the default
-    (8 tables x 4 planes): 1 - (1 - p^4)^8 ~ 0.9998 where
-    p = 1 - theta/pi ~ 0.899 — a pair-mining-grade banding (the single-
-    bucket ann_topk shape would recall only ~0.53)."""
-    from .similarity import lsh_bucket_udf
+    all n_tables*planes_per_table sign bits as an array of per-table
+    keys (no 63-bit packing ceiling, so the plane count can grow with
+    corpus size).
 
-    total = n_tables * planes_per_table
-    bucket = lsh_bucket_udf(total, seed)
-    mask = (1 << planes_per_table) - 1
-    v = vectors.select(F.col(id_col).alias("id"), bucket(F.col(vec_col)).alias("bits"))
+    Scale safety (both knobs exist because a FIXED plane count is a
+    scale-killer: 4 planes = 16 buckets/table regardless of n, i.e.
+    ~n^2/32 candidate pairs at large n):
+
+    * ``planes_per_table=None`` (default) derives the plane count from
+      a corpus count so expected co-occupancy tracks
+      ``target_bucket_size`` (see ``derive_planes_per_table``).
+    * ``max_bucket_size`` is the same per-(table, key) window gate as
+      ``minhash_near_duplicates``: degenerate buckets (e.g. a mass of
+      zero/near-zero vectors all hashing together) are skipped for
+      candidate generation in that table — members still pair via
+      their other tables — bounding candidates at
+      <= n_tables * n * cap / 2 instead of quadratic.
+
+    Recall for cosine >= 0.95 pairs at the floor (8 tables x 4 planes):
+    1 - (1 - p^4)^8 ~ 0.9998 where p = 1 - theta/pi ~ 0.899; at 17
+    planes/table it is 1 - (1 - p^17)^8 ~ 0.86 — the standard
+    recall/candidate-volume trade, tunable via ``n_tables``."""
+    from .similarity import lsh_table_keys_udf
+
+    if planes_per_table is None:
+        planes_per_table = derive_planes_per_table(
+            vectors.count(), target_bucket_size
+        )
+    keys = lsh_table_keys_udf(n_tables, planes_per_table, seed)
+    v = vectors.select(F.col(id_col).alias("id"), keys(F.col(vec_col)).alias("ks"))
     tabbed = v.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        F.shiftright("bits", t * planes_per_table)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bkey"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("id", F.col("tb.tbl").alias("tbl"), F.col("tb.bkey").alias("bkey"))
+        "id", F.posexplode("ks").alias("tbl", "bkey")
+    )
+    # Per-bucket size gate over the same (tbl, bkey) partitioning the
+    # self-join shuffles on anyway.
+    w = Window.partitionBy("tbl", "bkey")
+    tabbed = tabbed.withColumn("_bsz", F.count(F.lit(1)).over(w)).where(
+        F.col("_bsz") <= max_bucket_size
+    ).drop("_bsz")
     return (
         tabbed.alias("x")
         .join(tabbed.alias("y"), ["tbl", "bkey"], "inner")
@@ -338,14 +404,17 @@ def embedding_lsh_candidates(
 def embedding_near_duplicates(
     vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.95, method: str = "lsh",
-    n_tables: int = 8, planes_per_table: int = 4, seed: int = 7,
+    n_tables: int = 8, planes_per_table: int | None = None, seed: int = 7,
+    target_bucket_size: int = 1024, max_bucket_size: int = 2000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs.
 
     ``method='lsh'`` (default, the scale path): multi-table hyperplane
-    LSH candidates + exact cosine verify — candidate count is bounded
-    by bucket co-occupancy, never O(n^2). ``method='exact'``: brute
-    crossJoin, the validation baseline for samples only."""
+    LSH candidates + exact cosine verify — plane count derived from a
+    corpus count and degenerate buckets capped (see
+    ``embedding_lsh_candidates``), so candidate count is bounded at
+    O(n * cap), never O(n^2). ``method='exact'``: brute crossJoin, the
+    validation baseline for samples only."""
     from .similarity import cosine_cols
 
     a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
@@ -354,7 +423,8 @@ def embedding_near_duplicates(
         cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     else:
         pairs = embedding_lsh_candidates(
-            vectors, id_col, vec_col, n_tables, planes_per_table, seed
+            vectors, id_col, vec_col, n_tables, planes_per_table, seed,
+            target_bucket_size, max_bucket_size,
         )
         cand = pairs.join(a, "id_a").join(b, "id_b")
     return (

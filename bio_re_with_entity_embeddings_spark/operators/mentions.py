@@ -81,8 +81,11 @@ class AhoCorasick:
                     self.fail[child] = 0
                 self.out[child] = self.out[child] + self.out[self.fail[child]]
 
-    def find(self, text: str) -> Iterator[tuple[int, int, str]]:
-        lower = text.lower()
+    def find(
+        self, text: str, lower: str | None = None
+    ) -> Iterator[tuple[int, int, str]]:
+        if lower is None:
+            lower = text.lower()
         node = 0
         for i, ch in enumerate(lower):
             while node and ch not in self.goto[node]:
@@ -149,9 +152,13 @@ def detect_mentions(docs: DataFrame, dict_entries: Sequence[tuple[str, str, str]
         import re
 
         pats = bc.value
-        # tokenize the ONCE-lowered content (boundaries are identical:
-        # a char is word-class iff its lowercase is) — one str.lower()
-        # per doc instead of one per token; spans index the original.
+        # Tokenize the ONCE-lowered content; spans index the original.
+        # str.lower() can change string length (e.g. 'İ' U+0130 lowers
+        # to 'i' + combining dot), shifting every lowered-coordinate
+        # span after such a char — exactly the case the reference span
+        # predicate (data/pubtator.py:74-84) exists to drop. When the
+        # lengths match (the overwhelmingly common case) spans are
+        # valid by construction and the predicate is skipped.
         token_re = re.compile(r"[a-z0-9_]+")
         cols = ["doc_id", "entity_id", "entity_type", "mention", "begin", "end"]
         get = pats.get
@@ -160,12 +167,18 @@ def detect_mentions(docs: DataFrame, dict_entries: Sequence[tuple[str, str, str]
             for doc_id, content in zip(pdf["doc_id"].values, pdf["content"].values):
                 if not content:
                     continue
-                for m in token_re.finditer(content.lower()):
+                low = content.lower()
+                safe = len(low) == len(content)
+                for m in token_re.finditer(low):
                     links = get(m.group())
                     if links is None:
                         continue
                     begin, end = m.start(), m.end()
                     mention = content[begin:end]
+                    # span predicate (golden.py:74 parity): drop hits
+                    # whose original-coordinate slice shifted.
+                    if not safe and mention.lower() != m.group():
+                        continue
                     for entity_id, entity_type in links:
                         out.append((doc_id, entity_id, entity_type, mention, begin, end))
             yield pd.DataFrame(out, columns=cols)
@@ -184,11 +197,14 @@ def detect_mentions(docs: DataFrame, dict_entries: Sequence[tuple[str, str, str]
             for doc_id, content in zip(pdf["doc_id"].values, pdf["content"].values):
                 if not content:
                     continue
-                for begin, end, surface in auto.find(content):
+                low = content.lower()
+                safe = len(low) == len(content)
+                for begin, end, surface in auto.find(content, low):
                     mention = content[begin:end]
                     # Span predicate parity (data/pubtator.py:74-84):
-                    # holds by construction for trie hits.
-                    if mention.lower() != surface:
+                    # holds by construction when lower() is
+                    # length-preserving; otherwise drops shifted spans.
+                    if not safe and mention.lower() != surface:
                         continue
                     for entity_id, entity_type in pats[surface]:
                         out.append((doc_id, entity_id, entity_type, mention, begin, end))
@@ -241,7 +257,8 @@ def detect_entity_sets(
         import re
 
         pats = bc.value
-        findall = re.compile(r"[a-z0-9_]+").findall  # over lowered content
+        token_re = re.compile(r"[a-z0-9_]+")  # over lowered content
+        findall = token_re.findall
         get = pats.get
         cols = ["doc_id", "entity_idx", "type_code"]
         for pdf in batches:
@@ -251,10 +268,20 @@ def detect_entity_sets(
                     continue
                 seen: set = set()
                 update = seen.update
-                for tok in findall(content.lower()):
-                    links = get(tok)
-                    if links:
-                        update(links)
+                low = content.lower()
+                if len(low) == len(content):
+                    for tok in findall(low):
+                        links = get(tok)
+                        if links:
+                            update(links)
+                else:
+                    # rare length-changing lower(): apply the span
+                    # predicate so the entity set matches exactly the
+                    # entities detect_mentions would keep.
+                    for m in token_re.finditer(low):
+                        links = get(m.group())
+                        if links and content[m.start():m.end()].lower() == m.group():
+                            update(links)
                 out.extend((doc_id, i, t) for i, t in seen)
             yield pd.DataFrame(out, columns=cols)
 
@@ -273,7 +300,11 @@ def detect_entity_sets(
                 if not content:
                     continue
                 seen: set = set()
-                for _b, _e, surface in auto.find(content):
+                low = content.lower()
+                safe = len(low) == len(content)
+                for b, e, surface in auto.find(content, low):
+                    if not safe and content[b:e].lower() != surface:
+                        continue
                     seen.update(pats[surface])
                 out.extend((doc_id, i, t) for i, t in seen)
             yield pd.DataFrame(out, columns=cols)
@@ -332,7 +363,10 @@ def detect_entity_arrays(
         pats = bc.value
         # findall over the ONCE-lowered content beats finditer +
         # per-token str.lower(): one C pass, no 30M match objects.
-        findall = re.compile(r"[a-z0-9_]+").findall
+        # Safe only when lower() preserved length; otherwise fall back
+        # to span-validated finditer (parity with detect_mentions).
+        token_re = re.compile(r"[a-z0-9_]+")
+        findall = token_re.findall
         get = pats.get
         for pdf in batches:
             out: list[tuple] = []
@@ -341,10 +375,17 @@ def detect_entity_arrays(
                     continue
                 seen: set = set()
                 update = seen.update
-                for tok in findall(content.lower()):
-                    links = get(tok)
-                    if links:
-                        update(links)
+                low = content.lower()
+                if len(low) == len(content):
+                    for tok in findall(low):
+                        links = get(tok)
+                        if links:
+                            update(links)
+                else:
+                    for m in token_re.finditer(low):
+                        links = get(m.group())
+                        if links and content[m.start():m.end()].lower() == m.group():
+                            update(links)
                 if seen:
                     out.append(emit(doc_id, seen))
             yield pd.DataFrame(out, columns=["doc_id", "ets"])
@@ -363,7 +404,11 @@ def detect_entity_arrays(
                 if not content:
                     continue
                 seen: set = set()
-                for _b, _e, surface in auto.find(content):
+                low = content.lower()
+                safe = len(low) == len(content)
+                for b, e, surface in auto.find(content, low):
+                    if not safe and content[b:e].lower() != surface:
+                        continue
                     seen.update(pats[surface])
                 if seen:
                     out.append(emit(doc_id, seen))

@@ -159,6 +159,30 @@ def lsh_bucket_udf(n_planes: int = 6, seed: int = 42):
     return bucket
 
 
+def lsh_table_keys_udf(n_tables: int, planes_per_table: int, seed: int = 42):
+    """Multi-table variant of ``lsh_bucket_udf``: ONE sign-matmul over
+    all ``n_tables * planes_per_table`` hyperplanes, packed into an
+    ``array<long>`` of per-table bucket keys. Unlike the single-long
+    packing this has no 63-bit total-plane ceiling, so the plane count
+    can scale with corpus size (planes ~ log2(n / bucket_target))."""
+    import pandas as pd  # noqa: F811 (worker-side import)
+
+    total = n_tables * planes_per_table
+
+    @F.pandas_udf("array<long>")
+    def keys(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype=object)
+        mat = np.stack([np.asarray(x, dtype=np.float64) for x in v.values])
+        planes = _planes_memo(mat.shape[1], total, seed)
+        signs = (mat @ planes.T >= 0).reshape(len(v), n_tables, planes_per_table)
+        weights = np.int64(1) << np.arange(planes_per_table, dtype=np.int64)
+        ks = signs @ weights  # (batch, n_tables) int64
+        return pd.Series(list(ks))
+
+    return keys
+
+
 def ann_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -79,11 +79,29 @@ def write_triples(
         "subj_bucket",
         F.pmod(F.xxhash64("subj"), F.lit(n_buckets)).cast("int"),
     )
-    (
+    writer = (
         out.write.mode("overwrite" if mode != "append" else "append")
         .partitionBy("pred", "subj_bucket")
-        .parquet(target)
     )
+    if mode == "overwritePartitions":
+        # Iceberg's overwritePartitions() is dynamic by contract; the
+        # parquet fallback must match it. Under Spark's default STATIC
+        # partitionOverwriteMode, mode('overwrite') truncates the WHOLE
+        # table, deleting unrelated pred/bucket partitions on an
+        # idempotent rerun. Set/restore is sound here because
+        # .parquet() executes eagerly inside this scope.
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "dynamic")
+        try:
+            writer.parquet(target)
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
+    else:
+        writer.parquet(target)
 
 
 def read_triples(

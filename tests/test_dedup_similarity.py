@@ -219,3 +219,90 @@ def test_embedding_index_sparse_ids(spark):
     }
     assert out["b"] == pytest.approx(1.0)
     assert out["missing"] == 0.0
+
+
+def test_simhash_composite_banding_lossless_radius3(docs):
+    """max_hamming <= 3 auto-selects two-chunk composite banding
+    (28 tables x 16-bit keys); it must still emit EXACTLY every pair
+    at hamming <= 3 (pigeonhole: <= 3 differing chunks => >= 5 equal
+    => some two-chunk composite equal)."""
+    sh = DD.simhash_table(docs, "doc_id", "text")
+    a = sh.select(F.col("doc").alias("doc_a"), F.col("sh64").alias("h_a"))
+    b = sh.select(F.col("doc").alias("doc_b"), F.col("sh64").alias("h_b"))
+    brute = (
+        a.crossJoin(b)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .where(F.col("hamming") <= 3)
+    )
+    want = {(r.doc_a, r.doc_b, r.hamming) for r in brute.collect()}
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in DD.simhash_near_duplicates(
+            docs, "doc_id", "text", max_hamming=3
+        ).collect()
+    }
+    assert got == want
+    assert want, "fixture must exercise hamming <= 3"
+
+
+@pytest.mark.parametrize("max_hamming", [7, 3])
+def test_simhash_bucket_cap_bounds_degenerate_bucket(spark, max_hamming):
+    """Adversarial flood: thousands of identical-simhash docs co-occupy
+    every chunk bucket — without the cap the chunk self-join is
+    quadratic (~4.5M candidates here). With the cap the flood is
+    skipped (exact_duplicates owns byte-identical content, linearly)
+    while a normal near-dup pair still pairs via its own buckets.
+    Parametrized over both banding modes (single-chunk and composite)."""
+    flood = spark.range(3000).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.lit("aa bb cc dd ee ff gg hh ii jj kk ll").alias("text"),
+    )
+    pair = spark.createDataFrame(
+        [
+            ("p1", "one two three four five six seven eight nine ten"),
+            ("p2", "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id string, text string",
+    )
+    got = DD.simhash_near_duplicates(
+        flood.unionByName(pair),
+        "doc_id",
+        "text",
+        max_hamming=max_hamming,
+        max_bucket_size=100,
+    ).toPandas()
+    pairs = {(r.doc_a, r.doc_b) for r in got.itertuples()}
+    assert ("p1", "p2") in pairs
+    assert len(pairs) == 1, f"flood leaked {len(pairs) - 1} quadratic pairs"
+
+
+def test_derive_planes_per_table_scales_with_n():
+    assert DD.derive_planes_per_table(0) == 4
+    assert DD.derive_planes_per_table(1024) == 4
+    assert DD.derive_planes_per_table(100_000) == 7
+    assert DD.derive_planes_per_table(100_000_000) == 17
+    assert DD.derive_planes_per_table(10**9) == 20
+
+
+def test_embedding_lsh_bucket_cap_bounds_degenerate_bucket(spark):
+    """Adversarial flood: thousands of IDENTICAL vectors land in the
+    same bucket of every table (quadratic candidates without the cap);
+    a distinct near-dup pair pointing elsewhere must still be found."""
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    base_dir = rng.normal(size=8)
+    rows = [(i, (base_dir + rng.normal(scale=1e-6, size=8)).tolist())
+            for i in range(2)]  # the planted near-dup pair
+    flood_vec = rng.normal(size=8).tolist()
+    rows += [(100 + i, flood_vec) for i in range(3000)]
+    vecs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    got = DD.embedding_near_duplicates(
+        vecs, threshold=0.999, max_bucket_size=100
+    ).toPandas()
+    pairs = {(r.id_a, r.id_b) for r in got.itertuples()}
+    assert (0, 1) in pairs
+    assert len(pairs) == 1, f"flood leaked {len(pairs) - 1} quadratic pairs"
