@@ -66,6 +66,71 @@ def generate_pairs(
     return out.distinct()
 
 
+def evidence_articles(
+    pairs: DataFrame, docs: DataFrame, entity_dim: DataFrame | None = None
+) -> DataFrame:
+    """Recover per-(subj, obj) article sets from SCALE-path evidence
+    edges (the round-2 gap: scale triples carry empty ``articles``; the
+    doc evidence lives in the ``pairs`` output keyed by the hashed pair
+    ``(xxhash64(doc_id), xxhash64(doc_id, 1))``).
+
+    Joins evidence edges back to ``docs`` on BOTH hashes (the 128-bit
+    identity — a single 64-bit key could alias two docs at 10^9 rows)
+    and aggregates sorted article-id sets + exact n_docs. With
+    ``entity_dim`` (idx, entity_id) — exposed by the scale pipeline as
+    outputs["entity_dim"] — the int-encoded subj/obj are restored to
+    entity ids via broadcast, making the output directly comparable to
+    the parity path's per-triple article sets.
+
+    Scale shape: docs is projected to (hash, hash, doc_id) only — the
+    join carries no content column; the aggregate is the same
+    (subj, obj)-keyed shuffle the support agg already does.
+    """
+    keyed = docs.select(
+        F.xxhash64("doc_id").alias("doc_id"),
+        F.xxhash64("doc_id", F.lit(1)).alias("doc_id2"),
+        F.col("doc_id").alias("article"),
+    )
+    out = (
+        pairs.join(keyed, ["doc_id", "doc_id2"], "inner")
+        .groupBy("subj", "obj")
+        .agg(
+            F.sort_array(F.collect_set("article")).alias("articles"),
+            # scale-path pairs are distinct per (doc, subj, obj) by
+            # construction (per-doc sorted distinct arrays), so a plain
+            # count is the exact evidence-doc count — no count_distinct
+            # EXPAND shuffle needed.
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    if entity_dim is not None:
+        out = (
+            out.join(
+                F.broadcast(
+                    entity_dim.select(
+                        F.col("idx").alias("subj"), F.col("entity_id").alias("subj_id")
+                    )
+                ),
+                "subj",
+            )
+            .join(
+                F.broadcast(
+                    entity_dim.select(
+                        F.col("idx").alias("obj"), F.col("entity_id").alias("obj_id")
+                    )
+                ),
+                "obj",
+            )
+            .select(
+                F.col("subj_id").alias("subj"),
+                F.col("obj_id").alias("obj"),
+                "articles",
+                "n_docs",
+            )
+        )
+    return out
+
+
 def _typed_side(
     mentions: DataFrame, entity_type: str, alias: str, cap: int,
     already_distinct: bool = False,

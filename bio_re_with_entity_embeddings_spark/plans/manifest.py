@@ -70,7 +70,7 @@ def read_manifest(spark: SparkSession, base: str, stage: str) -> DataFrame | Non
             F.max_by(
                 F.struct(
                     "rows_in", "rows_out", "content_sha_xor", "in_sha_xor",
-                    "wall_ms", "run_id",
+                    "run_wall_ms", "run_id",
                 ),
                 F.struct("ts", "run_id"),
             ).alias("s")
@@ -111,6 +111,7 @@ def run_stage(
             else F.lit(0).cast("long")
         ).alias("in_sha_xor"),
     )
+    orphaned: list[int] = []
     if manifest is not None:
         done = (
             manifest.select(
@@ -129,6 +130,33 @@ def run_stage(
         )
         todo = bucketed_input.join(F.broadcast(done), "bucket", "left_anti")
         n_in_by_bucket = cur_stats.join(F.broadcast(done), "bucket", "left_anti")
+        # ORPHANS: manifested buckets whose input vanished ENTIRELY.
+        # They have no cur_stats row, so they are neither done nor
+        # todo, and dynamic overwrite never touches their directories —
+        # deleted docs would silently persist in stage output. Delete
+        # the directories now and tombstone the manifest (rows 0).
+        # Bucket count is bounded (n_buckets), so the collect is tiny.
+        orphaned = [
+            r["bucket"]
+            for r in manifest.select(F.col("partition_id").alias("bucket"))
+            .join(cur_stats.select("bucket"), "bucket", "left_anti")
+            .join(  # only tombstone buckets not ALREADY tombstoned
+                manifest.where(
+                    (F.col("rows_in") == 0) & (F.col("rows_out") == 0)
+                ).select(F.col("partition_id").alias("bucket")),
+                "bucket",
+                "left_anti",
+            )
+            .collect()
+        ]
+        if orphaned:
+            jvm = spark._jvm
+            hconf = spark._jsc.hadoopConfiguration()
+            for b in orphaned:
+                p = jvm.org.apache.hadoop.fs.Path(
+                    os.path.join(_data_path(base, stage), f"bucket={b}")
+                )
+                p.getFileSystem(hconf).delete(p, True)
     else:
         todo = bucketed_input
         n_in_by_bucket = cur_stats
@@ -138,7 +166,10 @@ def run_stage(
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     out.write.mode("overwrite").partitionBy("bucket").parquet(_data_path(base, stage))
-    wall_ms = int((time.perf_counter() - t0) * 1000)
+    # Whole-RUN wall for this stage invocation, stamped identically
+    # onto every bucket it wrote — honest name: this is NOT a
+    # per-bucket task time (capturing that needs a Spark listener).
+    run_wall_ms = int((time.perf_counter() - t0) * 1000)
 
     written = spark.read.parquet(_data_path(base, stage))
     new_out = (
@@ -169,11 +200,21 @@ def run_stage(
             F.format_string(
                 "%016x", F.coalesce("in_sha_xor", F.lit(0))
             ).alias("in_sha_xor"),
-            F.lit(wall_ms).cast("long").alias("wall_ms"),
+            F.lit(run_wall_ms).cast("long").alias("run_wall_ms"),
             F.lit(run_id).alias("run_id"),
             F.lit(time.time_ns()).cast("long").alias("ts"),
         )
     )
+    if orphaned:
+        zero = "%016x" % 0
+        tomb = spark.createDataFrame(
+            [
+                (stage, int(b), 0, 0, zero, zero, run_wall_ms, run_id, time.time_ns())
+                for b in orphaned
+            ],
+            mrows.schema,
+        )
+        mrows = mrows.unionByName(tomb)
     mrows.write.mode("append").parquet(_manifest_path(base, stage))
     return spark.read.parquet(_data_path(base, stage))
 
@@ -196,8 +237,13 @@ def lineage_check(
     ).select("partition_id", "content_sha_xor", "in_fold")
     # Null-safe: a bucket present on only ONE side (input never
     # manifested, or manifest row with no input) is a lineage failure,
-    # not a silently-dropped null comparison.
+    # not a silently-dropped null comparison. Exception: a TOMBSTONE
+    # (orphaned bucket whose input vanished — fold of zero rows, no
+    # input row) is consistent, not a failure.
+    tombstone_ok = (F.col("content_sha_xor") == F.lit("%016x" % 0)) & F.col(
+        "in_fold"
+    ).isNull()
     bad = joined.where(
-        ~F.col("content_sha_xor").eqNullSafe(F.col("in_fold"))
+        ~(F.col("content_sha_xor").eqNullSafe(F.col("in_fold")) | tombstone_ok)
     ).count()
     return bad == 0

@@ -353,9 +353,11 @@ def _build_scale(
         triples = _canonicalize(spark, triples, dict_entries)
 
     # Evidence edges (the pair->doc table) keep the hashed doc key
-    # pair; join back to docs on (xxhash64(doc_id), xxhash64(doc_id,1))
-    # when lineage is needed.
+    # pair; operators/pairs.py::evidence_articles joins them back to
+    # docs on (xxhash64(doc_id), xxhash64(doc_id, 1)) to recover the
+    # parity path's per-triple article sets when lineage is needed.
     return {
+        "entity_dim": idx_dim,
         "docs": docs,
         "mentions": arrs,
         "doc2entity": arrs.select(

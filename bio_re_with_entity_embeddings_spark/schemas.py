@@ -104,7 +104,7 @@ MANIFEST = T.StructType(
         T.StructField("rows_in", T.LongType(), False),
         T.StructField("rows_out", T.LongType(), False),
         T.StructField("content_sha_xor", T.StringType(), False),
-        T.StructField("wall_ms", T.LongType(), False),
+        T.StructField("run_wall_ms", T.LongType(), False),
         T.StructField("run_id", T.StringType(), False),
     ]
 )

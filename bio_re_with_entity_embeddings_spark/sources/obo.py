@@ -120,6 +120,7 @@ def with_parent_paths(terms: DataFrame, max_depth: int = 32) -> DataFrame:
     )
     chains = seeds.localCheckpoint(eager=True)
     frontier = chains
+    exhausted = False
     for _ in range(max_depth):
         new = (
             e_in.join(
@@ -137,9 +138,36 @@ def with_parent_paths(terms: DataFrame, max_depth: int = 32) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         if new.limit(1).count() == 0:
+            exhausted = True
             break
         chains = chains.unionByName(new).localCheckpoint(eager=True)
         frontier = new
+    if not exhausted:
+        # The frontier was still growing at max_depth: either an is_a
+        # CYCLE reachable from a root (every chain through it extends
+        # forever) or a hierarchy deeper than max_depth. Both would
+        # silently TRUNCATE parent paths — fail loudly instead (the
+        # count is one limit(1) probe, already the loop's own
+        # convergence check).
+        raise ValueError(
+            f"parent-path propagation did not converge within max_depth="
+            f"{max_depth}: is_a cycle or deeper hierarchy — raise "
+            "max_depth for deep ontologies; cycles must be fixed upstream"
+        )
+    # Converged — but a DETACHED cycle never enters the frontier at all:
+    # its members are in-table parents that received no chain. Without
+    # this probe their children would get silent ''-contributions (the
+    # 'parent missing from file' semantics, which they are NOT).
+    unreachable = e_in.select("parent").distinct().join(
+        chains.withColumnRenamed("doid", "parent"), "parent", "left_anti"
+    )
+    if unreachable.limit(1).count() > 0:
+        raise ValueError(
+            "is_a cycle: in-table parent term(s) unreachable from any "
+            "root (e.g. "
+            + unreachable.limit(3).toPandas()["parent"].str.cat(sep=", ")
+            + ") — cycles must be fixed upstream"
+        )
 
     # parent_paths(X) = chains of each parent; missing parents -> ''.
     contrib = edges.join(

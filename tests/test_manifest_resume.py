@@ -133,3 +133,31 @@ def test_rerun_is_idempotent(spark, workdir):
     # all buckets still attributed to r1; no double counting
     assert (m["run_id"] == "r1").all()
     assert m["rows_out"].sum() == 200
+
+
+def test_shrunk_corpus_deletes_orphaned_buckets(spark, workdir):
+    """A bucket whose input VANISHED entirely must not leave stale data
+    in stage output (round-2 ADVICE item 4): the orphaned directory is
+    deleted, the manifest tombstoned, and lineage still passes."""
+    docs = M.with_bucket(_corpus(spark), "repo", 8).cache()
+    M.run_stage(spark, workdir, "st", docs, lambda df: df, run_id="r1")
+
+    # shrink: drop every doc of two whole buckets
+    keep = docs.where(~F.col("bucket").isin([0, 1])).cache()
+    dropped = docs.count() - keep.count()
+    assert dropped > 0, "fixture must actually empty some buckets"
+
+    out = M.run_stage(spark, workdir, "st", keep, lambda df: df, run_id="r2")
+    got = sorted(r.doc_id for r in out.select("doc_id").collect())
+    exp = sorted(r.doc_id for r in keep.select("doc_id").collect())
+    assert got == exp, "deleted docs persisted in stage output"
+    m = M.read_manifest(spark, workdir, "st").toPandas()
+    tomb = m[m["partition_id"].isin([0, 1])]
+    assert (tomb["rows_out"] == 0).all() and (tomb["run_id"] == "r2").all()
+    assert M.lineage_check(spark, workdir, "st", keep)
+
+    # idempotent: a third run with the same shrunk input touches nothing
+    out3 = M.run_stage(spark, workdir, "st", keep, lambda df: df, run_id="r3")
+    assert sorted(r.doc_id for r in out3.select("doc_id").collect()) == exp
+    m3 = M.read_manifest(spark, workdir, "st").toPandas()
+    assert "r3" not in set(m3["run_id"])

@@ -135,3 +135,66 @@ def test_word2vec_rejects_spacey_tags(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="whitespace"):
         word2vec.save_word2vec_format(emb, str(tmp_path / "x.bin"))
+
+
+def test_parent_paths_detached_cycle_raises(spark):
+    """A DETACHED 2-cycle never enters the frontier — it must be caught
+    by the unreachable-parent probe, not silently yield ''-paths."""
+    cyc = spark.createDataFrame(
+        [
+            ("DOID:1", ["DOID:2"]),
+            ("DOID:2", ["DOID:1"]),  # detached 2-cycle
+            ("DOID:3", []),          # an honest root alongside it
+            ("DOID:4", ["DOID:3"]),
+        ],
+        "doid string, parent_ids array<string>",
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        obo.with_parent_paths(cyc, max_depth=8).count()
+
+
+def test_parent_paths_reachable_cycle_raises(spark):
+    """A cycle REACHABLE from a root grows the frontier forever — the
+    max_depth convergence guard must raise, not truncate."""
+    cyc = spark.createDataFrame(
+        [
+            ("DOID:0", []),
+            ("DOID:1", ["DOID:0", "DOID:2"]),  # enters the cycle
+            ("DOID:2", ["DOID:1"]),
+        ],
+        "doid string, parent_ids array<string>",
+    )
+    with pytest.raises(ValueError, match="converge"):
+        obo.with_parent_paths(cyc, max_depth=8).count()
+
+
+def test_parent_paths_depth_overflow_raises(spark):
+    """An acyclic chain deeper than max_depth must raise (silent
+    truncation is the failure mode being guarded)."""
+    deep = spark.createDataFrame(
+        [("DOID:0", [])]
+        + [(f"DOID:{i}", [f"DOID:{i-1}"]) for i in range(1, 12)],
+        "doid string, parent_ids array<string>",
+    )
+    with pytest.raises(ValueError, match="converge"):
+        obo.with_parent_paths(deep, max_depth=4).count()
+    assert obo.with_parent_paths(deep, max_depth=16).count() == 12
+
+
+def test_parent_paths_acyclic_unchanged(spark):
+    """Acyclic fixtures converge exactly as before the guard."""
+    acyc = spark.createDataFrame(
+        [
+            ("DOID:1", []),
+            ("DOID:2", ["DOID:1"]),
+            ("DOID:3", ["DOID:2"]),
+        ],
+        "doid string, parent_ids array<string>",
+    )
+    got = {
+        r.doid: r.parent_paths
+        for r in obo.with_parent_paths(acyc, max_depth=8).collect()
+    }
+    assert got["DOID:1"] is None
+    assert got["DOID:2"] == "DOID:1#"
+    assert got["DOID:3"] == "DOID:1#>DOID:2#"
