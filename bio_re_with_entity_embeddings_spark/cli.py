@@ -136,12 +136,16 @@ def cmd_train_embeddings(args) -> int:
 
     spark = _spark(args)
     tagged = spark.read.parquet(args.input)
-    emb = doc2vec.train_pv_dbow(
-        tagged,
-        vector_size=args.vector_size,
-        epochs=args.epochs,
-        seed=args.seed,
-    )
+    # Reference config-file parity (learn_embeddings.py:97-101): the
+    # JSON provides defaults; explicitly passed flags win over it.
+    kwargs = doc2vec.load_train_config(args.config) if args.config else {}
+    if args.vector_size is not None:
+        kwargs["vector_size"] = args.vector_size
+    if args.epochs is not None:
+        kwargs["epochs"] = args.epochs
+    kwargs.setdefault("vector_size", 64)
+    kwargs.setdefault("epochs", 10)
+    emb = doc2vec.train_pv_dbow(tagged, seed=args.seed, **kwargs)
     emb.write.mode("overwrite").parquet(args.output)
     print(f"doctag vectors -> {args.output}", file=sys.stderr)
     return 0
@@ -226,8 +230,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--input", required=True,
                     help="parquet of (tags array, words array)")
     sp.add_argument("--output", required=True)
-    sp.add_argument("--vector_size", type=int, default=64)
-    sp.add_argument("--epochs", type=int, default=10)
+    sp.add_argument("--config", default=None,
+                    help="reference doc2vec-*.config JSON "
+                         "(learn_embeddings.py format); flags override")
+    sp.add_argument("--vector_size", type=int, default=None)
+    sp.add_argument("--epochs", type=int, default=None)
     sp.add_argument("--seed", type=int, default=42)
     sp.set_defaults(fn=cmd_train_embeddings)
 

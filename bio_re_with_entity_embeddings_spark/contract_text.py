@@ -288,6 +288,61 @@ def dedup_simhash(spark, sf_dir):
     return out.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+# Embedding near-dup LSH: the 32 hyperplanes (8 tables x 4 planes,
+# seed 7 — the operator's floor configuration) are a pure function of
+# (dim, n_planes, seed); restated as SQL literals both engines assign
+# identical per-table keys, so the "approximate" candidate set is
+# row-exact, and the cosine verify is the shared double-precision sum.
+_EMB_PLANES = SIM._hyperplanes(dim=64, n_planes=32, seed=7)
+_SQL_EMB_BITS = " + ".join(
+    "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
+    + ", ".join(repr(float(x)) for x in plane)
+    + f"]) >= 0 THEN {1 << h} ELSE 0 END)"
+    for h, plane in enumerate(_EMB_PLANES)
+)
+
+
+@register(
+    "dedup_embedding",
+    f"""
+WITH v AS (
+  SELECT vec_id, {_SQL_EMB_BITS} AS bits FROM embeddings
+),
+tabbed AS (
+  SELECT vec_id, u.t AS tbl, (bits >> (4 * u.t)) & 15 AS bkey
+  FROM v, (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS t) u
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM tabbed x
+  JOIN tabbed y ON x.tbl = y.tbl AND x.bkey = y.bkey AND x.vec_id < y.vec_id
+)
+SELECT id_a, id_b, round(cosine, 6) AS cosine FROM (
+  SELECT c.id_a, c.id_b, {_SQL_COSINE} AS cosine
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.id_a
+  JOIN embeddings b ON b.vec_id = c.id_b
+  WHERE {_SQL_COSINE} >= 0.4
+)
+""",
+)
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: multi-table hyperplane-LSH
+    candidates + exact cosine verify (operators/dedup.py
+    embedding_near_duplicates, the scale path for content-embedding
+    dedup). Fixed 8x4-plane configuration so the DuckDB restatement
+    replays the identical hash tables; the n-derived plane count and
+    bucket cap are pinned separately in tests (flood + exact-match)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    out = DD.embedding_near_duplicates(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.4,
+        n_tables=8, planes_per_table=4, seed=7,
+    )
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
 # --- similarity search ---------------------------------------------------
 
 _SQL_COS_Q = _SQL_COSINE  # references a.embedding / b.embedding

@@ -25,8 +25,19 @@ Spark MLlib's Word2Vec uses):
 4. learning rate decays linearly per epoch from ``alpha`` to
    ``min_alpha`` (M4 schedule parity).
 
-Determinism: all randomness flows from (seed, epoch, shard) — reruns
-produce identical vectors.
+Parameter averaging vs gensim's hogwild: gensim threads share one
+model and see each other's updates immediately; here shards train on
+a broadcast SNAPSHOT and their touched rows (positives AND
+negative-sampled context rows) are averaged at each sync. Rows touched
+by one shard keep their full update; rows hot in k shards get the mean
+(collision damping ~1/k) — convergence per epoch is slightly slower,
+compensated by ``local_passes``. The trade buys a shuffle-free sync
+whose traffic is O(touched rows), not O(vocab).
+
+Determinism: all randomness flows from (seed, epoch, shard); shard
+data is lexsorted before the seeded permutation and shard
+contributions are averaged in shard order, so reruns produce identical
+vectors regardless of partition layout.
 """
 
 from __future__ import annotations
@@ -35,6 +46,48 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def load_train_config(path: str) -> dict:
+    """Reference JSON training-config parity
+    (``learn_embeddings.py:97-101``; files like
+    ``resources/configurations/doc2vec-0500.config``) -> keyword
+    arguments for :func:`train_pv_dbow`.
+
+    Mapping: ``iterations`` -> epochs; ``doc2vec_config``:
+    ``vector_size``/``min_count`` straight through,
+    ``learning_rate`` -> alpha, ``workers`` -> n_shards. The
+    reference's ``adapt_learning_rate`` subtracts
+    ``learning_rate_decay`` per iteration — the equivalent endpoint of
+    our linear alpha->min_alpha schedule is ``alpha - decay *
+    (iterations - 1)``; with adaptation off the rate is constant
+    (min_alpha = alpha). ``dm`` must be 0 (this IS the PV-DBOW
+    trainer); ``window_size``/``dbow_words`` have no effect in pure
+    DBOW doctag training and are accepted but ignored."""
+    import json
+
+    with open(path, encoding="utf-8") as fh:
+        cfg = json.load(fh)
+    d2v = cfg.get("doc2vec_config", {})
+    if d2v.get("dm", 0) != 0:
+        raise ValueError(
+            f"config {path}: dm={d2v['dm']} is PV-DM; this trainer is PV-DBOW (dm=0)"
+        )
+    epochs = int(cfg.get("iterations", 10))
+    alpha = float(d2v.get("learning_rate", 0.05))
+    if cfg.get("adapt_learning_rate"):
+        decay = float(cfg.get("learning_rate_decay", 0.0))
+        min_alpha = max(alpha - decay * max(epochs - 1, 0), alpha * 0.01)
+    else:
+        min_alpha = alpha
+    out = dict(epochs=epochs, alpha=alpha, min_alpha=min_alpha)
+    if "vector_size" in d2v:
+        out["vector_size"] = int(d2v["vector_size"])
+    if "min_count" in d2v:
+        out["min_count"] = int(d2v["min_count"])
+    if "workers" in d2v:
+        out["n_shards"] = int(d2v["workers"])
+    return out
 
 
 def build_vocab(
@@ -121,9 +174,20 @@ def train_pv_dbow(
         def train_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
             T0, C0, cdf, lr_, neg, seed_, ep = bc.value
             Ts, Cs = T0.copy(), C0.copy()
-            r = np.random.RandomState((seed_ * 1_000_003 + ep * 7919 + key[0]) & 0x7FFFFFFF)
+            shard_id = key[0]
+            r = np.random.RandomState((seed_ * 1_000_003 + ep * 7919 + shard_id) & 0x7FFFFFFF)
             ti = pdf["ti"].to_numpy(np.int64)
             wi = pdf["wi"].to_numpy(np.int64)
+            # Canonical order BEFORE the seeded permutation: Spark makes
+            # no row-order promise within an applyInPandas group, so the
+            # gradient order must be a pure function of (seed, epoch,
+            # shard, data), not of partition layout.
+            canon = np.lexsort((wi, ti))
+            ti, wi = ti[canon], wi[canon]
+            # Context rows sampled only as NEGATIVES also receive
+            # updates — they must be in the returned/averaged set or
+            # their repulsion is discarded every sync.
+            touched_neg: list[np.ndarray] = []
             # mini-batch vectorized negative-sampling SGD; several local
             # passes per sync amortize the broadcast/average round-trip
             # (small batches matter: one giant batch = one gradient step)
@@ -133,6 +197,7 @@ def train_pv_dbow(
                     sel = order[start : start + batch_size]
                     t, w = ti[sel], wi[sel]
                     negs = np.searchsorted(cdf, r.rand(len(sel), neg))
+                    touched_neg.append(negs.ravel())
                     v = Ts[t]  # (b, d)
                     # positive
                     s = 1.0 / (1.0 + np.exp(-np.einsum("bd,bd->b", v, Cs[w])))
@@ -146,10 +211,26 @@ def train_pv_dbow(
                     np.add.at(Cs, negs, gn[:, :, None] * v[:, None, :])
                     np.add.at(Ts, t, dv)
             touched_t = np.unique(ti)
-            touched_w = np.unique(np.concatenate([wi]))
-            rows = [(0, int(i), Ts[i].tolist()) for i in touched_t]
-            rows += [(1, int(i), Cs[i].tolist()) for i in touched_w]
-            return pd.DataFrame(rows, columns=["kind", "idx", "vec"])
+            touched_w = np.unique(np.concatenate([wi, *touched_neg]))
+            rows = [(int(shard_id), 0, int(i), Ts[i].tolist()) for i in touched_t]
+            rows += [(int(shard_id), 1, int(i), Cs[i].tolist()) for i in touched_w]
+            return pd.DataFrame(rows, columns=["shard", "kind", "idx", "vec"])
+
+        def mean_vec(pdf: pd.DataFrame) -> pd.DataFrame:
+            # Deterministic parameter average: sort contributions by
+            # shard id (float addition is not associative — delivery
+            # order must not leak into the result), one NumPy mean per
+            # (kind, idx) instead of dim avg() agg expressions (the
+            # round-2 shape was unwieldy at dim ~2000).
+            srt = pdf.sort_values("shard")
+            m = np.stack(srt["vec"].to_numpy()).mean(axis=0)
+            return pd.DataFrame(
+                {
+                    "kind": [int(pdf["kind"].iloc[0])],
+                    "idx": [int(pdf["idx"].iloc[0])],
+                    "vec": [m.tolist()],
+                }
+            )
 
         shard = F.pmod(
             F.xxhash64("ti", "wi", F.lit(epoch)), F.lit(n_shards)
@@ -157,11 +238,9 @@ def train_pv_dbow(
         updated = (
             pairs.withColumn("shard", shard)
             .groupBy("shard")
-            .applyInPandas(train_shard, out_schema)
+            .applyInPandas(train_shard, "shard int, " + out_schema)
             .groupBy("kind", "idx")
-            .agg(F.array(*[
-                F.avg(F.element_at("vec", d + 1)) for d in range(dim)
-            ]).alias("vec"))
+            .applyInPandas(mean_vec, out_schema)
             .collect()
         )
         for r_ in updated:

@@ -102,3 +102,60 @@ def test_cli_resume_run(spark, world):
         "--n_buckets", "4",
     ])
     assert rc == 0  # lineage verified inside
+
+
+def test_cli_train_embeddings_config_file(spark, tmp_path):
+    """Reference JSON config parity (learn_embeddings.py:97-101 +
+    resources/configurations/doc2vec-*.config): iterations ->
+    epochs, doc2vec_config.{vector_size,min_count,learning_rate,
+    workers} -> trainer kwargs; dm!=0 rejected; flags override."""
+    import json
+
+    from bio_re_with_entity_embeddings_spark.ml import doc2vec
+
+    cfg = {
+        "iterations": 3,
+        "adapt_learning_rate": True,
+        "learning_rate_decay": 0.001,
+        "doc2vec_config": {
+            "workers": 4,
+            "min_count": 1,
+            "window_size": 10,
+            "learning_rate": 0.02,
+            "vector_size": 8,
+            "dbow_words": 1,
+            "dm": 0,
+        },
+    }
+    cfg_path = str(tmp_path / "doc2vec-0008.config")
+    json.dump(cfg, open(cfg_path, "w"))
+    kw = doc2vec.load_train_config(cfg_path)
+    assert kw == {
+        "epochs": 3,
+        "alpha": 0.02,
+        "min_alpha": 0.02 - 0.001 * 2,
+        "vector_size": 8,
+        "min_count": 1,
+        "n_shards": 4,
+    }
+    with pytest.raises(ValueError, match="PV-DM"):
+        bad = dict(cfg, doc2vec_config=dict(cfg["doc2vec_config"], dm=1))
+        bad_path = str(tmp_path / "bad.config")
+        json.dump(bad, open(bad_path, "w"))
+        doc2vec.load_train_config(bad_path)
+
+    tagged = spark.createDataFrame(
+        [(["T1"], ["alpha", "amber"]), (["T2"], ["bolt", "brick"])] * 6,
+        "tags array<string>, words array<string>",
+    )
+    tagged_path = str(tmp_path / "tagged2")
+    tagged.write.parquet(tagged_path)
+    emb_path = str(tmp_path / "emb2")
+    rc = cli.main([
+        "train-embeddings", "--input", tagged_path, "--output", emb_path,
+        "--config", cfg_path,
+    ])
+    assert rc == 0
+    out = spark.read.parquet(emb_path)
+    assert out.count() == 2
+    assert len(out.first()["embedding"]) == 8  # vector_size from config

@@ -79,3 +79,20 @@ def test_exports_through_word2vec_format(spark, tagged, tmp_path):
     assert n == 8
     back = W2V.load_word2vec_format(spark, p)
     assert back.count() == 8 and set(back.columns) == {"entity_id", "embedding"}
+
+
+def test_determinism_invariant_to_partition_layout(spark, tagged):
+    """The determinism claim must hold across DIFFERENT partitionings:
+    shard data is lexsorted before the seeded permutation, so the
+    delivered row order inside each applyInPandas group cannot leak
+    into the vectors (round-2 ADVICE item 5)."""
+    few = D2V.train_pv_dbow(
+        tagged.repartition(1), vector_size=8, epochs=3, seed=5
+    )
+    many = D2V.train_pv_dbow(
+        tagged.repartition(13), vector_size=8, epochs=3, seed=5
+    )
+    va, vb = _vecs(few), _vecs(many)
+    assert set(va) == set(vb)
+    for t in va:
+        np.testing.assert_array_equal(va[t], vb[t])
