@@ -36,6 +36,10 @@ def run_bench(cpus: int, shuffle: int, sf_dir: str) -> dict:
     env.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-tmp")
     env.setdefault("SPARK_GRAFT_SCALE_FILES", "2000000")
     env.setdefault("SPARK_GRAFT_SKIP_HEADLINE", "1")
+    # each inner bench invocation is ONE measurement; the outer
+    # interleaved pair loop provides the median-of-repeats (a nested
+    # median-of-3 would triple every level's wall for no extra rigor)
+    env["SPARK_GRAFT_BENCH_REPEATS"] = "1"
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(shuffle)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir

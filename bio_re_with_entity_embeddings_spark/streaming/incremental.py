@@ -101,6 +101,130 @@ def streaming_dedup(
     )
 
 
+def streaming_triple_emitter(
+    pairs_stream: DataFrame,
+    threshold: int = 2,
+) -> DataFrame:
+    """Custom STATEFUL streaming operator: threshold-based triple
+    emission (the north rule's triple-emission semantics, incremental).
+
+    Input: doc-level evidence rows (subj, pred, obj) — one row per
+    (document, pair), distinct across the stream's lifetime (the shape
+    ``incremental_triples`` produces; per-doc arrays are distinct by
+    construction and each corpus file arrives once).
+
+    State per (subj, pred, obj): cumulative distinct-doc support + an
+    emitted flag. A triple row is emitted EXACTLY ONCE, in the
+    micro-batch whose evidence carries its support across
+    ``threshold`` (n_docs = the crossing count). The state store
+    checkpoints with the query: support accumulates across
+    micro-batches and restarts, and the once-only guarantee survives
+    replay (state commits atomically with the batch).
+
+    Scale shape: state is 17 bytes per distinct candidate pair,
+    hash-partitioned by the state store; per-batch work is O(evidence
+    rows in the batch); no stream-stream join anywhere.
+    """
+    import pandas as pd
+
+    def emit_fn(key, pdfs, state):
+        n, emitted = state.get if state.exists else (0, False)
+        for pdf in pdfs:
+            n += len(pdf)
+        out = []
+        if not emitted and n >= threshold:
+            out.append((key[0], key[1], key[2], n))
+            emitted = True
+        state.update((int(n), bool(emitted)))
+        yield pd.DataFrame(out, columns=["subj", "pred", "obj", "n_docs"])
+
+    return pairs_stream.groupBy("subj", "pred", "obj").applyInPandasWithState(
+        emit_fn,
+        outputStructType="subj string, pred string, obj string, n_docs long",
+        stateStructType="n long, emitted boolean",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def incremental_triples(
+    corpus_stream: DataFrame,
+    dict_entries,
+    relations: list[tuple[str, str]],
+    predicate_fn,
+    threshold: int = 2,
+) -> DataFrame:
+    """Full incremental KG construction as ONE streaming plan, no
+    stream-stream join: Arrow entity-array detector (mapInPandas is
+    streaming-capable) -> map-side k^2 pair expansion by double explode
+    (pairs never leave their doc row — the same shuffle-free shape as
+    the batch scale path, plans/pipeline.py::_build_scale) -> broadcast
+    restore of entity-id strings (stream-static) -> stateful
+    threshold emission (``streaming_triple_emitter``).
+
+    ``relations``: (source_type, target_type) pairs;
+    ``predicate_fn(src_t, tgt_t) -> str`` names each relation.
+    Returns the unstarted streaming DataFrame of
+    (subj, pred, obj, n_docs) triples; callers pick sink + checkpoint.
+    """
+    from ..operators.mentions import detect_entity_arrays
+    from ..plans.pipeline import ingest
+
+    spark = corpus_stream.sparkSession
+    ids = sorted({e[1] for e in dict_entries})
+    entity_idx = {eid: i + 1 for i, eid in enumerate(ids)}
+    all_types = sorted({e[2] for e in dict_entries})
+    type_codes = {t: i for i, t in enumerate(all_types)}
+    idx_dim = spark.createDataFrame(
+        [(i, eid) for eid, i in entity_idx.items()], "idx int, entity_id string"
+    )
+
+    arrs = detect_entity_arrays(
+        ingest(corpus_stream), dict_entries, entity_idx, type_codes
+    )
+    raw = (
+        arrs.select(F.explode("ets").alias("eta"), "ets")
+        .select("eta", F.explode("ets").alias("etb"))
+        .select(
+            F.shiftright("eta", 8).alias("si"),
+            F.shiftright("etb", 8).alias("oi"),
+            (
+                F.col("eta").bitwiseAND(F.lit(255)) * 256
+                + F.col("etb").bitwiseAND(F.lit(255))
+            ).alias("rc"),
+        )
+    )
+    wanted = [type_codes[s] * 256 + type_codes[t] for s, t in relations]
+    pred_by_code = F.create_map(
+        *[
+            x
+            for (s, t) in relations
+            for x in (
+                F.lit(type_codes[s] * 256 + type_codes[t]),
+                F.lit(predicate_fn(s, t)),
+            )
+        ]
+    )
+    pairs = (
+        raw.where(F.col("rc").isin(wanted) & (F.col("si") != F.col("oi")))
+        .withColumn("pred", pred_by_code[F.col("rc")])
+        .join(
+            F.broadcast(
+                idx_dim.select(F.col("idx").alias("si"), F.col("entity_id").alias("subj"))
+            ),
+            "si",
+        )
+        .join(
+            F.broadcast(
+                idx_dim.select(F.col("idx").alias("oi"), F.col("entity_id").alias("obj"))
+            ),
+            "oi",
+        )
+        .select("subj", "pred", "obj")
+    )
+    return streaming_triple_emitter(pairs, threshold)
+
+
 def incremental_mentions(
     spark: SparkSession,
     corpus_stream: DataFrame,

@@ -75,21 +75,29 @@ def test_overwrite_partitions_is_dynamic_not_truncate(spark, triples, tmp_path):
     partitions intact (under Spark's default STATIC overwrite mode a
     plain mode('overwrite') would truncate the whole table)."""
     target = str(tmp_path / "graph5")
-    ICE.write_triples(triples, target, n_buckets=8)
-    uses_only = triples.where(F.col("pred") == "uses")
-    ICE.write_triples(uses_only, target, n_buckets=8, mode="overwritePartitions")
-    back = ICE.read_triples(spark, target)
-    assert back.count() == 4
-    assert {r.pred for r in back.select("pred").distinct().collect()} == {
-        "uses",
-        "provides",
-        "calls",
-    }
-    # and the session conf was restored, not leaked
-    assert (
-        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC").lower()
-        == "static"
-    )
+    key = "spark.sql.sources.partitionOverwriteMode"
+    # pin STATIC (other suites — manifest.run_stage — may have left the
+    # shared session dynamic, which would mask the truncation bug)
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "static")
+    try:
+        ICE.write_triples(triples, target, n_buckets=8)
+        uses_only = triples.where(F.col("pred") == "uses")
+        ICE.write_triples(uses_only, target, n_buckets=8, mode="overwritePartitions")
+        back = ICE.read_triples(spark, target)
+        assert back.count() == 4
+        assert {r.pred for r in back.select("pred").distinct().collect()} == {
+            "uses",
+            "provides",
+            "calls",
+        }
+        # and the session conf was restored, not leaked
+        assert spark.conf.get(key).lower() == "static"
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def test_iceberg_v2_writer_branch(spark, triples, tmp_path):

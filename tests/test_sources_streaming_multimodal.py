@@ -290,3 +290,137 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     assert rows["3"]["is_duplicate"] and rows["3"]["keeper"] == "1"
     assert rows["4"]["is_duplicate"] and rows["4"]["keeper"] == "2"
     assert rows["3"]["n_seen"] == 2 and rows["4"]["n_seen"] == 2
+
+
+def test_streaming_triple_emitter_threshold_once(spark, tmp_path):
+    """Threshold-based triple emission as a stateful streaming operator:
+    a triple is emitted EXACTLY ONCE, in the micro-batch whose evidence
+    carries its support across the threshold; support accumulates
+    across batches via the checkpointed state store."""
+    from bio_re_with_entity_embeddings_spark.streaming.incremental import (
+        streaming_triple_emitter,
+    )
+
+    src = tmp_path / "pairs_in"
+    src.mkdir()
+    schema = "subj string, pred string, obj string"
+    # batch 1: one doc supports (A uses B); one doc supports (C uses D)
+    spark.createDataFrame(
+        [("A", "uses", "B"), ("C", "uses", "D")], schema
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    # batch 2: second doc for (A uses B) -> crosses threshold 2
+    spark.createDataFrame(
+        [("A", "uses", "B")], schema
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    # batch 3: third doc for (A uses B) -> must NOT re-emit
+    spark.createDataFrame(
+        [("A", "uses", "B"), ("C", "uses", "D")], schema
+    ).coalesce(1).write.parquet(str(src / "b3"))
+
+    emitted: list[tuple] = []
+
+    def run(ckpt_rows):
+        # foreachBatch sink: supports checkpoint RECOVERY (the memory
+        # sink does not), so the same checkpoint drives both runs
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        q = (
+            streaming_triple_emitter(stream, threshold=2)
+            .writeStream.foreachBatch(
+                lambda df, eid: ckpt_rows.extend(
+                    (r.subj, r.pred, r.obj, r.n_docs) for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt_te"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(emitted)
+    got = {(s_, p_, o_): n for s_, p_, o_, n in emitted}
+    assert len(emitted) == 2, emitted  # each triple exactly once
+    assert got[("A", "uses", "B")] == 2  # the CROSSING count
+    assert got[("C", "uses", "D")] == 2
+
+    # restart with more evidence: state survives, no re-emission of
+    # already-emitted triples; a NEW pair can still cross later
+    spark.createDataFrame(
+        [("A", "uses", "B"), ("E", "uses", "F")], schema
+    ).coalesce(1).write.parquet(str(src / "b4"))
+    spark.createDataFrame(
+        [("E", "uses", "F")], schema
+    ).coalesce(1).write.parquet(str(src / "b5"))
+    emitted2: list[tuple] = []
+    run(emitted2)
+    got2 = {(s_, p_, o_): n for s_, p_, o_, n in emitted2}
+    assert ("A", "uses", "B") not in got2  # emitted before restart
+    assert got2[("E", "uses", "F")] == 2
+
+
+def test_incremental_triples_end_to_end(spark, tmp_path):
+    """Full streaming KG construction (detector -> map-side pair
+    expansion -> stateful emission) matches the batch scale path's
+    (subj, pred, obj) set at the same threshold."""
+    from bio_re_with_entity_embeddings_spark import fixtures, schemas
+    from bio_re_with_entity_embeddings_spark.operators import triples as T_OP
+    from bio_re_with_entity_embeddings_spark.plans import pipeline
+    from bio_re_with_entity_embeddings_spark.streaming.incremental import (
+        incremental_triples,
+    )
+
+    dictionary = fixtures.make_dictionary()
+    rows = fixtures.make_corpus_rows(120, dictionary)
+    src = tmp_path / "corpus_in"
+    src.mkdir()
+    half = len(rows) // 2
+    spark.createDataFrame(rows[:half], schemas.CORPUS).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    spark.createDataFrame(rows[half:], schemas.CORPUS).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+
+    dict_entries = [(e.surface, e.entity_id, e.entity_type) for e in dictionary]
+    relations = [(fixtures.FN, fixtures.PKG), (fixtures.FN, fixtures.FN)]
+    stream = (
+        spark.readStream.schema(schemas.CORPUS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        incremental_triples(
+            stream, dict_entries, relations, T_OP.predicate_for, threshold=3
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("inc_triples")
+        .option("checkpointLocation", str(tmp_path / "ckpt_it"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in spark.sql("SELECT * FROM inc_triples").collect()
+    }
+
+    # batch reference: scale-path pipeline, n_docs >= 3
+    corpus = spark.createDataFrame(rows, schemas.CORPUS)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    batch = pipeline.build_triples(
+        spark, corpus, dictionary, emb,
+        pipeline.PipelineConfig(
+            relations=relations, articles_cap=-1, threshold=-1e9
+        ),
+    )["triples"].where("n_docs >= 3").toPandas()
+    want = {(r.subj, r.pred, r.obj) for r in batch.itertuples()}
+    assert got == want
+    assert len(want) > 5
