@@ -48,6 +48,38 @@ def text_stats(spark, sf_dir):
 
 
 @register(
+    "text_winnowing",
+    """
+WITH norm AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc, i.g AS pos, md5(substr(t, CAST(i.g AS INT), 5)) AS h
+  FROM norm, unnest(generate_series(1, length(t) - 4)) AS i(g)
+  WHERE length(t) >= 5
+),
+wins AS (
+  SELECT doc,
+         min(h) OVER (PARTITION BY doc ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+  FROM grams
+)
+SELECT DISTINCT doc, fp FROM wins WHERE wn = 4
+""",
+)
+def text_winnowing(spark, sf_dir):
+    """Winnowing (MOSS) document fingerprints: md5 char-5-gram hashes,
+    window-4 minima, distinct kept hashes per doc — the DuckDB oracle
+    replays the identical selection with window functions."""
+    d = _load(spark, sf_dir, "documents")
+    return TXT.winnowing_fingerprints(d, "doc_id", "text", k=5, w=4)
+
+
+@register(
     "text_quality",
     f"""
 SELECT doc_id,

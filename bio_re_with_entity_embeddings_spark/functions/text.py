@@ -111,6 +111,62 @@ def shingles(col, n: int = 3) -> Column:
     )
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS copy-detection scheme): hash every char
+    ``k``-gram of the normalized text, slide a window of ``w``
+    consecutive hashes, keep each window's MINIMUM; the distinct kept
+    hashes are the doc's fingerprint set. Guarantees: any shared
+    substring of length >= k + w - 1 between two documents yields at
+    least one shared fingerprint, and selection density is bounded
+    (~2/(w+1)) — the local-similarity analog of the global minhash
+    sketch.
+
+    Hashes are md5 hex strings (lexicographic min; reproducible in any
+    ANSI engine — the DuckDB oracle replays the selection verbatim).
+
+    Output: (doc, fp) distinct rows. Scale shape: one posexplode (a
+    row per char k-gram), ONE doc-keyed sort-window (the same shuffle a
+    groupBy(doc) needs), distinct keyed (doc, fp) — all codegen'd, no
+    Python. Docs shorter than k yield no rows.
+    """
+    from pyspark.sql import Window
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    n = F.length(norm)
+    gram_arr = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.md5(F.substring(norm, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = df.select(
+        F.col(id_col).cast("string").alias("doc"),
+        F.posexplode(gram_arr).alias("pos", "h"),
+    )
+    frame = (
+        Window.partitionBy("doc").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    return (
+        grams.select(
+            "doc",
+            F.min("h").over(frame).alias("fp"),
+            F.count(F.lit(1)).over(frame).alias("_wn"),
+        )
+        .where(F.col("_wn") == w)  # complete windows only
+        .select("doc", "fp")
+        .distinct()
+    )
+
+
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (
         df.withColumn("n_tokens", token_count(text_col))

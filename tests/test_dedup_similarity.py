@@ -306,3 +306,33 @@ def test_embedding_lsh_bucket_cap_bounds_degenerate_bucket(spark):
     pairs = {(r.id_a, r.id_b) for r in got.itertuples()}
     assert (0, 1) in pairs
     assert len(pairs) == 1, f"flood leaked {len(pairs) - 1} quadratic pairs"
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing invariant (Schleimer et al.): two docs sharing a
+    substring of length >= k + w - 1 (= 8 here) share at least one
+    fingerprint; disjoint-content docs share none; docs shorter than k
+    yield no rows."""
+    from bio_re_with_entity_embeddings_spark.functions.text import (
+        winnowing_fingerprints,
+    )
+
+    shared = "xqzjvkwpy"  # 9 chars >= k + w - 1
+    docs = spark.createDataFrame(
+        [
+            ("a", f"left padding {shared} more text here"),
+            ("b", f"completely different start {shared} and end"),
+            ("c", "nothing in common with the others at all"),
+            ("d", "hi"),  # shorter than k=5
+        ],
+        "doc_id string, text string",
+    )
+    fp = winnowing_fingerprints(docs, "doc_id", "text", k=5, w=4).toPandas()
+    by_doc = {d: set(g["fp"]) for d, g in fp.groupby("doc")}
+    assert by_doc["a"] & by_doc["b"], "shared substring must share a fingerprint"
+    assert not (by_doc["a"] & by_doc["c"] & by_doc["b"])
+    assert "d" not in by_doc
+    # density: kept fingerprints are a strict subset of all k-gram hashes
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for d in ("a", "b", "c"):
+        assert len(by_doc[d]) < len(texts[d]) - 5 + 1

