@@ -80,6 +80,70 @@ def text_winnowing(spark, sf_dir):
 
 
 @register(
+    "curate_quota_sample",
+    """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 50
+""",
+)
+def curate_quota_sample(spark, sf_dir):
+    """Deterministic per-group quota sampling (cap over-represented
+    languages/domains): at most 50 docs per lang, md5-hash order —
+    reproducible, oracle-exact (rand() sampling would be neither)."""
+    from .operators import curation as CUR
+
+    d = _load(spark, sf_dir, "documents")
+    return CUR.quota_sample(d, "lang", 50, "doc_id").select("doc_id", "lang")
+
+
+# Deterministic benchmark split for the decontamination query: every
+# 20th doc plays the held-out benchmark, the rest are the corpus.
+_SQL_DECON_GRAMS = """
+WITH d AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         array_to_string(toks[CAST(i.g AS INT) : CAST(i.g AS INT) + 3], ' ') AS gram
+  FROM d, unnest(generate_series(1, greatest(len(toks) - 3, 1))) AS i(g)
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+corpus AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc, gram FROM g
+           WHERE doc_id % 20 <> 0)
+"""
+
+
+@register(
+    "curate_decontaminate",
+    _SQL_DECON_GRAMS
+    + """
+SELECT doc, CAST(count(*) AS BIGINT) AS n_hits
+FROM corpus c JOIN bench b USING (gram)
+GROUP BY doc
+""",
+)
+def curate_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3-style word n-gram overlap,
+    n=4 at this corpus size): corpus docs sharing >= 1 n-gram with the
+    deterministic benchmark split, with distinct-gram hit counts. The
+    string-keyed dataflow is the oracle; the production variant
+    broadcasts 64-bit gram hashes instead (equality pinned in tests)."""
+    from .operators import curation as CUR
+
+    d = _load(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    corpus = d.where(F.col("doc_id") % 20 != 0)
+    return CUR.decontaminate_exact(corpus, bench, "doc_id", "text", n=4)
+
+
+@register(
     "text_quality",
     f"""
 SELECT doc_id,
@@ -484,6 +548,62 @@ def sim_ann_lsh(spark, sf_dir):
     force additionally asserted in tests."""
     emb = _load(spark, sf_dir, "embeddings")
     out = SIM.ann_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
+# IVF ANN: 16 deterministic unit anchors (dim 64, seed 42) restated as
+# literal centroids — both engines compute identical dot products, rank
+# cells by (dot DESC, cell ASC), probe the same 4 cells, and verify
+# with the shared double cosine. (Trained-centroid IVF is data-
+# dependent and pinned by units instead; see similarity.train_centroids.)
+_IVF_ANCHORS = SIM.anchors(dim=64, k=16, seed=42)
+_SQL_IVF_STRUCTS = ", ".join(
+    "{'cell': %d, 'd': list_dot_product(CAST(embedding AS DOUBLE[]), [%s])}"
+    % (i, ", ".join(repr(float(x)) for x in c))
+    for i, c in enumerate(_IVF_ANCHORS)
+)
+
+
+@register(
+    "sim_ivf",
+    f"""
+WITH ranked AS (
+  SELECT vec_id, embedding, u.cell AS cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY u.d DESC, u.cell) AS rn
+  FROM embeddings, unnest([{_SQL_IVF_STRUCTS}]) AS t(u)
+),
+corpus AS (SELECT vec_id AS neighbor_id, cell FROM ranked WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM ranked WHERE rn <= 4 AND vec_id < 5
+),
+cand AS (
+  SELECT DISTINCT p.query_id, c.neighbor_id
+  FROM probes p JOIN corpus c ON c.cell = p.cell
+  WHERE c.neighbor_id <> p.query_id
+)
+SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine FROM (
+  SELECT c.query_id, c.neighbor_id,
+         {_SQL_COS_Q} AS cosine,
+         CAST(row_number() OVER (PARTITION BY c.query_id
+              ORDER BY {_SQL_COS_Q} DESC, c.neighbor_id) AS INT) AS rank
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.query_id
+  JOIN embeddings b ON b.vec_id = c.neighbor_id
+)
+WHERE rank <= 5
+""",
+)
+def sim_ivf(spark, sf_dir):
+    """IVF approximate top-k (anchor-quantized cells, 4-probe query
+    side, exact cosine verify). Deterministic anchors -> row-exact
+    oracle; the trained-centroid variant (distributed Lloyd) is pinned
+    by unit tests (recall >= anchors, determinism)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    out = SIM.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=5, n_cells=16, n_probe=4
+    )
     return out.select(
         "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
     )

@@ -235,3 +235,156 @@ def ann_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+# --- IVF (inverted-file) ANN --------------------------------------------
+#
+# The second ANN scale path next to hyperplane LSH: partition the vector
+# space into cells around centroids, search only the n_probe cells
+# nearest to the query. Two centroid sources:
+#
+# * ``anchors(dim, k, seed)`` — deterministic seeded unit anchors, data-
+#   independent, so the whole dataflow is restatable with literal
+#   centroids in ANSI SQL (the oracle path);
+# * ``train_centroids`` — distributed Lloyd iterations over the corpus
+#   (the quality path: trained cells are balanced where anchors are
+#   not). Off the oracle path by design — centroids then depend on data.
+
+
+def anchors(dim: int, k: int, seed: int = 42) -> np.ndarray:
+    """Deterministic unit-norm anchor centroids (seeded Gaussian)."""
+    rng = np.random.RandomState(seed)
+    c = rng.standard_normal((k, dim)).astype(np.float64)
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def cell_assign_udf(centroids: np.ndarray, n_probe: int = 1):
+    """Arrow kernel: top-``n_probe`` centroid indices per vector by
+    cosine (centroids are unit-norm, so argmax dot == argmax cosine).
+    Ties break toward the LOWER cell index (stable lexsort on
+    (-dot, idx)) — the DuckDB oracle's (dot DESC, idx ASC) order."""
+    import pandas as pd  # noqa: F811 (worker-side import)
+
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("array<int>")
+    def cells(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype=object)
+        mat = np.stack([np.asarray(x, dtype=np.float64) for x in v.values])
+        dots = mat @ C.T  # (batch, k)
+        idx = np.argsort(-dots, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype(np.int32) for row in idx])
+
+    return cells
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in ONE cell (nearest
+    centroid); each query probes its ``n_probe`` nearest cells; exact
+    cosine verify + window top-k within the probed candidates.
+
+    Scale shape mirrors ``ann_topk``: the corpus side carries one int
+    cell per vector (no replication), probing scales the QUERY side
+    only, and the candidate join broadcasts the (small) query table.
+    With trained centroids cells are ~n/n_cells balanced, so candidate
+    volume is ~n * n_probe / n_cells per query batch — the standard
+    recall/cost dial. ``centroids=None`` uses the deterministic seeded
+    anchors (oracle-checkable with literal centroids; see
+    contract_text.sim_ivf)."""
+    if centroids is None:
+        dim = len(vectors.select(vec_col).first()[0])
+        centroids = anchors(dim, n_cells, seed)
+    one = cell_assign_udf(centroids, 1)
+    probe = cell_assign_udf(centroids, n_probe)
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+        one(F.col(vec_col))[0].alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probe(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        v.join(F.broadcast(q), "cell", "inner")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_cols("q_vec", "n_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def train_centroids(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Distributed Lloyd iterations: assign every vector to its nearest
+    current centroid (Arrow kernel), compute per-(partition, cell)
+    partial sums executor-side, reduce the ~(partitions x n_cells) tiny
+    partials driver-side, re-normalize. Empty cells keep their previous
+    centroid. Returns unit-norm centroids.
+
+    Determinism: fixed seed + fixed input partitioning (float partial
+    sums commute only approximately; like the doc2vec trainer, identical
+    layouts give identical centroids — the ORACLE path avoids this
+    entirely by using data-independent anchors)."""
+    import pandas as pd  # noqa: F811
+
+    dim = len(vectors.select(vec_col).first()[0])
+    C = anchors(dim, n_cells, seed)
+    src = vectors.select(F.col(vec_col).alias("v"))
+    for _ in range(iters):
+        Cb = np.ascontiguousarray(C)
+
+        def partials(batches, Cb=Cb):
+            sums = np.zeros((n_cells, dim), dtype=np.float64)
+            counts = np.zeros(n_cells, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.stack(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["v"].values]
+                )
+                cells = np.argmax(mat @ Cb.T, axis=1)
+                np.add.at(sums, cells, mat)
+                np.add.at(counts, cells, 1)
+            yield pd.DataFrame(
+                {
+                    "cell": np.arange(n_cells, dtype=np.int32),
+                    "s": [row.tolist() for row in sums],
+                    "n": counts,
+                }
+            )
+
+        rows = src.mapInPandas(
+            partials, "cell int, s array<double>, n long"
+        ).collect()
+        sums = np.zeros((n_cells, dim), dtype=np.float64)
+        counts = np.zeros(n_cells, dtype=np.int64)
+        for r in sorted(rows, key=lambda r: (r["cell"], r["n"])):
+            sums[r["cell"]] += np.asarray(r["s"], dtype=np.float64)
+            counts[r["cell"]] += r["n"]
+        nz = counts > 0
+        C = C.copy()
+        C[nz] = sums[nz] / counts[nz, None]
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C

@@ -336,3 +336,86 @@ def test_winnowing_shared_substring_guarantee(spark):
     texts = {r.doc_id: r.text for r in docs.collect()}
     for d in ("a", "b", "c"):
         assert len(by_doc[d]) < len(texts[d]) - 5 + 1
+
+
+def test_decontaminate_hashed_equals_exact(spark):
+    """The production (64-bit gram-hash broadcast) decontamination must
+    equal the string-keyed oracle dataflow row-exactly."""
+    from bio_re_with_entity_embeddings_spark.operators import curation as CUR
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    corpus = d.where(F.col("doc_id") % 20 != 0)
+    fast = CUR.decontaminate(corpus, bench, n=4).toPandas()
+    exact = CUR.decontaminate_exact(corpus, bench, n=4).toPandas()
+    assert dict(zip(fast["doc"], fast["n_hits"])) == dict(
+        zip(exact["doc"], exact["n_hits"])
+    )
+    assert len(exact) > 0  # fixture actually exercises contamination
+
+
+def test_quota_sample_deterministic_cap(spark):
+    from bio_re_with_entity_embeddings_spark.operators import curation as CUR
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    s1 = CUR.quota_sample(d, "lang", 7, "doc_id").toPandas()
+    s2 = CUR.quota_sample(d.repartition(13), "lang", 7, "doc_id").toPandas()
+    # per-group cap respected
+    assert (s1.groupby("lang")["doc_id"].count() <= 7).all()
+    # groups smaller than the quota survive whole
+    sizes = d.toPandas().groupby("lang")["doc_id"].count()
+    got_sizes = s1.groupby("lang")["doc_id"].count()
+    for lang, n in sizes.items():
+        assert got_sizes.get(lang, 0) == min(n, 7)
+    # deterministic under repartitioning
+    assert sorted(s1["doc_id"]) == sorted(s2["doc_id"])
+
+
+def test_ivf_topk_recall_and_exactness_within_cells(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 20)
+    bf = SIM.brute_force_topk(emb, queries, k=5).toPandas()
+    ivf = SIM.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4).toPandas()
+    bf_set = set(map(tuple, bf[["query_id", "neighbor_id"]].itertuples(index=False)))
+    ivf_set = set(map(tuple, ivf[["query_id", "neighbor_id"]].itertuples(index=False)))
+    assert ivf_set
+    recall = len(bf_set & ivf_set) / len(bf_set)
+    assert recall >= 0.2, recall  # 4/16 cells probed, random 64-dim
+    # full-probe IVF == brute force (probing every cell is exhaustive)
+    full = SIM.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=16).toPandas()
+    key = ["query_id", "neighbor_id", "rank"]
+    assert sorted(map(tuple, full[key].itertuples(index=False))) == sorted(
+        map(tuple, bf[key].itertuples(index=False))
+    )
+
+
+def test_ivf_trained_centroids(spark):
+    """Distributed Lloyd: training must strictly reduce quantization
+    error vs the seeded anchors, be deterministic for a fixed layout,
+    and trained-IVF recall must not collapse below anchor-IVF."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").coalesce(4).cache()
+    emb.count()
+    M = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in emb.collect()]
+    )
+    a = SIM.anchors(M.shape[1], 8, seed=42)
+    t1 = SIM.train_centroids(emb, n_cells=8, iters=4, seed=42)
+    t2 = SIM.train_centroids(emb, n_cells=8, iters=4, seed=42)
+    np.testing.assert_array_equal(t1, t2)  # deterministic, fixed layout
+
+    def inertia(C):
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        return float((1.0 - (Mn @ C.T).max(axis=1)).sum())  # cosine distance
+
+    assert inertia(t1) < inertia(a), (inertia(t1), inertia(a))
+
+    queries = emb.where(F.col("vec_id") < 20)
+    bf = SIM.brute_force_topk(emb, queries, k=5).toPandas()
+    bf_set = set(map(tuple, bf[["query_id", "neighbor_id"]].itertuples(index=False)))
+    got = SIM.ivf_topk(
+        emb, queries, k=5, n_cells=8, n_probe=3, centroids=t1
+    ).toPandas()
+    got_set = set(map(tuple, got[["query_id", "neighbor_id"]].itertuples(index=False)))
+    assert len(bf_set & got_set) / len(bf_set) >= 0.2
