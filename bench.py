@@ -39,7 +39,10 @@ HEADLINE_QUERIES = [
     "dedup_exact",
     "sim_topk_matmul",
     "sim_ann_lsh",
+    "sim_ivf",
     "text_stats",
+    "text_winnowing",
+    "curate_decontaminate",
 ]
 
 

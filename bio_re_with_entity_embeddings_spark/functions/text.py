@@ -140,17 +140,24 @@ def winnowing_fingerprints(
 
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
-    n = F.length(norm)
-    gram_arr = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - k + 1),
-            lambda i: F.md5(F.substring(norm, i, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = df.select(
-        F.col(id_col).cast("string").alias("doc"),
-        F.posexplode(gram_arr).alias("pos", "h"),
+    # explode positions FIRST, hash as a top-level codegen'd expr:
+    # md5 inside a transform() lambda is interpreted per element
+    # (measured ~20x penalty on this workload class, BENCH/BASELINE.md)
+    grams = (
+        df.select(
+            F.col(id_col).cast("string").alias("doc"), norm.alias("_t")
+        )
+        .where(F.length("_t") >= k)
+        .select(
+            "doc",
+            "_t",
+            F.explode(
+                F.sequence(F.lit(1), F.length("_t") - k + 1)
+            ).alias("pos"),
+        )
+        .select(
+            "doc", "pos", F.md5(F.substring(F.col("_t"), F.col("pos"), F.lit(k))).alias("h")
+        )
     )
     frame = (
         Window.partitionBy("doc").orderBy("pos").rowsBetween(0, w - 1)
