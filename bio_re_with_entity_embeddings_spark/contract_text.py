@@ -48,6 +48,28 @@ def text_stats(spark, sf_dir):
 
 
 @register(
+    "text_tokens_bpe",
+    f"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws,
+       CAST(len(regexp_extract_all(text, '{TXT.BPE_PRETOKEN_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe
+FROM documents
+""",
+)
+def text_tokens_bpe(spark, sf_dir):
+    """Token counting two ways: whitespace (the reference's unit,
+    learn_embeddings.py:29) and the GPT-2 BPE pretokenizer split (the
+    unit an LLM pipeline budgets by) — the lookahead-free pattern
+    evaluates identically under Java regex and RE2."""
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TXT.token_count("text").alias("n_ws"),
+        TXT.token_count_bpe("text").alias("n_bpe"),
+    )
+
+
+@register(
     "text_winnowing",
     """
 WITH norm AS (

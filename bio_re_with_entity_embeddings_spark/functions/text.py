@@ -33,6 +33,23 @@ def token_count(col) -> Column:
     return F.size(F.split(F.trim(c), r"\s+")).cast("long")
 
 
+# GPT-2-style pretokenizer pattern, lookahead-free so Java regex
+# (Spark) and RE2 (DuckDB) agree token-for-token: contractions, then
+# optionally-space-prefixed letter runs / digit runs / other-symbol runs.
+BPE_PRETOKEN_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def token_count_bpe(col) -> Column:
+    """BPE-pretokenizer token count (GPT-2 split pattern): the unit an
+    LLM data pipeline budgets by, vs the whitespace count the reference
+    uses. Counts pretokens — a lower bound on (and strongly correlated
+    with) the post-merge BPE token count, with no vocabulary needed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_PATTERN), 0)
+    ).cast("long")
+
+
 def char_count(col) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.length(c).cast("long")

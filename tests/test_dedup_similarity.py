@@ -419,3 +419,21 @@ def test_ivf_trained_centroids(spark):
     ).toPandas()
     got_set = set(map(tuple, got[["query_id", "neighbor_id"]].itertuples(index=False)))
     assert len(bf_set & got_set) / len(bf_set) >= 0.2
+
+
+def test_bpe_pretoken_count_known_strings(spark):
+    from bio_re_with_entity_embeddings_spark.functions.text import token_count_bpe
+
+    rows = [
+        ("a", "it's 2024, don't panic!"),
+        ("b", "hello   world"),
+        ("c", ""),
+    ]
+    d = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.doc_id: r.n for r in d.select("doc_id", token_count_bpe("text").alias("n")).collect()}
+    # it|'s| 2024|,| don|'t| panic|! -> 8 ; hello|  world(' world' run) -> note
+    # double spaces: ' ?\p{L}+' consumes ONE leading space, the stray
+    # space is not a token -> hello + ' world' = 2
+    assert got["a"] == 8, got
+    assert got["b"] == 2
+    assert got["c"] == 0
