@@ -189,3 +189,37 @@ def test_embedding_lsh_single_kernel_pass(spark):
     # run once, not per join side
     assert "ReusedExchange" in plan, plan[:1200]
     assert "posexplode" in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The benchmark n-gram side must BROADCAST (dimension-sized after
+    distinct) — the corpus side is one scan+explode with a map-side
+    probe, no corpus-wide gram shuffle before the per-doc count."""
+    from bio_re_with_entity_embeddings_spark.operators import curation as CUR
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = CUR.decontaminate(
+        d.where(F.col("doc_id") % 20 != 0), d.where(F.col("doc_id") % 20 == 0), n=4
+    )
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan[:1200]
+    assert "SortMergeJoin" not in plan
+
+
+def test_winnowing_single_window_no_extra_exchange(spark):
+    """Winnowing: exactly one doc-keyed exchange (the window's), md5
+    evaluated as a codegen'd projection (not inside an interpreted
+    higher-order function — 'transform' must not appear in the plan)."""
+    from bio_re_with_entity_embeddings_spark.functions.text import (
+        winnowing_fingerprints,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(winnowing_fingerprints(d))
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    assert "transform(" not in plan, "gram hashing regressed to an interpreted HOF"
+    # one exchange for the window, one for the final distinct — no third
+    n_exchanges = sum(
+        1 for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    )
+    assert n_exchanges <= 2, plan[:1500]
