@@ -225,6 +225,45 @@ def incremental_triples(
     return streaming_triple_emitter(pairs, threshold)
 
 
+def incremental_triples_to_graph(
+    corpus_stream: DataFrame,
+    dict_entries,
+    relations: list[tuple[str, str]],
+    predicate_fn,
+    target: str,
+    checkpoint_dir: str,
+    threshold: int = 2,
+    catalog: str | None = None,
+    n_buckets: int = 64,
+):
+    """North-rule end to end, streaming: threshold-crossed triples from
+    ``incremental_triples`` appended per micro-batch into the
+    (pred, bucket(subj)) graph table (``sources/iceberg.write_triples``
+    — Iceberg V2 writer when a catalog is configured, identical
+    partitioned-parquet layout otherwise).
+
+    Exactly-once: the stateful emitter never re-emits a triple, so the
+    only duplicate risk is a sink append replayed after a crash BETWEEN
+    sink completion and checkpoint commit; with an Iceberg sink make
+    the append idempotent by epoch (e.g. write epoch_id and MERGE), or
+    dedupe on read — documented rather than hidden. Returns the
+    unstarted writeStream (callers ``.start()``)."""
+    from ..sources import iceberg as ICE
+
+    triples = incremental_triples(
+        corpus_stream, dict_entries, relations, predicate_fn, threshold
+    )
+
+    def sink(df: DataFrame, epoch_id: int) -> None:
+        ICE.write_triples(df, target, catalog, n_buckets, mode="append")
+
+    return (
+        triples.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
 def incremental_mentions(
     spark: SparkSession,
     corpus_stream: DataFrame,

@@ -424,3 +424,86 @@ def test_incremental_triples_end_to_end(spark, tmp_path):
     want = {(r.subj, r.pred, r.obj) for r in batch.itertuples()}
     assert got == want
     assert len(want) > 5
+
+
+def test_incremental_triples_to_graph_sink(spark, tmp_path):
+    """Streaming triples land in the partitioned graph table with the
+    (pred, subj_bucket) layout, and a resumed run appends only NEW
+    crossings (the emitter state survives the restart)."""
+    import os
+
+    from bio_re_with_entity_embeddings_spark import fixtures, schemas
+    from bio_re_with_entity_embeddings_spark.operators import triples as T_OP
+    from bio_re_with_entity_embeddings_spark.sources import iceberg as ICE
+    from bio_re_with_entity_embeddings_spark.streaming.incremental import (
+        incremental_triples_to_graph,
+    )
+
+    dictionary = fixtures.make_dictionary()
+    rows = fixtures.make_corpus_rows(80, dictionary)
+    src = tmp_path / "corpus_in"
+    src.mkdir()
+    spark.createDataFrame(rows[:40], schemas.CORPUS).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    target = str(tmp_path / "graph")
+    dict_entries = [(e.surface, e.entity_id, e.entity_type) for e in dictionary]
+    relations = [(fixtures.FN, fixtures.PKG)]
+
+    def run():
+        q = incremental_triples_to_graph(
+            spark.readStream.schema(schemas.CORPUS).parquet(str(src) + "/*"),
+            dict_entries,
+            relations,
+            T_OP.predicate_for,
+            target,
+            str(tmp_path / "ckpt_g"),
+            threshold=2,
+            n_buckets=8,
+        ).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()
+    first = ICE.read_triples(spark, target).toPandas()
+    assert len(first) > 0
+    assert set(first.columns) == {"subj", "pred", "obj", "n_docs"}
+    preds = {d for d in os.listdir(target) if d.startswith("pred=")}
+    assert preds == {"pred=uses"}
+
+    # more corpus arrives; restart appends only NEW crossings
+    spark.createDataFrame(rows[40:], schemas.CORPUS).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    run()
+    both = ICE.read_triples(spark, target).toPandas()
+    keys = list(zip(both["subj"], both["obj"]))
+    assert len(keys) == len(set(keys)), "a triple was re-emitted on resume"
+    assert len(both) >= len(first)
+
+
+def test_pipeline_empty_corpus_and_high_threshold(spark):
+    """Edge contract: empty corpus -> 0 triples, no crash; threshold
+    above every score -> 0 triples (both paths)."""
+    from bio_re_with_entity_embeddings_spark import fixtures, schemas
+    from bio_re_with_entity_embeddings_spark.deploy import ensure_shipped
+    from bio_re_with_entity_embeddings_spark.plans import pipeline
+
+    ensure_shipped(spark)
+    dictionary = fixtures.make_dictionary()
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    empty = spark.createDataFrame([], schemas.CORPUS)
+    for cap in (0, -1):
+        out = pipeline.build_triples(
+            spark, empty, dictionary, emb, pipeline.PipelineConfig(articles_cap=cap)
+        )
+        assert out["triples"].count() == 0
+    rows = fixtures.make_corpus_rows(50, dictionary)
+    corpus = spark.createDataFrame(rows, schemas.CORPUS)
+    out = pipeline.build_triples(
+        spark, corpus, dictionary, emb,
+        pipeline.PipelineConfig(threshold=1e9, articles_cap=-1),
+    )
+    assert out["triples"].count() == 0
