@@ -10,7 +10,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles
+from ..functions.text import shingles  # noqa: F401 (re-export for callers)
+
+
+def _exploded_grams(df: DataFrame, id_col, text_col: str, n: int) -> DataFrame:
+    """(doc, g) rows of word n-grams, built explode-FIRST so the
+    concat/slice runs as codegen'd top-level expressions — building the
+    gram array inside a transform() lambda is interpreted per element
+    (~20x penalty class, BENCH/BASELINE.md). May emit duplicate grams
+    per doc (no array_distinct): callers dedupe AFTER their broadcast
+    probe, where only the (tiny) hit set remains. Matches
+    ``functions.text.shingles`` gram-for-gram including the short-doc
+    clamp (docs with < n tokens yield their whole token list)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    sel = [F.col(id_col).cast("string").alias("doc")] if id_col else []
+    return (
+        df.select(*sel, toks.alias("_tk"))
+        .select(
+            *(["doc"] if id_col else []),
+            "_tk",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("_tk") - (n - 1), F.lit(1))
+                )
+            ).alias("_i"),
+        )
+        .select(
+            *(["doc"] if id_col else []),
+            F.concat_ws(" ", F.slice("_tk", F.col("_i"), F.lit(n))).alias("g"),
+        )
+    )
 
 
 def quota_sample(
@@ -61,17 +90,17 @@ def decontaminate(
     map-side hash probe; the only shuffle is the per-doc count
     aggregate. The per-doc gram arrays are already distinct
     (``shingles`` dedups), so n_hits is a plain count."""
-    d = docs.select(
-        F.col(id_col).cast("string").alias("doc"),
-        F.explode(shingles(text_col, n)).alias("g"),
-    ).select("doc", F.xxhash64("g").alias("gh"))
+    d = _exploded_grams(docs, id_col, text_col, n).select(
+        "doc", F.xxhash64("g").alias("gh")
+    )
     b = (
-        benchmark.select(F.explode(shingles(text_col, n)).alias("g"))
+        _exploded_grams(benchmark, None, text_col, n)
         .select(F.xxhash64("g").alias("gh"))
         .distinct()
     )
     return (
         d.join(F.broadcast(b), "gh", "inner")
+        .dropDuplicates(["doc", "gh"])  # dedupe HITS only (tiny)
         .groupBy("doc")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
@@ -90,13 +119,11 @@ def decontaminate_exact(
     variant exists as the DuckDB-oracle dataflow and as the
     collision-paranoid fallback — the hashed variant ships ~8-byte keys
     through the broadcast instead of full n-gram strings."""
-    d = docs.select(
-        F.col(id_col).cast("string").alias("doc"),
-        F.explode(shingles(text_col, n)).alias("g"),
-    )
-    b = benchmark.select(F.explode(shingles(text_col, n)).alias("g")).distinct()
+    d = _exploded_grams(docs, id_col, text_col, n)
+    b = _exploded_grams(benchmark, None, text_col, n).distinct()
     return (
         d.join(F.broadcast(b), "g", "inner")
+        .dropDuplicates(["doc", "g"])  # dedupe HITS only (tiny)
         .groupBy("doc")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )

@@ -65,11 +65,15 @@ def minhash_signatures(
     ``hash_mode``: 'xxhash64' (the fast scale default) or 'md5'
     (min over seeded md5 hex strings — a hash every ANSI engine has, so
     the whole LSH dataflow is cross-checkable row-exactly in DuckDB;
-    minhash only needs a uniform hash with a total order)."""
-    ex = df.select(
-        F.col(id_col).cast("string").alias("doc"),
-        F.explode(shingles(text_col)).alias("g"),
-    )
+    minhash only needs a uniform hash with a total order).
+
+    Gram rows are built explode-FIRST (codegen'd concat/slice) rather
+    than exploding a transform()-built array (interpreted per element);
+    duplicate grams per doc are harmless here — min(hash) is
+    multiplicity-invariant — so no distinct pass is needed at all."""
+    from .curation import _exploded_grams
+
+    ex = _exploded_grams(df, id_col, text_col, 3)
     if hash_mode == "md5":
         hs = [
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("g")))).alias(f"h{i}")
