@@ -98,7 +98,7 @@ def text_winnowing(spark, sf_dir):
     window-4 minima, distinct kept hashes per doc — the DuckDB oracle
     replays the identical selection with window functions."""
     d = _load(spark, sf_dir, "documents")
-    return TXT.winnowing_fingerprints(d, "doc_id", "text", k=5, w=4)
+    return TXT.winnowing_fingerprints(d, "doc_id", "text", k=5, w=4, hash_mode="md5")
 
 
 @register(

@@ -134,6 +134,7 @@ def winnowing_fingerprints(
     text_col: str = "text",
     k: int = 5,
     w: int = 4,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD'03 — the MOSS copy-detection scheme): hash every char
@@ -145,8 +146,10 @@ def winnowing_fingerprints(
     (~2/(w+1)) — the local-similarity analog of the global minhash
     sketch.
 
-    Hashes are md5 hex strings (lexicographic min; reproducible in any
-    ANSI engine — the DuckDB oracle replays the selection verbatim).
+    ``hash_mode='xxhash64'`` (default): 8-byte long hashes — cheap to
+    window-min and shuffle. ``'md5'``: hex-string hashes whose
+    lexicographic min any ANSI engine reproduces — the DuckDB oracle
+    mode (fp column is then a string).
 
     Output: (doc, fp) distinct rows. Scale shape: one posexplode (a
     row per char k-gram), ONE doc-keyed sort-window (the same shuffle a
@@ -173,7 +176,13 @@ def winnowing_fingerprints(
             ).alias("pos"),
         )
         .select(
-            "doc", "pos", F.md5(F.substring(F.col("_t"), F.col("pos"), F.lit(k))).alias("h")
+            "doc",
+            "pos",
+            (
+                F.md5(F.substring(F.col("_t"), F.col("pos"), F.lit(k)))
+                if hash_mode == "md5"
+                else F.xxhash64(F.substring(F.col("_t"), F.col("pos"), F.lit(k)))
+            ).alias("h"),
         )
     )
     frame = (
