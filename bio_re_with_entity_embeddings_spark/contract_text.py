@@ -303,8 +303,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
 # seeded md5 hex strings is a faithful signature both engines share).
 _MH_N, _MH_BANDS = 32, 8
 _MH_RPB = _MH_N // _MH_BANDS
+# One md5 per 4 signature slots (32-bit hex chunks), mirroring the
+# Spark side's projection-then-min shape exactly.
+_MH_NMD5 = (_MH_N + 3) // 4
+_SQL_MH_MCOLS = ", ".join(
+    f"md5('{j}:' || g) AS m{j}" for j in range(_MH_NMD5)
+)
 _SQL_MH_SIG = ",\n         ".join(
-    f"min(md5('{i}:' || g)) AS h{i}" for i in range(_MH_N)
+    f"min(substr(m{i // 4}, {(i % 4) * 8 + 1}, 8)) AS h{i}" for i in range(_MH_N)
 )
 _SQL_MH_BANDS = ", ".join(
     "{'band': %d, 'bucket': md5(%s || '|%d')}"
@@ -328,9 +334,10 @@ _SQL_GRAMS = """
     + f"""
 , sh AS ({_SQL_GRAMS})
 , g AS (SELECT doc, unnest(grams) AS g FROM sh)
+, mh AS (SELECT doc, {_SQL_MH_MCOLS} FROM g)
 , sig AS (
   SELECT doc, {_SQL_MH_SIG}
-  FROM g GROUP BY doc
+  FROM mh GROUP BY doc
 )
 , banded AS (SELECT doc, unnest([{_SQL_MH_BANDS}]) AS bb FROM sig)
 , b2 AS (SELECT doc, bb.band AS band, bb.bucket AS bucket FROM banded)

@@ -75,8 +75,23 @@ def minhash_signatures(
 
     ex = _exploded_grams(df, id_col, text_col, 3)
     if hash_mode == "md5":
+        # One md5 yields FOUR independent 32-bit chunks (8 hex chars
+        # each): ceil(n/4) md5 calls per gram instead of n. The md5s
+        # are materialized as projection columns BEFORE the aggregate —
+        # agg expressions are evaluated independently, so min(substr(
+        # md5(...))) x4 would re-hash four times without this.
+        n_md5 = (n_hashes + 3) // 4
+        ex = ex.select(
+            "doc",
+            *[
+                F.md5(F.concat(F.lit(f"{j}:"), F.col("g"))).alias(f"m{j}")
+                for j in range(n_md5)
+            ],
+        )
         hs = [
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("g")))).alias(f"h{i}")
+            F.min(
+                F.substring(F.col(f"m{i // 4}"), (i % 4) * 8 + 1, 8)
+            ).alias(f"h{i}")
             for i in range(n_hashes)
         ]
     else:

@@ -437,3 +437,29 @@ def test_bpe_pretoken_count_known_strings(spark):
     assert got["a"] == 8, got
     assert got["b"] == 2
     assert got["c"] == 0
+
+
+def test_embedding_lsh_derived_planes_above_floor(spark):
+    """When the corpus count drives planes_per_table ABOVE the floor
+    (here 1000 vectors / target 16 -> 6 planes), the multi-table key
+    kernel still recovers planted identical vectors (identical vectors
+    share every bucket at ANY plane count) and candidate volume shrinks
+    vs the floor configuration."""
+    import pandas as pd
+
+    rng = np.random.default_rng(9)
+    rows = [(i, rng.normal(size=8).tolist()) for i in range(1000)]
+    rows += [(5000 + i, rows[i][1]) for i in range(3)]  # planted copies
+    vecs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    assert DD.derive_planes_per_table(1003, target_bucket_size=16) == 6
+    derived = DD.embedding_lsh_candidates(
+        vecs, target_bucket_size=16
+    )
+    floor4 = DD.embedding_lsh_candidates(vecs, planes_per_table=4)
+    n_derived, n_floor = derived.count(), floor4.count()
+    pairs = {(r.id_a, r.id_b) for r in derived.collect()}
+    for i in range(3):
+        assert (i, 5000 + i) in pairs
+    assert n_derived < n_floor, (n_derived, n_floor)
