@@ -128,7 +128,13 @@ def minhash_near_duplicates(
     rows_per_band = n_hashes // bands
     # Candidate generation shuffles ONLY (doc, band, bucket) — the
     # shingle arrays stay out of the bucket join and are re-joined just
-    # for the (few) candidate pairs at verify time.
+    # for the (few) candidate pairs at verify time. NOTE a measured
+    # anti-optimization kept OUT: restricting array construction to
+    # candidate docs via a semi-join against the candidate set makes
+    # the (expensive) signature subtree an input of the verify side
+    # too — Spark re-derives it per consumer (md5 mode measured 2x
+    # SLOWER) — while building arrays for all docs is linear,
+    # shuffle-free, and embarrassingly parallel.
     sh_tbl = df.select(
         F.col(id_col).cast("string").alias("doc"), shingles(text_col).alias("sh")
     )
