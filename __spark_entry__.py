@@ -42,9 +42,96 @@ def entry(spark: SparkSession) -> DataFrame:
     return out["triples"]
 
 
+# Explicit driver-facing order (the driver checks registrations in
+# order; the end-to-end pipeline oracles are the strongest correctness
+# signal, so they lead).  Must enumerate every contract.QUERIES key —
+# _ordered() asserts the two sets match so a new registration can't
+# silently fall outside the checked window.
+QUERY_ORDER: list[str] = [
+    # end-to-end pipeline (reference sections 3.1-3.2)
+    "kg_pipeline_triples",
+    "kg_pipeline_canonical",
+    # stage-by-stage KG dataflow
+    "kg_mentions",
+    "kg_doc2entity",
+    "kg_entity2doc",
+    "kg_pairs",
+    "kg_doc2pairs",
+    "kg_triples_support",
+    "kg_triples_scored",
+    "kg_semi_join_docs",
+    "kg_anti_join_docs",
+    "kg_doc2vec_input",
+    "kg_entity_type_counts",
+    # similarity search + multimodal
+    "sim_topk_cosine",
+    "sim_topk_matmul",
+    "sim_ann_lsh",
+    "sim_ivf",
+    "mm_image_dims",
+    # dedup family
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_embedding",
+    # curation + text analysis
+    "curate_quota_sample",
+    "curate_decontaminate",
+    "text_stats",
+    "text_tokens_bpe",
+    "text_winnowing",
+    "text_quality",
+    "text_langid",
+    # normalizers + ontology
+    "norm_default",
+    "norm_chemical",
+    "norm_cellline",
+    "norm_drug",
+    "norm_disease",
+    "norm_disease_doid",
+    "norm_gene",
+    "norm_mutation",
+    "norm_species",
+    "norm_hgvs_doid",
+    "obo_ontology",
+    # relational inventory (non-redundant subset; the rest are in
+    # extra_queries(), oracle-checked by tests/test_oracle_parity.py)
+    "rel_filter_project",
+    "rel_agg_groupby",
+    "rel_equi_join_agg",
+    "rel_distinct_sort",
+    "rel_dedup_keys",
+    "rel_topk_global",
+    "rel_union_distinct",
+    "events_hourly_rollup",
+    "events_sessionize",
+]
+
+
+def _ordered(mapping: dict) -> dict:
+    missing = set(contract.QUERIES) - set(QUERY_ORDER)
+    extra = set(QUERY_ORDER) - set(contract.QUERIES)
+    if missing or extra:
+        raise RuntimeError(
+            f"QUERY_ORDER out of sync: missing={sorted(missing)} extra={sorted(extra)}"
+        )
+    return {k: mapping[k] for k in QUERY_ORDER if k in mapping}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(contract.QUERIES)
+    return _ordered(contract.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(contract.ORACLES)
+    return _ordered(contract.ORACLES)
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Overflow queries beyond the driver's 50-row correctness window;
+    same contract, checked locally by tests/test_oracle_parity.py."""
+    return dict(contract.EXTRA_QUERIES)
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    return dict(contract.EXTRA_ORACLES)

@@ -27,12 +27,29 @@ from pyspark.sql import functions as F
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# Secondary registry: queries whose operators are already evidenced by
+# another driver-checked row (the driver's correctness window holds 50
+# rows; see VERDICT r3).  These stay oracle-checked locally by
+# tests/test_oracle_parity.py at the same sf, outside the driver window.
+EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+EXTRA_ORACLES: dict[str, str] = {}
+
 
 def register(name: str, sql: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
         if sql is not None:
             ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def register_extra(name: str, sql: str | None = None):
+    def deco(fn):
+        EXTRA_QUERIES[name] = fn
+        if sql is not None:
+            EXTRA_ORACLES[name] = sql
         return fn
 
     return deco

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .contract import _load, register
+from .contract import _load, register, register_extra
 
 
 @register(
@@ -87,7 +87,7 @@ def rel_equi_join_agg(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "rel_broadcast_join",
     """
 SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_items,
@@ -110,7 +110,7 @@ def rel_broadcast_join(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "rel_semi_join",
     """
 SELECT c_custkey, c_name FROM customer c
@@ -126,7 +126,7 @@ def rel_semi_join(spark, sf_dir):
     ).select("c_custkey", "c_name")
 
 
-@register(
+@register_extra(
     "rel_anti_join",
     """
 SELECT c_custkey, c_name FROM customer c
@@ -169,7 +169,7 @@ def rel_dedup_keys(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "rel_topk_window",
     """
 SELECT o_custkey, o_orderkey, rnk FROM (
@@ -228,7 +228,7 @@ def rel_union_distinct(spark, sf_dir):
     return a.unionByName(b).distinct()
 
 
-@register(
+@register_extra(
     "rel_multiway_join",
     """
 SELECT n.n_name, r.r_name,
@@ -277,7 +277,7 @@ def events_hourly_rollup(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "rel_cube",
     """
 SELECT coalesce(l_returnflag, '<all>') AS rflag,

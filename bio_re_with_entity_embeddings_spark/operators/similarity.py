@@ -258,21 +258,50 @@ def anchors(dim: int, k: int, seed: int = 42) -> np.ndarray:
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
-def cell_assign_udf(centroids: np.ndarray, n_probe: int = 1):
+# Per-worker anchor memo, the _planes_memo analog: anchors are derived
+# deterministically from (dim, k, seed), so workers reconstruct them
+# from the first Arrow batch's dim — no driver-side .first() probe.
+_ANCHORS_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _anchors_memo(dim: int, k: int, seed: int) -> np.ndarray:
+    key = (dim, k, seed)
+    c = _ANCHORS_CACHE.get(key)
+    if c is None:
+        c = anchors(dim, k, seed)
+        _ANCHORS_CACHE[key] = c
+    return c
+
+
+def cell_assign_udf(
+    centroids: np.ndarray | None,
+    n_probe: int = 1,
+    n_cells: int = 16,
+    seed: int = 42,
+):
     """Arrow kernel: top-``n_probe`` centroid indices per vector by
     cosine (centroids are unit-norm, so argmax dot == argmax cosine).
     Ties break toward the LOWER cell index (stable lexsort on
-    (-dot, idx)) — the DuckDB oracle's (dot DESC, idx ASC) order."""
+    (-dot, idx)) — the DuckDB oracle's (dot DESC, idx ASC) order.
+
+    ``centroids=None`` derives seeded anchors from the first batch's
+    dim worker-side (the ``lsh_bucket_udf`` pattern) instead of a
+    driver ``.first()`` probe."""
     import pandas as pd  # noqa: F811 (worker-side import)
 
-    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    C = (
+        None
+        if centroids is None
+        else np.ascontiguousarray(centroids, dtype=np.float64)
+    )
 
     @F.pandas_udf("array<int>")
     def cells(v: pd.Series) -> pd.Series:
         if v.empty:
             return pd.Series([], dtype=object)
         mat = np.stack([np.asarray(x, dtype=np.float64) for x in v.values])
-        dots = mat @ C.T  # (batch, k)
+        Cm = _anchors_memo(mat.shape[1], n_cells, seed) if C is None else C
+        dots = mat @ Cm.T  # (batch, k)
         idx = np.argsort(-dots, axis=1, kind="stable")[:, :n_probe]
         return pd.Series([row.astype(np.int32) for row in idx])
 
@@ -300,13 +329,11 @@ def ivf_topk(
     With trained centroids cells are ~n/n_cells balanced, so candidate
     volume is ~n * n_probe / n_cells per query batch — the standard
     recall/cost dial. ``centroids=None`` uses the deterministic seeded
-    anchors (oracle-checkable with literal centroids; see
+    anchors, derived worker-side from the first Arrow batch's dim
+    (oracle-checkable with literal centroids; see
     contract_text.sim_ivf)."""
-    if centroids is None:
-        dim = len(vectors.select(vec_col).first()[0])
-        centroids = anchors(dim, n_cells, seed)
-    one = cell_assign_udf(centroids, 1)
-    probe = cell_assign_udf(centroids, n_probe)
+    one = cell_assign_udf(centroids, 1, n_cells, seed)
+    probe = cell_assign_udf(centroids, n_probe, n_cells, seed)
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("n_vec"),
@@ -349,14 +376,16 @@ def train_centroids(
     entirely by using data-independent anchors)."""
     import pandas as pd  # noqa: F811
 
-    dim = len(vectors.select(vec_col).first()[0])
-    C = anchors(dim, n_cells, seed)
+    # Round 0 runs on worker-derived anchors (dim from the first Arrow
+    # batch, the lsh_bucket_udf pattern) — no driver .first() probe;
+    # the driver learns dim from the partials it reduces.
+    C: np.ndarray | None = None
     src = vectors.select(F.col(vec_col).alias("v"))
     for _ in range(iters):
-        Cb = np.ascontiguousarray(C)
+        Cb = None if C is None else np.ascontiguousarray(C)
 
         def partials(batches, Cb=Cb):
-            sums = np.zeros((n_cells, dim), dtype=np.float64)
+            sums = None
             counts = np.zeros(n_cells, dtype=np.int64)
             for pdf in batches:
                 if not len(pdf):
@@ -364,9 +393,18 @@ def train_centroids(
                 mat = np.stack(
                     [np.asarray(x, dtype=np.float64) for x in pdf["v"].values]
                 )
-                cells = np.argmax(mat @ Cb.T, axis=1)
+                Cm = (
+                    _anchors_memo(mat.shape[1], n_cells, seed)
+                    if Cb is None
+                    else Cb
+                )
+                if sums is None:
+                    sums = np.zeros((n_cells, mat.shape[1]), dtype=np.float64)
+                cells = np.argmax(mat @ Cm.T, axis=1)
                 np.add.at(sums, cells, mat)
                 np.add.at(counts, cells, 1)
+            if sums is None:  # empty partition: contribute nothing
+                return
             yield pd.DataFrame(
                 {
                     "cell": np.arange(n_cells, dtype=np.int32),
@@ -378,6 +416,11 @@ def train_centroids(
         rows = src.mapInPandas(
             partials, "cell int, s array<double>, n long"
         ).collect()
+        if not rows:
+            raise ValueError("train_centroids: empty input")
+        dim = len(rows[0]["s"])
+        if C is None:
+            C = anchors(dim, n_cells, seed)
         sums = np.zeros((n_cells, dim), dtype=np.float64)
         counts = np.zeros(n_cells, dtype=np.int64)
         for r in sorted(rows, key=lambda r: (r["cell"], r["n"])):

@@ -52,13 +52,17 @@ def canon(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
-ORACLE_NAMES = sorted(entrymod.oracle_sql())
+# Driver-window queries plus the extras that live outside the 50-row
+# window (retired rel_* micro-queries) — all oracle-checked here.
+ALL_QUERIES = {**entrymod.queries(), **entrymod.extra_queries()}
+ALL_ORACLES = {**entrymod.oracle_sql(), **entrymod.extra_oracle_sql()}
+ORACLE_NAMES = sorted(ALL_ORACLES)
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_query_matches_oracle(name, spark, ddb):
-    q = entrymod.queries()[name]
-    sql = entrymod.oracle_sql()[name]
+    q = ALL_QUERIES[name]
+    sql = ALL_ORACLES[name]
     got = q(spark, SF_DIR).toPandas()
     exp = ddb.execute(sql).df()
     assert sorted(got.columns) == sorted(exp.columns), (
@@ -73,8 +77,8 @@ def test_query_matches_oracle(name, spark, ddb):
 
 def test_rows_only_queries_run(spark):
     """Queries without an oracle must still run and return a schema."""
-    qs = entrymod.queries()
-    for name in sorted(set(qs) - set(entrymod.oracle_sql())):
+    qs = ALL_QUERIES
+    for name in sorted(set(qs) - set(ALL_ORACLES)):
         df = qs[name](spark, SF_DIR)
         n = df.count()
         assert n >= 0, name

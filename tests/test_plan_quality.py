@@ -81,6 +81,19 @@ def test_no_row_python_udfs_in_package():
     assert not offenders, offenders
 
 
+def test_no_driver_dim_probes_in_similarity():
+    """VERDICT r3 #4: the ANN operators must not run a driver-side
+    `.first()` job to discover vector dim — workers derive it from the
+    first Arrow batch (the _planes_memo/_anchors_memo pattern)."""
+    src = (PKG / "operators" / "similarity.py").read_text()
+    code = "\n".join(
+        line for line in src.splitlines() if not line.lstrip().startswith("#")
+    )
+    assert ".first()" not in code.replace("``.first()``", ""), (
+        "driver-side .first() probe found in operators/similarity.py"
+    )
+
+
 def test_scale_path_pair_stage_shapes(spark):
     """Default (array) strategy: the pair stage is SHUFFLE-FREE — no
     doc-keyed join anywhere in the plan (double explode over the cached
