@@ -7,6 +7,8 @@ restatements are row-exact.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -42,11 +44,19 @@ def _exploded_grams(df: DataFrame, id_col, text_col: str, n: int) -> DataFrame:
     )
 
 
+# Auto-salting kicks in when the largest group exceeds this multiple of
+# the quota: below it, the single window's per-group sort is cheap and a
+# second shuffle would cost more than it saves.
+_QUOTA_SKEW_FACTOR = 16
+
+
 def quota_sample(
     df: DataFrame,
     key_col: str,
     quota: int,
     order_col: str,
+    skew_salts: int | None = None,
+    max_group_rows: int | None = None,
 ) -> DataFrame:
     """Deterministic per-group quota sampling: keep at most ``quota``
     rows per ``key_col`` group, chosen by md5-hash order of
@@ -54,17 +64,53 @@ def quota_sample(
     over-represented domains/languages in corpus curation; rand()-based
     sampling would not survive a rerun or an oracle comparison).
 
-    Scale shape: one window over the same (key) partitioning any
-    per-group cap needs; no global sort. Skewed keys: the window sorts
-    within each group — for degenerate groups (10^8 rows of one
-    domain) pre-filter with a cheap ``WHERE pmod(xxhash64(order), k) =
-    0`` stage first; the md5 order makes the two-stage result identical
-    to the one-stage one on the surviving rows."""
-    w = Window.partitionBy(key_col).orderBy(
-        F.md5(F.col(order_col).cast("string")), F.col(order_col)
-    )
+    Skew safety (VERDICT r3 #2): a single ``row_number`` window ships a
+    whole group to one task — at 10^8 rows of one domain that task IS
+    the job. Skewed inputs therefore run a salted two-stage top-k:
+    stage 1 windows over ``(key, pmod(xxhash64(order), salts))`` and
+    keeps the per-bucket top ``quota``; stage 2 runs the original
+    per-key window over the <= salts*quota survivors. This is EXACTLY
+    equal to the one-stage result — both stages use the same
+    (md5(order), order) ordering, and every row in a group's true
+    top-``quota`` is necessarily in the top-``quota`` of its own salt
+    bucket. (A plain ``WHERE pmod(...) = 0`` pre-filter would NOT be
+    exact: xxhash64 and md5 orders are independent, so it can drop true
+    winners.)
+
+    ``skew_salts``: 1 forces the one-stage window, >1 forces that salt
+    count, None (default) auto-decides from the largest group size —
+    taken from ``max_group_rows`` when the caller already knows it,
+    else from one cheap map-combined ``groupBy(key).count()`` job (tiny
+    output: one long per distinct key). Salt count balances the two
+    stages at ~sqrt(max_group/quota): stage-1 buckets and the stage-2
+    per-key input both land around sqrt(max_group*quota) rows."""
+    ord_exprs = [F.md5(F.col(order_col).cast("string")), F.col(order_col)]
+    if skew_salts is None:
+        if max_group_rows is None:
+            max_group_rows = (
+                df.groupBy(key_col)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .agg(F.max("_n"))
+                .collect()[0][0]
+            ) or 0
+        if max_group_rows > quota * _QUOTA_SKEW_FACTOR:
+            skew_salts = max(2, math.isqrt(max_group_rows // max(quota, 1)))
+        else:
+            skew_salts = 1
+    out = df
+    if skew_salts > 1:
+        salt = F.pmod(
+            F.xxhash64(F.col(order_col).cast("string")), F.lit(skew_salts)
+        )
+        w1 = Window.partitionBy(F.col(key_col), salt).orderBy(*ord_exprs)
+        out = (
+            out.withColumn("_rn", F.row_number().over(w1))
+            .where(F.col("_rn") <= quota)
+            .drop("_rn")
+        )
+    w = Window.partitionBy(key_col).orderBy(*ord_exprs)
     return (
-        df.withColumn("_rn", F.row_number().over(w))
+        out.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= quota)
         .drop("_rn")
     )
@@ -88,8 +134,10 @@ def decontaminate(
     (benchmarks are ~10^5 docs vs 10^9 corpus) — hashed to 64-bit and
     BROADCAST, so the corpus side is one scan + explode with a
     map-side hash probe; the only shuffle is the per-doc count
-    aggregate. The per-doc gram arrays are already distinct
-    (``shingles`` dedups), so n_hits is a plain count."""
+    aggregate. ``_exploded_grams`` emits duplicate grams per doc (no
+    array_distinct — the dedup would cost more than the probe); hit
+    distinctness is restored AFTER the broadcast join, where only the
+    tiny hit set remains, via ``dropDuplicates(['doc', 'gh'])``."""
     d = _exploded_grams(docs, id_col, text_col, n).select(
         "doc", F.xxhash64("g").alias("gh")
     )

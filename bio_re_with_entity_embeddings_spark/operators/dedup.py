@@ -375,6 +375,7 @@ def embedding_lsh_candidates(
     seed: int = 7,
     target_bucket_size: int = 1024,
     max_bucket_size: int = 2000,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b) pairs sharing a random-hyperplane bucket in >= 1 of
     ``n_tables`` independent hash tables. ONE Arrow kernel pass computes
@@ -387,8 +388,13 @@ def embedding_lsh_candidates(
     ~n^2/32 candidate pairs at large n):
 
     * ``planes_per_table=None`` (default) derives the plane count from
-      a corpus count so expected co-occupancy tracks
-      ``target_bucket_size`` (see ``derive_planes_per_table``).
+      the corpus size so expected co-occupancy tracks
+      ``target_bucket_size`` (see ``derive_planes_per_table``). The
+      size comes from the ``n_vectors`` hint when the caller already
+      knows it; otherwise ONE eager ``vectors.count()`` job runs at
+      plan-construction time (ADVICE r3 — pass the hint, or an
+      explicit ``planes_per_table``, to avoid the extra scan; the
+      oracle path pins ``planes_per_table`` and never counts).
     * ``max_bucket_size`` is the same per-(table, key) window gate as
       ``minhash_near_duplicates``: degenerate buckets (e.g. a mass of
       zero/near-zero vectors all hashing together) are skipped for
@@ -403,9 +409,9 @@ def embedding_lsh_candidates(
     from .similarity import lsh_table_keys_udf
 
     if planes_per_table is None:
-        planes_per_table = derive_planes_per_table(
-            vectors.count(), target_bucket_size
-        )
+        if n_vectors is None:
+            n_vectors = vectors.count()
+        planes_per_table = derive_planes_per_table(n_vectors, target_bucket_size)
     keys = lsh_table_keys_udf(n_tables, planes_per_table, seed)
     v = vectors.select(F.col(id_col).alias("id"), keys(F.col(vec_col)).alias("ks"))
     tabbed = v.select(
@@ -431,6 +437,7 @@ def embedding_near_duplicates(
     threshold: float = 0.95, method: str = "lsh",
     n_tables: int = 8, planes_per_table: int | None = None, seed: int = 7,
     target_bucket_size: int = 1024, max_bucket_size: int = 2000,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs.
 
@@ -449,7 +456,7 @@ def embedding_near_duplicates(
     else:
         pairs = embedding_lsh_candidates(
             vectors, id_col, vec_col, n_tables, planes_per_table, seed,
-            target_bucket_size, max_bucket_size,
+            target_bucket_size, max_bucket_size, n_vectors,
         )
         cand = pairs.join(a, "id_a").join(b, "id_b")
     return (

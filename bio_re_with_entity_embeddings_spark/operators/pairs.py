@@ -94,14 +94,15 @@ def evidence_articles(
     out = (
         pairs.join(keyed, ["doc_id", "doc_id2"], "inner")
         .groupBy("subj", "obj")
-        .agg(
-            F.sort_array(F.collect_set("article")).alias("articles"),
-            # scale-path pairs are distinct per (doc, subj, obj) by
-            # construction (per-doc sorted distinct arrays), so a plain
-            # count is the exact evidence-doc count — no count_distinct
-            # EXPAND shuffle needed.
-            F.count(F.lit(1)).alias("n_docs"),
-        )
+        .agg(F.sort_array(F.collect_set("article")).alias("articles"))
+        # n_docs = size of the collected SET, so it always equals
+        # len(articles) even when pairs carries duplicate
+        # (doc, subj, obj) rows (an entity id listed under two types,
+        # or a pair matched by two relations, after rc is dropped) —
+        # a plain count would overcount there (ADVICE r3). Costs
+        # nothing extra: no count_distinct EXPAND, the set is already
+        # being built.
+        .withColumn("n_docs", F.size("articles").cast("long"))
     )
     if entity_dim is not None:
         out = (

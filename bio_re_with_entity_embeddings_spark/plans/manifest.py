@@ -56,9 +56,26 @@ def _data_path(base: str, stage: str) -> str:
 def read_manifest(spark: SparkSession, base: str, stage: str) -> DataFrame | None:
     path = _manifest_path(base, stage)
     try:
-        m = spark.read.parquet(path)
+        # mergeSchema: a dir holding pre-rename (wall_ms) and current
+        # (run_wall_ms) rows must not resolve file-order dependently.
+        m = spark.read.option("mergeSchema", "true").parquet(path)
     except Exception:
         return None
+    # Migration: manifests written before the wall_ms -> run_wall_ms
+    # rename stay resumable (ADVICE r3) — resolve whichever exists.
+    cols = set(m.columns)
+    if "run_wall_ms" not in cols:
+        m = m.withColumn(
+            "run_wall_ms",
+            F.col("wall_ms").cast("long")
+            if "wall_ms" in cols
+            else F.lit(None).cast("long"),
+        )
+    elif "wall_ms" in cols:
+        m = m.withColumn(
+            "run_wall_ms",
+            F.coalesce(F.col("run_wall_ms"), F.col("wall_ms").cast("long")),
+        )
     # Dedupe re-runs: keep the LATEST manifest row per partition (the
     # per-bucket dynamic overwrite means data reflects the last writer;
     # a bucket recomputed for changed input must not resurrect stale
@@ -234,15 +251,21 @@ def lineage_check(
     )
     joined = manifest.join(
         inp, manifest.partition_id == inp.bucket, "full"
-    ).select("partition_id", "content_sha_xor", "in_fold")
+    ).select("partition_id", "rows_in", "rows_out", "content_sha_xor", "in_fold")
     # Null-safe: a bucket present on only ONE side (input never
     # manifested, or manifest row with no input) is a lineage failure,
     # not a silently-dropped null comparison. Exception: a TOMBSTONE
-    # (orphaned bucket whose input vanished — fold of zero rows, no
-    # input row) is consistent, not a failure.
-    tombstone_ok = (F.col("content_sha_xor") == F.lit("%016x" % 0)) & F.col(
-        "in_fold"
-    ).isNull()
+    # (orphaned bucket whose input vanished) is consistent, not a
+    # failure — identified by its explicit marker (rows_in == 0 AND
+    # rows_out == 0, how run_stage writes tombstones), NOT by a zero
+    # sha fold: a live bucket can legitimately fold to zero (paired
+    # duplicate shas, or a stage without sha_col), and its vanished
+    # input must still FAIL the check (ADVICE r3).
+    tombstone_ok = (
+        (F.col("rows_in") == 0)
+        & (F.col("rows_out") == 0)
+        & F.col("in_fold").isNull()
+    )
     bad = joined.where(
         ~(F.col("content_sha_xor").eqNullSafe(F.col("in_fold")) | tombstone_ok)
     ).count()

@@ -121,6 +121,12 @@ def test_embedding_near_duplicates_lsh_matches_exact(spark):
     key = lambda df: sorted((r.id_a, r.id_b) for r in df.itertuples())  # noqa: E731
     assert key(lsh) == key(exact)
     assert len(exact) >= 5
+    # n_vectors hint: same derivation, no plan-time count job (ADVICE
+    # r3) — identical pairs when the hint equals the true count
+    hinted = DD.embedding_near_duplicates(
+        base, threshold=0.999, n_vectors=65
+    ).toPandas()
+    assert key(hinted) == key(exact)
 
 
 def test_simhash_banding_lossless_vs_all_pairs(docs):
@@ -369,6 +375,45 @@ def test_quota_sample_deterministic_cap(spark):
         assert got_sizes.get(lang, 0) == min(n, 7)
     # deterministic under repartitioning
     assert sorted(s1["doc_id"]) == sorted(s2["doc_id"])
+
+
+def test_quota_sample_salted_exact_and_auto(spark):
+    """VERDICT r3 #2: the salted two-stage top-k must equal the
+    one-stage window exactly on a skewed fixture, the auto mode must
+    choose salting for a degenerate group, and the salted plan must
+    actually split the group (two Window operators over different
+    partitionings)."""
+    from bio_re_with_entity_embeddings_spark.operators import curation as CUR
+
+    # skewed fixture: one 'hub' key with 2000 rows, two small keys
+    rows = (
+        [("hub", f"d{i:05d}") for i in range(2000)]
+        + [("sm1", f"x{i}") for i in range(3)]
+        + [("sm2", f"y{i}") for i in range(9)]
+    )
+    d = spark.createDataFrame(rows, "k string, doc_id string").repartition(8)
+
+    plain = CUR.quota_sample(d, "k", 5, "doc_id", skew_salts=1).toPandas()
+    salted = CUR.quota_sample(d, "k", 5, "doc_id", skew_salts=17).toPandas()
+    auto = CUR.quota_sample(d, "k", 5, "doc_id").toPandas()
+    key = lambda p: sorted(map(tuple, p[["k", "doc_id"]].itertuples(index=False)))
+    assert key(salted) == key(plain)
+    assert key(auto) == key(plain)
+    # caps + small-group survival
+    assert (plain.groupby("k")["doc_id"].count() <= 5).all()
+    assert (plain["k"] == "sm1").sum() == 3
+
+    # auto mode on the skewed fixture must pick the salted plan:
+    # two Window nodes, the first partitioned by (k, salt)
+    auto_df = CUR.quota_sample(d, "k", 5, "doc_id")
+    plan = auto_df._jdf.queryExecution().toString()
+    assert plan.count("Window") >= 2, plan[:2000]
+    assert "xxhash64" in plan.lower(), plan[:2000]
+    # hint path skips the count job but must produce the same rows
+    hinted = CUR.quota_sample(
+        d, "k", 5, "doc_id", max_group_rows=2000
+    ).toPandas()
+    assert key(hinted) == key(plain)
 
 
 def test_ivf_topk_recall_and_exactness_within_cells(spark):

@@ -124,6 +124,59 @@ def test_lineage_check_nullsafe_missing_buckets(spark, workdir):
     assert not M.lineage_check(spark, workdir, "st", docs)
 
 
+def test_read_manifest_pre_rename_wall_ms_schema(spark, workdir):
+    """Manifests written before the wall_ms -> run_wall_ms rename must
+    stay resumable (ADVICE r3): read_manifest resolves the old column,
+    and a dir mixing old- and new-schema row files reads stably."""
+    zero = "%016x" % 0
+    old = spark.createDataFrame(
+        [("st", 0, 5, 5, zero, zero, 123, "r0", 1)],
+        "stage string, partition_id int, rows_in long, rows_out long, "
+        "content_sha_xor string, in_sha_xor string, wall_ms long, "
+        "run_id string, ts long",
+    )
+    old.write.mode("append").parquet(M._manifest_path(workdir, "st"))
+    m = M.read_manifest(spark, workdir, "st")
+    assert m is not None
+    row = m.toPandas().iloc[0]
+    assert row["run_wall_ms"] == 123 and row["run_id"] == "r0"
+
+    # mixed dir: append a new-schema row file, both must survive
+    new = spark.createDataFrame(
+        [("st", 1, 7, 7, zero, zero, 456, "r1", 2)],
+        "stage string, partition_id int, rows_in long, rows_out long, "
+        "content_sha_xor string, in_sha_xor string, run_wall_ms long, "
+        "run_id string, ts long",
+    )
+    new.write.mode("append").parquet(M._manifest_path(workdir, "st"))
+    p = M.read_manifest(spark, workdir, "st").toPandas().set_index("partition_id")
+    assert p.loc[0, "run_wall_ms"] == 123
+    assert p.loc[1, "run_wall_ms"] == 456
+
+
+def test_lineage_zero_fold_bucket_is_not_a_tombstone(spark, workdir):
+    """A live bucket whose sha fold is legitimately zero (paired
+    duplicate shas xor away) must still FAIL lineage when its input
+    vanishes — tombstones are identified by the explicit rows_in == 0
+    AND rows_out == 0 marker, not the fold value (ADVICE r3)."""
+    rows = [
+        ("a", "aaaaaaaaaaaaaaaaaaaa", 0),
+        ("b", "aaaaaaaaaaaaaaaaaaaa", 0),  # duplicate sha: bucket-0 fold = 0
+        ("c", "cccccccccccccccccccc", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id string, content_sha string, bucket int"
+    ).cache()
+    M.run_stage(spark, workdir, "st", docs, lambda df: df, run_id="r1")
+    m = M.read_manifest(spark, workdir, "st").toPandas().set_index("partition_id")
+    assert m.loc[0, "content_sha_xor"] == "%016x" % 0  # fixture as intended
+    assert M.lineage_check(spark, workdir, "st", docs)
+    # bucket 0's input vanishes -> must fail, not pass as a tombstone
+    assert not M.lineage_check(
+        spark, workdir, "st", docs.where(F.col("bucket") != 0)
+    )
+
+
 def test_rerun_is_idempotent(spark, workdir):
     docs = M.with_bucket(_corpus(spark), "repo", 8)
     M.run_stage(spark, workdir, "st", docs, lambda df: df, run_id="r1")

@@ -115,6 +115,36 @@ def test_evidence_articles_reproduce_parity_sets(both_outputs, both):
     assert parity_keys <= set(got)
 
 
+def test_evidence_articles_dedups_repeated_doc_pair_rows(spark):
+    """ADVICE r3: with rc dropped from the scale pairs output, the same
+    (doc, subj, obj) can appear twice (entity under two types / pair
+    matched by two relations) — n_docs must equal len(articles), not
+    the raw row count."""
+    from pyspark.sql import functions as F
+
+    from bio_re_with_entity_embeddings_spark.operators import pairs as pairs_op
+
+    docs = spark.createDataFrame([("A",), ("B",)], "doc_id string")
+    keyed = docs.select(
+        F.xxhash64("doc_id").alias("doc_id"),
+        F.xxhash64("doc_id", F.lit(1)).alias("doc_id2"),
+    ).collect()
+    (h1a, h2a), (h1b, h2b) = [(r.doc_id, r.doc_id2) for r in keyed]
+    pairs = spark.createDataFrame(
+        [
+            (h1a, h2a, 7, 9),
+            (h1a, h2a, 7, 9),  # duplicate evidence row for doc A
+            (h1b, h2b, 7, 9),
+        ],
+        "doc_id long, doc_id2 long, subj int, obj int",
+    )
+    out = pairs_op.evidence_articles(pairs, docs).toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert list(row["articles"]) == ["A", "B"]
+    assert row["n_docs"] == 2 == len(row["articles"])
+
+
 def test_scale_salted_invariance(spark, both):
     dictionary = fixtures.make_dictionary()
     rows = fixtures.make_corpus_rows(400, dictionary)
