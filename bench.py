@@ -100,85 +100,93 @@ def main() -> None:
     # combinable support aggregate).
     cfg = pipeline.PipelineConfig(repo_partitions=0, articles_cap=-1)
 
-    # Measurement protocol (round-3: same rigor the scaling runs got —
-    # BENCH_r02's single-shot numbers were contention noise on this VM,
-    # with ±50% run-to-run variance): one untimed warm-up, then
-    # median-of-REPEATS with min/max recorded per measurement.
+    # Measurement protocol (round-4: repeats are INTERLEAVED round-robin
+    # across all measurements, the bench_scaling.py discipline — back-
+    # to-back repeats of one query land in the same VM-contention
+    # window, which is how BENCH_r03's kg_pipeline got a 3.4x min-max
+    # band; spreading a query's repeats across the whole pass
+    # decorrelates them from any one noise burst. min/max recorded per
+    # measurement; the min is the best contention-free estimate.)
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     spread: dict[str, list[float]] = {}
 
-    def timed(key: str, fn) -> None:
-        fn()  # warm-up: JIT/codegen/Python-worker fork, untimed
-        walls = []
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            fn()
-            walls.append(time.perf_counter() - t0)
-        timings[key] = round(statistics.median(walls), 3)
-        spread[key] = [round(min(walls), 3), round(max(walls), 3)]
+    n_triples = 0
 
-    # Warm-up on a 10x smaller corpus (JIT/codegen/Python workers),
-    # then drop its cache so the timed runs are isolated.
+    def run_pipeline() -> None:
+        nonlocal n_triples
+        out = pipeline.build_triples(spark, corpus, dictionary, embeddings, cfg)
+        n_triples = out["triples"].count()
+        spark.catalog.clearCache()  # pipeline persists internally
+
+    # Pipeline warm-up on a 10x smaller corpus (JIT/codegen/Python-
+    # worker fork), then drop its cache so the timed runs are isolated.
     warm = corpus.where(F.pmod(F.xxhash64("path"), F.lit(10)) == 0)
     pipeline.build_triples(spark, warm, dictionary, embeddings, cfg)["triples"].count()
     spark.catalog.clearCache()
 
-    n_triples = 0
-    pipe_walls: list[float] = []
+    measurements: list[tuple[str, object]] = [("kg_pipeline", run_pipeline)]
+
+    if not os.environ.get("SPARK_GRAFT_SKIP_HEADLINE"):
+        # scaling runs (SKIP_HEADLINE) measure kg_pipeline throughput
+        # only — the fixed-cost headline queries would dilute wall-clock.
+        # extras: rel_* micro-queries retired from the driver's 50-row
+        # window still benchmark round-over-round
+        qs = {**entrymod.queries(), **entrymod.extra_queries()}
+        for name in HEADLINE_QUERIES:
+            # The contract dedup_minhash runs the md5 hash_mode (the
+            # DuckDB-checkable oracle variant; an md5 per (gram, seed)
+            # is ~2x the xxhash64 signature cost) — record it under its
+            # own name; "dedup_minhash" stays the PRODUCTION xxhash64
+            # mode, comparable round-over-round.
+            key = "dedup_minhash_md5_oracle" if name == "dedup_minhash" else name
+            measurements.append(
+                (key, lambda name=name: qs[name](spark, sf_dir).count())
+            )
+
+        from bio_re_with_entity_embeddings_spark.contract_text import _docs_with_dups
+        from bio_re_with_entity_embeddings_spark.operators import dedup as DD
+
+        measurements.append(
+            (
+                "dedup_minhash",
+                lambda: DD.minhash_near_duplicates(
+                    _docs_with_dups(spark, sf_dir), "doc_id", "text", threshold=0.5
+                ).count(),
+            )
+        )
+        # untimed warm-up pass (pipeline already warmed above)
+        for _, fn in measurements[1:]:
+            fn()
+
+    walls: dict[str, list[float]] = {k: [] for k, _ in measurements}
     for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = pipeline.build_triples(spark, corpus, dictionary, embeddings, cfg)
-        n_triples = out["triples"].count()
-        pipe_walls.append(time.perf_counter() - t0)
-        spark.catalog.clearCache()
-    timings["kg_pipeline"] = round(statistics.median(pipe_walls), 3)
-    spread["kg_pipeline"] = [round(min(pipe_walls), 3), round(max(pipe_walls), 3)]
+        for key, fn in measurements:
+            t0 = time.perf_counter()
+            fn()
+            walls[key].append(time.perf_counter() - t0)
+    for key, ws in walls.items():
+        timings[key] = round(statistics.median(ws), 3)
+        spread[key] = [round(min(ws), 3), round(max(ws), 3)]
 
-    def emit() -> None:
-        result = {
-            "metric": "kg_pipeline_wall",
-            "value": timings["kg_pipeline"],
-            "unit": "sec",
-            "queries": timings,
-            "spread": spread,
-            "repeats": repeats,
-            "sf": sf,
-            "master": f"local[{cpus}]",
-            "shuffle_partitions": shuffle,
-            "files": n_files,
-            "triples": n_triples,
-            "triples_per_sec": round(n_triples / timings["kg_pipeline"], 1),
-            "files_per_sec": round(n_files / timings["kg_pipeline"], 1),
-        }
-        print(json.dumps(result))
-        spark.stop()
-
-    if os.environ.get("SPARK_GRAFT_SKIP_HEADLINE"):
-        # scaling runs measure kg_pipeline throughput only — the
-        # fixed-cost headline queries would just dilute wall-clock.
-        emit()
-        return
-
-    qs = entrymod.queries()
-    for name in HEADLINE_QUERIES:
-        # The contract dedup_minhash runs the md5 hash_mode (the
-        # DuckDB-checkable oracle variant; an md5 per (gram, seed) is
-        # ~2x the xxhash64 signature cost) — record it under its own
-        # name; "dedup_minhash" stays the PRODUCTION xxhash64 mode,
-        # comparable round-over-round.
-        key = "dedup_minhash_md5_oracle" if name == "dedup_minhash" else name
-        timed(key, lambda name=name: qs[name](spark, sf_dir).count())
-
-    from bio_re_with_entity_embeddings_spark.contract_text import _docs_with_dups
-    from bio_re_with_entity_embeddings_spark.operators import dedup as DD
-
-    timed(
-        "dedup_minhash",
-        lambda: DD.minhash_near_duplicates(
-            _docs_with_dups(spark, sf_dir), "doc_id", "text", threshold=0.5
-        ).count(),
-    )
-    emit()
+    result = {
+        "metric": "kg_pipeline_wall",
+        "value": timings["kg_pipeline"],
+        "unit": "sec",
+        "queries": timings,
+        "spread": spread,
+        "repeats": repeats,
+        "interleaved": True,
+        "sf": sf,
+        "master": f"local[{cpus}]",
+        "shuffle_partitions": shuffle,
+        "files": n_files,
+        "triples": n_triples,
+        "triples_per_sec": round(n_triples / timings["kg_pipeline"], 1),
+        "files_per_sec": round(n_files / timings["kg_pipeline"], 1),
+        "triples_per_sec_best": round(n_triples / min(walls["kg_pipeline"]), 1),
+    }
+    print(json.dumps(result))
+    spark.stop()
 
 
 if __name__ == "__main__":

@@ -118,15 +118,20 @@ def surface_candidate_edges(
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 20
+    edges: DataFrame, max_iterations: int = 20, stats: dict | None = None
 ) -> DataFrame:
     """(node, component) with component = min node id in the component.
 
     Alternating large-star / small-star over an undirected edge set;
     converges in O(log n) rounds. Node ids are strings; min is
     lexicographic (stable, deterministic).
+
+    ``stats`` (optional dict) receives ``{"rounds": n}`` — the number
+    of star rounds actually executed before convergence; pinned by the
+    adversarial-scale test (chain/star graphs stay O(log n)).
     """
     spark = edges.sparkSession
+    rounds = 0
     e = (
         edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionByName(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
@@ -175,8 +180,11 @@ def connected_components(
         )
         changed = new_e.exceptAll(e).limit(1).count()
         e = new_e
+        rounds += 1
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     comp = e.groupBy("u").agg(F.min("v").alias("mn"))
     comp = comp.select(
         F.col("u").alias("node"), F.least("mn", F.col("u")).alias("component")

@@ -97,3 +97,21 @@ def load_word2vec_format(
     return spark.createDataFrame(
         rows, "entity_id string, embedding array<float>"
     )
+
+
+def to_gensim_native(path_in: str, path_out: str, binary: bool = True) -> bool:
+    """Close the last byte-compat gap with the reference when gensim IS
+    installed: load the word2vec-format export via
+    ``KeyedVectors.load_word2vec_format`` and re-save it with
+    ``KeyedVectors.save`` — the gensim-pickle ``.bin`` layout the
+    reference writes (``extract_document_vectors.py:22-31``) and its
+    examples load. Returns False (no-op) when gensim is absent — this
+    environment does not ship it, so the function is import-gated the
+    same way the Iceberg V2 writer is jar-gated."""
+    try:
+        from gensim.models import KeyedVectors
+    except ImportError:
+        return False
+    kv = KeyedVectors.load_word2vec_format(path_in, binary=binary)
+    kv.save(path_out)
+    return True

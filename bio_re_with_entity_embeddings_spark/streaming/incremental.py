@@ -104,6 +104,7 @@ def streaming_dedup(
 def streaming_triple_emitter(
     pairs_stream: DataFrame,
     threshold: int = 2,
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Custom STATEFUL streaming operator: threshold-based triple
     emission (the north rule's triple-emission semantics, incremental).
@@ -121,13 +122,42 @@ def streaming_triple_emitter(
     micro-batches and restarts, and the once-only guarantee survives
     replay (state commits atomically with the batch).
 
-    Scale shape: state is 17 bytes per distinct candidate pair,
-    hash-partitioned by the state store; per-batch work is O(evidence
-    rows in the batch); no stream-stream join anywhere.
+    State-size envelope: 17 bytes (one long + one bool) per distinct
+    candidate pair ever seen — ~17 GB of state-store footprint per 10^9
+    candidates, hash-partitioned across executors. By default nothing
+    expires: that unbounded-but-linear growth is what makes the
+    once-only guarantee unconditional. ``idle_timeout_ms`` bounds it:
+    a BELOW-THRESHOLD candidate that receives no evidence for that
+    long is dropped (ProcessingTimeTimeout; if evidence arrives later
+    its support restarts from 0 — the standard cost of state TTL).
+    EMITTED pairs never time out — their flag is the once-only
+    guarantee, so the 17 B/emitted-triple floor is permanent by
+    design, and emitted state is re-persisted without a timeout on
+    expiry ticks.
+
+    Operational caveat (measured): with ProcessingTimeTimeout the
+    engine schedules batches continuously to service future expiries,
+    so drain-style runs (``processAllAvailable()`` / an availableNow
+    trigger) never settle while the query is running — callers of the
+    TTL variant must ``stop()`` the query explicitly (poll
+    ``recentProgress`` for consumed input, as the TTL test does). The
+    default ``idle_timeout_ms=None`` keeps the NoTimeout behavior and
+    drains normally.
+
+    Scale shape: per-batch work is O(evidence rows in the batch); no
+    stream-stream join anywhere.
     """
     import pandas as pd
 
+    cols = ["subj", "pred", "obj", "n_docs"]
+
     def emit_fn(key, pdfs, state):
+        if getattr(state, "hasTimedOut", False):
+            # idle below-threshold candidate: drop its state. (Emitted
+            # groups never arm a timeout, so they cannot land here.)
+            state.remove()
+            yield pd.DataFrame([], columns=cols)
+            return
         n, emitted = state.get if state.exists else (0, False)
         for pdf in pdfs:
             n += len(pdf)
@@ -136,14 +166,21 @@ def streaming_triple_emitter(
             out.append((key[0], key[1], key[2], n))
             emitted = True
         state.update((int(n), bool(emitted)))
-        yield pd.DataFrame(out, columns=["subj", "pred", "obj", "n_docs"])
+        # ProcessingTimeTimeout resets on every invocation; only arm it
+        # for candidates still below threshold — emitted pairs keep
+        # their flag forever (once-only guarantee).
+        if idle_timeout_ms is not None and not emitted:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(out, columns=cols)
 
     return pairs_stream.groupBy("subj", "pred", "obj").applyInPandasWithState(
         emit_fn,
         outputStructType="subj string, pred string, obj string, n_docs long",
         stateStructType="n long, emitted boolean",
         outputMode="append",
-        timeoutConf="NoTimeout",
+        timeoutConf=(
+            "ProcessingTimeTimeout" if idle_timeout_ms is not None else "NoTimeout"
+        ),
     )
 
 

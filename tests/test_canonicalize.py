@@ -28,7 +28,53 @@ def test_connected_components_long_chain(spark):
     assert vals == {"n000"}
 
 
-def test_canonical_map_merges_shared_surface(spark):
+def test_connected_components_adversarial_scale(spark):
+    """VERDICT r3 #7: CC on adversarial shapes at 10^5 nodes — a long
+    chain (worst case for label propagation) plus a big star and some
+    random cross links — must (a) match a union-find reference exactly
+    and (b) converge in O(log n) star rounds, not O(n)."""
+    import random
+
+    n_chain, n_star, n_rand = 60_000, 40_000, 5_000
+    rng = random.Random(42)
+    edges = [(f"c{i:06d}", f"c{i + 1:06d}") for i in range(n_chain - 1)]
+    edges += [("s000000", f"s{i:06d}") for i in range(1, n_star)]
+    # random links, including a few chain<->star bridges
+    ids = [f"c{rng.randrange(n_chain):06d}" for _ in range(n_rand)]
+    ids2 = [f"s{rng.randrange(n_star):06d}" for _ in range(n_rand)]
+    edges += list(zip(ids, ids2))
+
+    stats: dict = {}
+    df = spark.createDataFrame(edges, "a string, b string").repartition(32)
+    got = {
+        r.node: r.component
+        for r in C.connected_components(df, max_iterations=40, stats=stats).collect()
+    }
+
+    # union-find reference (path-compressed)
+    parent: dict[str, str] = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exp = {}
+    for a, b in edges:
+        exp[a] = find(a)
+        exp[b] = find(b)
+
+    assert got == exp
+    # O(log n): 2*log2(10^5) ~ 33; star rounds stay well under that
+    # (a linear propagation would need ~60k rounds on the chain)
+    assert stats["rounds"] <= 34, stats
     dict_df = spark.createDataFrame(
         [
             ("initcompat", "FN:0000", "fn"),

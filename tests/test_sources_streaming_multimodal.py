@@ -363,6 +363,77 @@ def test_streaming_triple_emitter_threshold_once(spark, tmp_path):
     assert got2[("E", "uses", "F")] == 2
 
 
+def test_streaming_triple_emitter_idle_timeout(spark, tmp_path):
+    """VERDICT r3 #6: with idle_timeout_ms set, a BELOW-threshold
+    candidate idle past the TTL is dropped (support restarts from 0 on
+    later evidence), while emitted pairs keep their once-only flag."""
+    from bio_re_with_entity_embeddings_spark.streaming.incremental import (
+        streaming_triple_emitter,
+    )
+
+    src = tmp_path / "pairs_ttl"
+    src.mkdir()
+    schema = "subj string, pred string, obj string"
+    # b1: A gets 1 evidence row (below threshold 2), TTL armed at 1 ms
+    spark.createDataFrame([("A", "uses", "B")], schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    # b2: unrelated filler batch; its trigger fires A's expired timeout
+    spark.createDataFrame([("X", "uses", "Y")], schema).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    # b3: A again with TWO rows -> support restarted from 0, so the
+    # crossing count is 2 (it would be 3 if the TTL had not dropped b1)
+    spark.createDataFrame(
+        [("A", "uses", "B"), ("A", "uses", "B")], schema
+    ).coalesce(1).write.parquet(str(src / "b3"))
+    # b4: emitted pair gets more evidence -> must NOT re-emit
+    spark.createDataFrame([("A", "uses", "B")], schema).coalesce(1).write.parquet(
+        str(src / "b4")
+    )
+
+    emitted: list[tuple] = []
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    # ProcessingTimeTimeout keeps the engine scheduling timeout batches
+    # even when idle, so neither processAllAvailable() nor an
+    # availableNow drain ever settles (measured: endless empty
+    # batches) — poll progress until all 5 input rows are consumed,
+    # then stop explicitly.
+    q = (
+        streaming_triple_emitter(stream, threshold=2, idle_timeout_ms=1)
+        .writeStream.foreachBatch(
+            lambda df, eid: emitted.extend(
+                (r.subj, r.pred, r.obj, r.n_docs) for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_ttl"))
+        .start()
+    )
+    import time as _t
+
+    try:
+        seen: dict[int, int] = {}
+        deadline = _t.time() + 180
+        while _t.time() < deadline:
+            for p in q.recentProgress:
+                seen[p["batchId"]] = p["numInputRows"]
+            if sum(seen.values()) >= 5:
+                break
+            _t.sleep(0.25)
+        assert sum(seen.values()) >= 5, seen  # all 4 files consumed
+        _t.sleep(1.0)  # grace beat: a wrong re-emission would land here
+    finally:
+        q.stop()
+
+    a_rows = [e for e in emitted if e[0] == "A"]
+    assert a_rows == [("A", "uses", "B", 2)], emitted  # reset support, once only
+    assert not [e for e in emitted if e[0] == "X"]  # filler never crossed
+
+
 def test_incremental_triples_end_to_end(spark, tmp_path):
     """Full streaming KG construction (detector -> map-side pair
     expansion -> stateful emission) matches the batch scale path's
