@@ -83,6 +83,7 @@ QUERY_ORDER: list[str] = [
     "text_winnowing",
     "text_quality",
     "text_langid",
+    "text_repetition",
     # normalizers + ontology
     "norm_default",
     "norm_chemical",
@@ -99,7 +100,6 @@ QUERY_ORDER: list[str] = [
     # extra_queries(), oracle-checked by tests/test_oracle_parity.py)
     "rel_filter_project",
     "rel_agg_groupby",
-    "rel_equi_join_agg",
     "rel_distinct_sort",
     "rel_dedup_keys",
     "rel_topk_global",

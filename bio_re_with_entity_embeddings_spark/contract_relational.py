@@ -63,7 +63,7 @@ def rel_agg_groupby(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "rel_equi_join_agg",
     """
 SELECT c.c_mktsegment,

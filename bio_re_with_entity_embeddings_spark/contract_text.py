@@ -15,6 +15,7 @@ from .contract import (
     _SQL_PRELUDE,
     _SQL_PRELUDE_BODY,
     register,
+    register_extra,
     _load,
 )
 from .functions import text as TXT
@@ -815,4 +816,115 @@ def mm_image_dims(spark, sf_dir):
     media = MM.synth_media(docs)
     return MM.decode_image_features(media).select(
         "media_id", "width", "height", "n_channels"
+    )
+
+
+@register(
+    "text_repetition",
+    """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc,
+         array_to_string(toks[CAST(i.g AS INT) : CAST(i.g AS INT) + 1], ' ') AS gram
+  FROM d, unnest(generate_series(1, greatest(len(toks) - 1, 1))) AS i(g)
+),
+per AS (SELECT doc, gram, count(*) AS c FROM g GROUP BY doc, gram)
+SELECT doc,
+       CAST(sum(c) AS BIGINT) AS n_grams,
+       round(1 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup_gram_frac,
+       round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_gram_frac
+FROM per GROUP BY doc
+""",
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (duplicate-2-gram fraction +
+    most-common-2-gram coverage) over the documents table — the
+    boilerplate/keyword-stuffing filter of a pre-training pipeline."""
+    from .operators import curation as CUR
+
+    d = _load(spark, sf_dir, "documents")
+    return CUR.repetition_signals(d, "doc_id", "text", n=2)
+
+
+# Deterministic synthetic PII injection: the fixture corpus carries no
+# emails/IPs/phones, so the query plants them (schedule varies by
+# doc_id) and the oracle replays the identical injection — masking and
+# counting are then exercised on genuinely varying rows.
+_SQL_PII_AUG = """
+SELECT CAST(doc_id AS VARCHAR) AS doc,
+       text ||
+       CASE WHEN doc_id % 2 = 0
+            THEN ' contact user' || doc_id || '@example.com'
+            ELSE '' END ||
+       CASE WHEN doc_id % 3 = 0
+            THEN ' from 10.0.' || doc_id % 250 || '.7'
+            ELSE '' END ||
+       CASE WHEN doc_id % 5 = 0
+            THEN ' call +44 7700 900' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+            ELSE '' END AS t
+FROM documents
+"""
+
+
+@register_extra(
+    "text_pii",
+    f"""
+WITH aug AS ({_SQL_PII_AUG})
+SELECT doc,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t,
+             '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+           '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+         '\\+?\\d[\\d\\- ]{{7,}}\\d', '<PHONE>', 'g') AS masked,
+       CAST(len(regexp_extract_all(t,
+         '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{{2,}}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t,
+         '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS INT) AS n_ips,
+       CAST(len(regexp_extract_all(t,
+         '\\+?\\d[\\d\\- ]{{7,}}\\d')) AS INT) AS n_phones
+FROM aug
+""",
+)
+def text_pii(spark, sf_dir):
+    """PII masking + span counts over deterministically-injected
+    emails/IPv4s/phone numbers (codegen'd regexp_replace, no UDF)."""
+    d = _load(spark, sf_dir, "documents")
+    aug = d.select(
+        F.col("doc_id").cast("string").alias("doc"),
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 250).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" call +44 7700 900"),
+                    F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    return aug.select(
+        "doc",
+        TXT.pii_mask(F.col("t")).alias("masked"),
+        *TXT.pii_counts(F.col("t")),
     )

@@ -208,3 +208,36 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_pred", lang_id(text_col))
         .withColumn("fingerprint", fingerprint(text_col))
     )
+
+
+# --- PII masking -----------------------------------------------------------
+#
+# Regexes deliberately restricted to syntax RE2 and Java share (no
+# lookaround, no backrefs) so the SAME pattern string runs in Spark's
+# codegen'd regexp_replace AND the DuckDB oracle.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+?\d[\d\- ]{7,}\d"
+
+
+def pii_mask(col) -> Column:
+    """Mask common PII spans with typed placeholders: emails ->
+    <EMAIL>, IPv4 addresses -> <IP>, long digit runs with separators
+    (phone-shaped) -> <PHONE>. Order matters and is fixed: emails
+    first (their local parts contain digits), then IPs (dotted quads
+    are NOT phone-shaped because the phone class excludes dots), then
+    phones over the residue. Pure codegen'd projection — the standard
+    pre-training redaction pass, at scan speed, no UDF."""
+    c = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, PII_IPV4_RE, "<IP>")
+    return F.regexp_replace(c, PII_PHONE_RE, "<PHONE>")
+
+
+def pii_counts(col) -> list[Column]:
+    """Per-row PII span counts (pre-mask): n_emails, n_ips, n_phones.
+    Same shared-syntax patterns as :func:`pii_mask`."""
+    return [
+        F.regexp_count(col, F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(col, F.lit(PII_IPV4_RE)).alias("n_ips"),
+        F.regexp_count(col, F.lit(PII_PHONE_RE)).alias("n_phones"),
+    ]

@@ -175,3 +175,34 @@ def decontaminate_exact(
         .groupBy("doc")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, appendix A1.1,
+    adapted to word n-grams): per doc,
+
+    * ``n_grams`` — total word ``n``-grams,
+    * ``dup_gram_frac`` — fraction of gram OCCURRENCES beyond the first
+      of their kind (1 - distinct/total; boilerplate and keyword-stuffed
+      docs score high),
+    * ``top_gram_frac`` — share of occurrences held by the single most
+      frequent gram (the "most common n-gram coverage" signal).
+
+    Rounded to 6 dp for cross-engine oracle exactness. Scale shape: two
+    map-side-combinable aggregates — (doc, gram) counts, then a per-doc
+    rollup; nothing is collected and no window over raw grams.
+    """
+    g = _exploded_grams(df, id_col, text_col, n)
+    per = g.groupBy("doc", "g").agg(F.count(F.lit(1)).alias("c"))
+    return per.groupBy("doc").agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        F.round(
+            F.lit(1.0) - F.count(F.lit(1)) / F.sum("c").cast("double"), 6
+        ).alias("dup_gram_frac"),
+        F.round(F.max("c") / F.sum("c").cast("double"), 6).alias("top_gram_frac"),
+    )

@@ -377,6 +377,49 @@ def test_quota_sample_deterministic_cap(spark):
     assert sorted(s1["doc_id"]) == sorted(s2["doc_id"])
 
 
+def test_repetition_signals_hand_computed(spark):
+    """'a a a b' -> 2-grams {'a a' x2, 'a b'}: n=3, dup=1-2/3, top=2/3;
+    a no-repeat doc scores 0/uniform; a 1-token doc clamps to 1 gram."""
+    from bio_re_with_entity_embeddings_spark.operators import curation as CUR
+
+    d = spark.createDataFrame(
+        [("r", "a a a b"), ("u", "w x y z"), ("s", "solo")],
+        "doc_id string, text string",
+    )
+    got = {
+        r.doc: (r.n_grams, r.dup_gram_frac, r.top_gram_frac)
+        for r in CUR.repetition_signals(d).collect()
+    }
+    assert got["r"] == (3, round(1 - 2 / 3, 6), round(2 / 3, 6))
+    assert got["u"] == (3, 0.0, round(1 / 3, 6))
+    assert got["s"] == (1, 0.0, 1.0)
+
+
+def test_pii_mask_positive_and_negative(spark):
+    from bio_re_with_entity_embeddings_spark.functions import text as TXT
+
+    rows = [
+        ("e", "mail bob.smith+x@sub.example.co.uk now"),
+        ("i", "host 192.168.0.17 up"),
+        ("p1", "call +44 7700 900123 today"),
+        ("p2", "fax 555-123-4567."),
+        ("neg", "v1.2.3 has 12-34 items at 10.0 rating"),
+    ]
+    d = spark.createDataFrame(rows, "k string, t string")
+    out = {
+        r.k: (r.m, r.n_emails, r.n_ips, r.n_phones)
+        for r in d.select(
+            "k", TXT.pii_mask("t").alias("m"), *TXT.pii_counts(F.col("t"))
+        ).collect()
+    }
+    assert out["e"] == ("mail <EMAIL> now", 1, 0, 0)
+    assert out["i"] == ("host <IP> up", 0, 1, 0)
+    assert out["p1"] == ("call <PHONE> today", 0, 0, 1)
+    assert out["p2"] == ("fax <PHONE>.", 0, 0, 1)
+    # three-octet versions, short digit runs, bare decimals untouched
+    assert out["neg"] == ("v1.2.3 has 12-34 items at 10.0 rating", 0, 0, 0)
+
+
 def test_quota_sample_salted_exact_and_auto(spark):
     """VERDICT r3 #2: the salted two-stage top-k must equal the
     one-stage window exactly on a skewed fixture, the auto mode must
