@@ -464,3 +464,62 @@ def embedding_near_duplicates(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def dedup_keepers(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    quality: DataFrame | None = None,
+    quality_id: str = "doc",
+    quality_col: str = "score",
+) -> DataFrame:
+    """Turn near-duplicate PAIRS (any of the minhash/simhash/embedding
+    candidate outputs) into an actionable per-cluster decision:
+    (doc, cluster, keeper, drop). Pairs are clustered transitively with
+    the large/small-star connected-components operator (A~B, B~C =>
+    one cluster even if A,C never paired — the semantics a drop list
+    needs; keeping per-pair winners instead would drop BOTH of B's
+    neighbors or neither deterministically).
+
+    Keeper selection: highest ``quality`` score (ties -> min doc id)
+    when a quality table is given, else min doc id — deterministic
+    either way, so reruns produce identical drop lists.
+
+    Scale shape: CC is O(log n) star rounds over the pair set (pairs
+    are already candidate-bounded by the upstream cap knobs); keeper
+    election is one per-cluster max_by aggregate + a broadcast-sized
+    join back of (cluster, keeper). Docs never in any pair are absent
+    from the output — they are trivially kept (union them in as
+    ``drop=false`` only if a full roster is needed; avoids scanning
+    the corpus here).
+    """
+    from .canonicalize import connected_components
+
+    comp = connected_components(
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    ).select(F.col("node").alias("doc"), F.col("component").alias("cluster"))
+    if quality is not None:
+        q = quality.select(
+            F.col(quality_id).alias("doc"),
+            F.col(quality_col).cast("double").alias("_q"),
+        )
+        scored = comp.join(q, "doc", "left").na.fill({"_q": float("-inf")})
+        # max quality, then MIN doc among the tied best: two map-side-
+        # combinable aggregates (a single max_by(struct) cannot express
+        # a descending-then-ascending composite over a string id)
+        mx = scored.groupBy("cluster").agg(F.max("_q").alias("_mq"))
+        keepers = (
+            scored.join(mx, "cluster")
+            .where(F.col("_q") == F.col("_mq"))
+            .groupBy("cluster")
+            .agg(F.min("doc").alias("keeper"))
+        )
+    else:
+        keepers = comp.groupBy("cluster").agg(F.min("doc").alias("keeper"))
+    return (
+        comp.join(F.broadcast(keepers), "cluster")
+        .select(
+            "doc", "cluster", "keeper", (F.col("doc") != F.col("keeper")).alias("drop")
+        )
+    )

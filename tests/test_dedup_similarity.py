@@ -377,6 +377,40 @@ def test_quota_sample_deterministic_cap(spark):
     assert sorted(s1["doc_id"]) == sorted(s2["doc_id"])
 
 
+def test_dedup_keepers_transitive_clusters(spark):
+    """A~B, B~C plus a separate D~E: two clusters; min-id keepers by
+    default; quality table flips the keeper (ties -> min id)."""
+    pairs = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("D", "E")], "id_a string, id_b string"
+    )
+    got = {
+        r.doc: (r.cluster, r.keeper, r.drop)
+        for r in DD.dedup_keepers(pairs).collect()
+    }
+    assert got == {
+        "A": ("A", "A", False),
+        "B": ("A", "A", True),
+        "C": ("A", "A", True),
+        "D": ("D", "D", False),
+        "E": ("D", "D", True),
+    }
+
+    quality = spark.createDataFrame(
+        [("A", 0.1), ("B", 0.9), ("C", 0.9), ("D", 0.5), ("E", 0.5)],
+        "doc string, score double",
+    )
+    got_q = {
+        r.doc: (r.keeper, r.drop)
+        for r in DD.dedup_keepers(pairs, quality=quality).collect()
+    }
+    # B and C tie at 0.9 -> min id B wins; D/E tie -> D
+    assert got_q["A"] == ("B", True)
+    assert got_q["B"] == ("B", False)
+    assert got_q["C"] == ("B", True)
+    assert got_q["D"] == ("D", False)
+    assert got_q["E"] == ("D", True)
+
+
 def test_repetition_signals_hand_computed(spark):
     """'a a a b' -> 2-grams {'a a' x2, 'a b'}: n=3, dup=1-2/3, top=2/3;
     a no-repeat doc scores 0/uniform; a 1-token doc clamps to 1 gram."""
