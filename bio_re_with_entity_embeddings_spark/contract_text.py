@@ -928,3 +928,46 @@ def text_pii(spark, sf_dir):
         TXT.pii_mask(F.col("t")).alias("masked"),
         *TXT.pii_counts(F.col("t")),
     )
+
+
+@register_extra(
+    "dedup_winnowing",
+    """
+WITH norm AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc, i.g AS pos, md5(substr(t, CAST(i.g AS INT), 5)) AS h
+  FROM norm, unnest(generate_series(1, length(t) - 4)) AS i(g)
+  WHERE length(t) >= 5
+),
+wins AS (
+  SELECT doc,
+         min(h) OVER (PARTITION BY doc ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+  FROM grams
+),
+fps AS (SELECT DISTINCT doc, fp FROM wins WHERE wn = 4),
+gated AS (
+  SELECT doc, fp FROM (
+    SELECT doc, fp, count(*) OVER (PARTITION BY fp) AS bsz FROM fps
+  ) WHERE bsz <= 2000
+)
+SELECT x.doc AS id_a, y.doc AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM gated x JOIN gated y ON x.fp = y.fp AND x.doc < y.doc
+GROUP BY x.doc, y.doc
+HAVING count(*) >= 5
+""",
+)
+def dedup_winnowing(spark, sf_dir):
+    """Local-similarity near-dup pairs: docs sharing >= 5 winnowing
+    fingerprints (copied-passage detection, the minhash complement) —
+    md5 oracle mode, fingerprint bucket gate replayed in SQL."""
+    d = _load(spark, sf_dir, "documents")
+    return DD.winnowing_near_duplicates(
+        d, "doc_id", "text", k=5, w=4, min_shared=5, hash_mode="md5"
+    )

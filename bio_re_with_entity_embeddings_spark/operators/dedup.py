@@ -523,3 +523,50 @@ def dedup_keepers(
             "doc", "cluster", "keeper", (F.col("doc") != F.col("keeper")).alias("drop")
         )
     )
+
+
+def winnowing_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    hash_mode: str = "xxhash64",
+    max_bucket_size: int = 2000,
+) -> DataFrame:
+    """LOCAL-similarity near-dup pairs: documents sharing at least
+    ``min_shared`` winnowing fingerprints (Schleimer SIGMOD'03). The
+    complement of the global sketches — minhash needs whole-document
+    Jaccard overlap, winnowing fires on one COPIED PASSAGE of length
+    >= k + w - 1 chars regardless of how different the rest is (the
+    contained-plagiarism / boilerplate-block case minhash misses).
+
+    Output: (id_a, id_b, n_shared), id_a < id_b.
+
+    Scale shape mirrors the banded joins: fingerprints are the bucket
+    keys; a per-fp size gate (same ``max_bucket_size`` window as
+    minhash buckets) drops degenerate fingerprints — a boilerplate
+    k-gram shared by 10^6 docs would otherwise emit 10^12/2 pairs while
+    carrying no pair-level signal (ubiquitous = uninformative,
+    idf ~ 0); capped candidates are <= n_fp * cap / 2. The pair count
+    aggregate is map-side combinable on (id_a, id_b)."""
+    from ..functions.text import winnowing_fingerprints
+
+    fp = winnowing_fingerprints(df, id_col, text_col, k, w, hash_mode)
+    wdw = Window.partitionBy("fp")
+    gated = (
+        fp.withColumn("_bsz", F.count(F.lit(1)).over(wdw))
+        .where(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
+    return (
+        gated.alias("x")
+        .join(gated.alias("y"), "fp", "inner")
+        .where(F.col("x.doc") < F.col("y.doc"))
+        .groupBy(
+            F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -325,3 +325,43 @@ def incremental_mentions(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def streaming_sessionize(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Native session windows over an event stream: per (user, session)
+    event counts with sessions merged under ``gap`` inactivity —
+    the streaming form of the batch ``events_sessionize`` contract
+    query (lag + running-sum), executed by Spark's built-in
+    ``session_window`` state store instead of a hand-rolled stateful
+    UDF (state merging, watermark eviction and restart recovery come
+    from the engine).
+
+    Boundary semantics: ``session_window`` extends a session to
+    ``last_ts + gap`` HALF-OPEN, so an event at exactly ``gap``
+    separation starts a NEW session, where the batch query's strict
+    ``>`` keeps it; identical on every input whose gaps differ from
+    the boundary (pinned by the parity test, which also documents the
+    divergence).
+
+    In append mode a session row is emitted once the event-time
+    watermark passes its end — late events within ``watermark`` still
+    merge; a session is never emitted twice.
+    """
+    e = events_stream.withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).withWatermark("ts", watermark)
+    return (
+        e.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )

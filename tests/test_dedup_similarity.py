@@ -377,6 +377,51 @@ def test_quota_sample_deterministic_cap(spark):
     assert sorted(s1["doc_id"]) == sorted(s2["doc_id"])
 
 
+def test_winnowing_near_duplicates_copied_passage(spark):
+    """A passage of length >= k+w-1 copied between two otherwise
+    different docs must pair them (the local-similarity case global
+    minhash misses); unrelated docs must not pair."""
+    passage = "the quick brown fox jumps over the lazy dog in autumn"
+    rows = [
+        ("a", "totally unrelated preamble here. " + passage),
+        ("b", passage + " and then a completely different continuation"),
+        ("c", "nothing in common with anyone else at all zzz qqq"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id string, text string")
+    got = DD.winnowing_near_duplicates(
+        d, "doc_id", "text", k=5, w=4, min_shared=2
+    ).toPandas()
+    pairs = {(r.id_a, r.id_b) for r in got.itertuples()}
+    assert ("a", "b") in pairs
+    assert not any("c" in p for p in pairs)
+    # xxhash64 and md5 modes agree on the pair set
+    got_md5 = DD.winnowing_near_duplicates(
+        d, "doc_id", "text", k=5, w=4, min_shared=2, hash_mode="md5"
+    ).toPandas()
+    assert pairs == {(r.id_a, r.id_b) for r in got_md5.itertuples()}
+
+
+def test_winnowing_near_duplicates_bucket_gate(spark):
+    """A boilerplate fingerprint shared by > max_bucket_size docs is
+    dropped from candidate generation (ubiquitous = uninformative);
+    docs still pair via their other, informative fingerprints."""
+    boiler = "standard footer text appears everywhere verbatim today"
+    # per-doc prefix = one distinct repeated letter, so no two docs
+    # share ANY doc-specific 5-gram (digit prefixes would: "0 sta"
+    # junction grams recur every 10th doc — a real, correct pairing)
+    rows = [(f"d{i:03d}", chr(97 + i) * 12 + " " + boiler) for i in range(26)]
+    rows += [("x1", "shared rare passage alpha beta gamma delta epsilon"),
+             ("x2", "shared rare passage alpha beta gamma delta epsilon zz")]
+    d = spark.createDataFrame(rows, "doc_id string, text string")
+    got = DD.winnowing_near_duplicates(
+        d, "doc_id", "text", k=5, w=4, min_shared=2, max_bucket_size=10
+    ).toPandas()
+    pairs = {(r.id_a, r.id_b) for r in got.itertuples()}
+    # the 26 boilerplate docs share ONLY gated fingerprints -> no pairs
+    assert not any(a.startswith("d") and b.startswith("d") for a, b in pairs)
+    assert ("x1", "x2") in pairs
+
+
 def test_dedup_keepers_transitive_clusters(spark):
     """A~B, B~C plus a separate D~E: two clusters; min-id keepers by
     default; quality table flips the keeper (ties -> min id)."""

@@ -37,7 +37,7 @@ def test_filter_pushdown_and_column_pruning(spark):
 
 
 def test_dimension_joins_broadcast(spark):
-    plan = plan_of(entrymod.queries()["rel_broadcast_join"](spark, SF_DIR))
+    plan = plan_of(entrymod.extra_queries()["rel_broadcast_join"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     plan2 = plan_of(entrymod.queries()["kg_triples_scored"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan2 or "BroadcastNestedLoopJoin" in plan2

@@ -363,6 +363,71 @@ def test_streaming_triple_emitter_threshold_once(spark, tmp_path):
     assert got2[("E", "uses", "F")] == 2
 
 
+def test_streaming_sessionize_native_session_window(spark, tmp_path):
+    """Native session_window sessionization must reproduce the batch
+    lag+cumsum sessions on gap-unambiguous input (the exact-gap
+    boundary is half-open in session_window, strict-> in the batch
+    query — fixture avoids it). Sessions flush in append mode once the
+    watermark passes their end; sentinel batches advance it."""
+    from bio_re_with_entity_embeddings_spark.streaming.incremental import (
+        streaming_sessionize,
+    )
+
+    t0 = "2024-01-01 00:{m:02d}:00"
+    rows_real = [
+        # u1: 00:00 + 00:10 (one session), 00:50 (gap 40 min -> new)
+        ("u1", t0.format(m=0), 1),
+        ("u1", t0.format(m=10), 2),
+        ("u1", t0.format(m=50), 3),
+        # u2: 00:05 alone, then 00:36 + 00:37 (gap 31 min -> new)
+        ("u2", t0.format(m=5), 4),
+        ("u2", t0.format(m=36), 5),
+        ("u2", t0.format(m=37), 6),
+    ]
+    schema = "user_id string, ts string, event_id int"
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    spark.createDataFrame(rows_real, schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    # two sentinel batches push the watermark past every real session
+    for i, h in enumerate(("2024-01-01 10:00:00", "2024-01-01 20:00:00")):
+        spark.createDataFrame([("zz", h, 99)], schema).coalesce(1).write.parquet(
+            str(src / f"b{i + 2}")
+        )
+
+    got: list[tuple] = []
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        streaming_sessionize(stream, gap="30 minutes", watermark="1 second")
+        .writeStream.foreachBatch(
+            lambda df, eid: got.extend(
+                (r.user_id, r.session_start, r.n_events) for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    real = sorted(g for g in got if g[0] != "zz")
+    assert real == [
+        ("u1", "2024-01-01 00:00:00", 2),
+        ("u1", "2024-01-01 00:50:00", 1),
+        ("u2", "2024-01-01 00:05:00", 1),
+        ("u2", "2024-01-01 00:36:00", 2),
+    ], got
+    # append mode: every session exactly once
+    assert len(real) == len(set(real))
+
+
 def test_streaming_triple_emitter_idle_timeout(spark, tmp_path):
     """VERDICT r3 #6: with idle_timeout_ms set, a BELOW-threshold
     candidate idle past the TTL is dropped (support restarts from 0 on
