@@ -190,6 +190,7 @@ def incremental_triples(
     relations: list[tuple[str, str]],
     predicate_fn,
     threshold: int = 2,
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Full incremental KG construction as ONE streaming plan, no
     stream-stream join: Arrow entity-array detector (mapInPandas is
@@ -203,6 +204,8 @@ def incremental_triples(
     ``predicate_fn(src_t, tgt_t) -> str`` names each relation.
     Returns the unstarted streaming DataFrame of
     (subj, pred, obj, n_docs) triples; callers pick sink + checkpoint.
+    ``idle_timeout_ms`` passes through to the emitter's state TTL (see
+    ``streaming_triple_emitter`` for semantics and the drain caveat).
     """
     from ..operators.mentions import detect_entity_arrays
     from ..plans.pipeline import ingest
@@ -259,7 +262,7 @@ def incremental_triples(
         )
         .select("subj", "pred", "obj")
     )
-    return streaming_triple_emitter(pairs, threshold)
+    return streaming_triple_emitter(pairs, threshold, idle_timeout_ms)
 
 
 def incremental_triples_to_graph(

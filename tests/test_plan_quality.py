@@ -236,3 +236,40 @@ def test_winnowing_single_window_no_extra_exchange(spark):
         1 for l in plan.splitlines() if "Exchange hashpartitioning" in l
     )
     assert n_exchanges <= 2, plan[:1500]
+
+
+def test_repetition_signals_two_map_combinable_aggregates(spark):
+    """repetition_signals = (doc, gram) counts then a per-doc rollup:
+    exactly TWO exchanges, both aggregates with map-side partials —
+    no window over raw grams, no extra shuffle."""
+    df = entrymod.queries()["text_repetition"](spark, SF_DIR)
+    df.collect()
+    # AQE plan strings append the Initial Plan after the Final Plan —
+    # count exchanges in the executed (final) section only
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange") - plan.count("ReusedExchange") <= 2, plan[:1500]
+    assert "Window" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan, plan[:800]
+
+
+def test_pii_mask_no_shuffle(spark):
+    """PII masking is a pure projection: zero exchanges, whole-stage
+    codegen, no UDF in the plan."""
+    df = entrymod.extra_queries()["text_pii"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan[:1200]
+    assert "Python" not in plan  # no pandas/python eval nodes
+    assert re.search(r"\*\(\d+\)", plan), plan[:400]  # codegen'd
+
+
+def test_winnowing_dedup_no_cartesian(spark):
+    """The winnowing pair join buckets on fp (never a cross product),
+    and the bucket-gate window shares the fp partitioning with the
+    join, so at most one exchange feeds both sides."""
+    from bio_re_with_entity_embeddings_spark.operators import dedup as DD
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    out = DD.winnowing_near_duplicates(d, "doc_id", "text", min_shared=2)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Window" in plan  # the bucket gate

@@ -132,3 +132,35 @@ def test_token_fast_path_predicate_matches_golden(text):
         if text[b:e].lower() == s
     }
     assert got == want
+
+
+@given(
+    st.lists(st.integers(0, 10**9), min_size=1, max_size=300, unique=True),
+    st.integers(1, 12),
+    st.integers(1, 9),
+)
+@settings(max_examples=200, deadline=None)
+def test_salted_topk_equals_global_topk(keys, quota, n_salts):
+    """The exactness core of quota_sample's skew salting
+    (operators/curation.py): for ANY salt assignment and ANY total
+    order, the global top-``quota`` is contained in the union of
+    per-salt top-``quota``s, so stage-2 over the union equals the
+    one-stage result exactly. (The Spark fixture test pins the
+    plumbing; this explores the combinatorics.)"""
+    import hashlib
+
+    def okey(v):  # the operator's (md5(order), order) composite
+        return (hashlib.md5(str(v).encode()).hexdigest(), v)
+
+    def salt(v):  # any deterministic assignment works; mirror xxhash-ish
+        return hash(("s", v)) % n_salts
+
+    one_stage = sorted(keys, key=okey)[:quota]
+    buckets: dict[int, list] = {}
+    for v in keys:
+        buckets.setdefault(salt(v), []).append(v)
+    survivors = [
+        v for b in buckets.values() for v in sorted(b, key=okey)[:quota]
+    ]
+    two_stage = sorted(survivors, key=okey)[:quota]
+    assert two_stage == one_stage
