@@ -62,10 +62,24 @@ def minhash_signatures(
     min-agg is whole-stage-codegen'd with map-side partial aggregation
     (measured 21s -> 1.0s on 510 docs x ~54 shingles x 32 seeds).
 
-    ``hash_mode``: 'xxhash64' (the fast scale default) or 'md5'
-    (min over seeded md5 hex strings — a hash every ANSI engine has, so
-    the whole LSH dataflow is cross-checkable row-exactly in DuckDB;
-    minhash only needs a uniform hash with a total order).
+    ``hash_mode``:
+
+    * 'perm': ONE xxhash64 over the gram STRING, then n_hashes seeded
+      xxhash64 re-hashes of that fixed-width value — the string walk
+      is paid once instead of n_hashes times. NOTE the measurement
+      that keeps the default at 'xxhash64': at 200k x 1200-token docs
+      the whole signature stage is ~7 s either way (codegen'd hashing
+      is not the bottleneck; the candidate VERIFY stage is, see
+      ``minhash_near_duplicates``) — 'perm' matters only for much
+      wider signatures (n_hashes >> 32) or longer grams. Distribution
+      is as uniform as the direct mode; grams collide first at the
+      shared ``_h``, a 2^-64 event minhash tolerates.
+    * 'xxhash64': n_hashes independent seeded xxhash64 calls per gram
+      (the pre-round-4 production mode, kept for comparability).
+    * 'md5': min over seeded md5 hex strings — a hash every ANSI
+      engine has, so the whole LSH dataflow is cross-checkable
+      row-exactly in DuckDB; minhash only needs a uniform hash with a
+      total order.
 
     Gram rows are built explode-FIRST (codegen'd concat/slice) rather
     than exploding a transform()-built array (interpreted per element);
@@ -92,6 +106,20 @@ def minhash_signatures(
             F.min(
                 F.substring(F.col(f"m{i // 4}"), (i % 4) * 8 + 1, 8)
             ).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    elif hash_mode == "perm":
+        # One STRING hash per gram; the n_hashes minhash functions are
+        # seeded xxhash64 re-hashes of that 8-byte value — hashing a
+        # long is a few instructions vs walking a ~20-char string, so
+        # the dominant per-gram cost is paid once instead of n_hashes
+        # times. (A wrapping multiply-add permutation would be cheaper
+        # still, but ANSI mode — on by default in Spark 4 — makes long
+        # overflow an error, and ANSI-safe mod arithmetic costs more
+        # than the fixed-width rehash.)
+        ex = ex.select("doc", F.xxhash64("g").alias("_h"))
+        hs = [
+            F.min(F.xxhash64("_h", F.lit(i))).alias(f"h{i}")
             for i in range(n_hashes)
         ]
     else:
@@ -135,9 +163,25 @@ def minhash_near_duplicates(
     # too — Spark re-derives it per consumer (md5 mode measured 2x
     # SLOWER) — while building arrays for all docs is linear,
     # shuffle-free, and embarrassingly parallel.
-    sh_tbl = df.select(
-        F.col(id_col).cast("string").alias("doc"), shingles(text_col).alias("sh")
-    )
+    # Verify-side representation (measured at 200k x 1200-token docs:
+    # verify is 99% of wall — 1578 s of 1585 s — signatures just 7 s):
+    # hashed modes intersect arrays of int64 GRAM HASHES — 8-byte
+    # equality and ~3x less join shuffle than ~20-char strings; jaccard
+    # identical up to 2^-64 in-doc hash collisions. md5 mode keeps the
+    # string arrays (the DuckDB oracle replays them verbatim).
+    if hash_mode == "md5":
+        sh_tbl = df.select(
+            F.col(id_col).cast("string").alias("doc"), shingles(text_col).alias("sh")
+        )
+    else:
+        from .curation import _exploded_grams
+
+        sh_tbl = (
+            _exploded_grams(df, id_col, text_col, 3)
+            .select("doc", F.xxhash64("g").alias("gh"))
+            .groupBy("doc")
+            .agg(F.sort_array(F.collect_set("gh")).alias("sh"))
+        )
     sig = minhash_signatures(df, id_col, text_col, n_hashes, hash_mode)
 
     def band_key(b: int):
@@ -176,8 +220,24 @@ def minhash_near_duplicates(
         F.array_union("sh_a", "sh_b")
     )
     return (
-        cand.join(sh_tbl.withColumnsRenamed({"doc": "doc_a", "sh": "sh_a"}), "doc_a")
-        .join(sh_tbl.withColumnsRenamed({"doc": "doc_b", "sh": "sh_b"}), "doc_b")
+        # shuffle_hash: the array table is O(corpus) — AQE must never
+        # pick a broadcast for it (measured: the (smaller) hashed-long
+        # arrays dropped under the adaptive broadcast threshold and the
+        # attempted broadcast blew spark.driver.maxResultSize at 200k
+        # docs); a shuffled hash join keys on the 8-byte doc id and
+        # only CARRIES the arrays.
+        cand.join(
+            sh_tbl.withColumnsRenamed({"doc": "doc_a", "sh": "sh_a"}).hint(
+                "shuffle_hash"
+            ),
+            "doc_a",
+        )
+        .join(
+            sh_tbl.withColumnsRenamed({"doc": "doc_b", "sh": "sh_b"}).hint(
+                "shuffle_hash"
+            ),
+            "doc_b",
+        )
         .withColumn("jaccard", jac.cast("double"))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
