@@ -29,6 +29,36 @@ from bio_re_with_entity_embeddings_spark.operators import dedup as DD  # noqa: E
 from bio_re_with_entity_embeddings_spark.session import get_spark  # noqa: E402
 
 
+def synth_embeddings(spark, n: int, dim: int = 64, dup_every: int = 100):
+    """Deterministic synthetic embedding table: component j of vector i
+    is pmod(xxhash64(i, j), 2000001)/1e6 - 1 in [-1, 1] — codegen'd,
+    seed-free, partition-layout independent. Every ``dup_every``-th id
+    also gets a near-duplicate twin (same components * 1.000001) with
+    id offset n, so recall has ground truth."""
+    base = spark.range(n).select(F.col("id").cast("int").alias("vec_id"))
+    vec = F.array(
+        *[
+            (
+                F.pmod(F.xxhash64("vec_id", F.lit(j)), F.lit(2000001))
+                / F.lit(1000000.0)
+                - F.lit(1.0)
+            ).cast("float")
+            for j in range(dim)
+        ]
+    )
+    orig = base.select("vec_id", vec.alias("embedding"))
+    twins = (
+        base.where(F.col("vec_id") % dup_every == 0)
+        .select((F.col("vec_id") + n).cast("int").alias("tid"), "vec_id")
+        .select(
+            F.col("tid").alias("out_id"),
+            F.transform(vec, lambda x: x * F.lit(1.000001)).alias("embedding"),
+        )
+        .select(F.col("out_id").alias("vec_id"), "embedding")
+    )
+    return orig.unionByName(twins)
+
+
 def main() -> None:
     n_files = int(os.environ.get("SPARK_GRAFT_DEDUP_FILES", "200000"))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -73,6 +103,44 @@ def main() -> None:
             }
         )
     )
+
+    n_vec = int(os.environ.get("SPARK_GRAFT_DEDUP_VECTORS", "500000"))
+    if n_vec > 0:
+        vecs = synth_embeddings(spark, n_vec)
+        n_total = n_vec + n_vec // 100
+        planted = n_vec // 100
+        t0 = time.perf_counter()
+        epairs = DD.embedding_near_duplicates(
+            vecs, threshold=0.99, n_vectors=n_total
+        )
+        # one pass: total pairs + recall over planted twins (i, i+n)
+        row = epairs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("id_b") - F.col("id_a") == n_vec)
+                    & (F.col("id_a") % 100 == 0),
+                    1,
+                ).otherwise(0)
+            ).alias("hits"),
+        ).collect()[0]
+        total_pairs, hits = int(row["n"]), int(row["hits"] or 0)
+        t_vec = round(time.perf_counter() - t0, 1)
+        print(
+            json.dumps(
+                {
+                    "op": "embedding_near_duplicates",
+                    "vectors": n_total,
+                    "dim": 64,
+                    "pairs": total_pairs,
+                    "planted": planted,
+                    "planted_recalled": hits,
+                    "t_full_s": t_vec,
+                    "vectors_per_sec": round(n_total / t_vec, 0),
+                    "master": f"local[{cpus}]",
+                }
+            )
+        )
     spark.stop()
 
 

@@ -463,6 +463,10 @@ def dedup_embedding(spark, sf_dir):
     out = DD.embedding_near_duplicates(
         emb, id_col="vec_id", vec_col="embedding", threshold=0.4,
         n_tables=8, planes_per_table=4, seed=7,
+        # oracle arithmetic: the interpreted fold sums components in
+        # the same sequential order the SQL restatement does; the
+        # 'arrow' einsum kernel is the scale default elsewhere
+        verify_kernel="hof",
     )
     return out.select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")

@@ -496,8 +496,9 @@ def embedding_near_duplicates(
     vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.95, method: str = "lsh",
     n_tables: int = 8, planes_per_table: int | None = None, seed: int = 7,
-    target_bucket_size: int = 1024, max_bucket_size: int = 2000,
+    target_bucket_size: int = 128, max_bucket_size: int = 2000,
     n_vectors: int | None = None,
+    verify_kernel: str = "block",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs.
 
@@ -506,8 +507,92 @@ def embedding_near_duplicates(
     corpus count and degenerate buckets capped (see
     ``embedding_lsh_candidates``), so candidate count is bounded at
     O(n * cap), never O(n^2). ``method='exact'``: brute crossJoin, the
-    validation baseline for samples only."""
-    from .similarity import cosine_cols
+    validation baseline for samples only.
+
+    ``target_bucket_size`` defaults to 128 here (the candidate-volume
+    dial: expected candidates ~ n * bucket/2 * tables; measured at 50k
+    x 64-dim with the old 1024 target the verify stage ground through
+    ~10^8 candidate pairs). Near-DUP thresholds (>= 0.95) lose no
+    measurable recall from more planes — a twin pair at cosine ~ 1
+    flips a sign bit with probability ~ theta/pi ~ 0.
+    ``verify_kernel``:
+
+    * ``'block'`` (the scale default): NO candidate-pair join at all —
+      bucket members are grouped per (table, key) and each bucket
+      computes its full cosine matrix in ONE Arrow matmul, emitting
+      only pairs >= threshold; a final (id_a, id_b) aggregate dedups
+      pairs found by several tables. Shuffle volume is vectors x
+      n_tables (each vector ships once per membership, ~n_tables x
+      dim x 4 B/vector) — the pair-join kernels ship BOTH full vectors
+      per CANDIDATE, measured 270+ GB of spill at 500k x 64-dim
+      (OOM-killed the JVM via tmpfs exhaustion) vs ~1 GB for block.
+    * ``'arrow'``: candidate pairs joined back to vectors, one einsum
+      per Arrow batch — fine when candidates are scarce.
+    * ``'hof'``: the interpreted expression fold — the DuckDB-oracle
+      arithmetic (sequential sum order), used by the contract query;
+      correct but ~20x slower per pair and pair-join shaped.
+    Block emits ids as BIGINT (static Arrow schema; numeric vec ids
+    assumed); the join kernels keep the input id type."""
+    from .similarity import cosine_cols, cosine_pairs_udf, lsh_table_keys_udf
+
+    if method != "exact" and verify_kernel == "block":
+        if planes_per_table is None:
+            if n_vectors is None:
+                n_vectors = vectors.count()
+            planes_per_table = derive_planes_per_table(
+                n_vectors, target_bucket_size
+            )
+        keys = lsh_table_keys_udf(n_tables, planes_per_table, seed)
+        tabbed = vectors.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).alias("v"),
+            F.posexplode(keys(F.col(vec_col))).alias("tbl", "bkey"),
+        )
+        w = Window.partitionBy("tbl", "bkey")
+        tabbed = (
+            tabbed.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .where(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+
+        import pandas as pd  # noqa: F811 (worker-side import)
+        import numpy as np  # noqa: F811
+
+        thr = float(threshold)
+
+        def block(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) < 2:
+                return pd.DataFrame(
+                    {"id_a": pd.Series([], dtype="int64"),
+                     "id_b": pd.Series([], dtype="int64"),
+                     "cosine": pd.Series([], dtype="float64")}
+                )
+            M = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["v"].values]
+            )
+            M = M / np.maximum(
+                np.linalg.norm(M, axis=1, keepdims=True), 1e-30
+            )
+            S = M @ M.T
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            ia, ib = np.where(np.triu(S >= thr, k=1))
+            a_ids, b_ids = ids[ia], ids[ib]
+            lo = np.minimum(a_ids, b_ids)
+            hi = np.maximum(a_ids, b_ids)
+            keep = lo != hi
+            return pd.DataFrame(
+                {"id_a": lo[keep], "id_b": hi[keep],
+                 "cosine": S[ia, ib][keep]}
+            )
+
+        found = tabbed.groupBy("tbl", "bkey").applyInPandas(
+            block, "id_a long, id_b long, cosine double"
+        )
+        # a pair can surface in several tables: dedup on the pair key
+        # (cosine identical across tables -> max == any)
+        return found.groupBy("id_a", "id_b").agg(
+            F.max("cosine").alias("cosine")
+        )
 
     a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
@@ -518,9 +603,15 @@ def embedding_near_duplicates(
             vectors, id_col, vec_col, n_tables, planes_per_table, seed,
             target_bucket_size, max_bucket_size, n_vectors,
         )
-        cand = pairs.join(a, "id_a").join(b, "id_b")
+        cand = pairs.join(a.hint("shuffle_hash"), "id_a").join(
+            b.hint("shuffle_hash"), "id_b"
+        )
+    if verify_kernel == "arrow":
+        cos = cosine_pairs_udf()("v_a", "v_b")
+    else:
+        cos = cosine_cols("v_a", "v_b")
     return (
-        cand.withColumn("cosine", cosine_cols("v_a", "v_b"))
+        cand.withColumn("cosine", cos)
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

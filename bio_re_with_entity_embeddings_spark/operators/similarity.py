@@ -35,6 +35,27 @@ def cosine_cols(a, b):
     return (dot / (na * nb)).cast("double")
 
 
+def cosine_pairs_udf():
+    """Arrow kernel: double-precision cosine over PAIRED array columns
+    (one einsum per batch). The vectorized verify path for candidate
+    pairs — ``cosine_cols`` is an interpreted HOF fold (the measured
+    ~20x penalty class) and must stay off any 10^7-pair verify."""
+    import pandas as pd  # noqa: F811 (worker-side import)
+
+    @F.pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if a.empty:
+            return pd.Series([], dtype="float64")
+        A = np.stack([np.asarray(x, dtype=np.float64) for x in a.values])
+        B = np.stack([np.asarray(x, dtype=np.float64) for x in b.values])
+        dots = np.einsum("ij,ij->i", A, B)
+        na = np.sqrt(np.einsum("ij,ij->i", A, A))
+        nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+        return pd.Series(dots / (na * nb))
+
+    return cos
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
