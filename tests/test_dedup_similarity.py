@@ -200,6 +200,46 @@ def test_minhash_bucket_cap_bounds_degenerate_bucket(spark):
     assert len(pairs) == 1, f"flood leaked {len(pairs) - 1} quadratic pairs"
 
 
+def test_embedding_block_kernel_bucket_cap_and_parity(spark):
+    """The block verify kernel must (a) respect max_bucket_size — a
+    flood of identical vectors sharing every bucket is skipped, not
+    verified quadratically — and (b) agree with the pair-join arrow
+    kernel on a normal input."""
+    # flood: 500 identical vectors + one genuine near-dup pair apart
+    flood = spark.range(500).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.array(*[F.lit(float(j % 7 - 3)) for j in range(16)]).alias("embedding"),
+    )
+    pair = spark.createDataFrame(
+        [
+            (9001, [1.0] * 8 + [0.0] * 8),
+            (9002, [1.0] * 8 + [0.000001] * 8),
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    df = flood.unionByName(pair.select("vec_id", F.col("embedding").cast("array<float>")))
+    got = DD.embedding_near_duplicates(
+        df, threshold=0.999, planes_per_table=4, max_bucket_size=50
+    ).toPandas()
+    pairs = {(r.id_a, r.id_b) for r in got.itertuples()}
+    assert (9001, 9002) in pairs
+    assert len(pairs) == 1, f"flood leaked {len(pairs) - 1} quadratic pairs"
+
+    # parity: block == arrow pair-join kernel on the sf sample
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(80)
+    )
+    kw = dict(threshold=0.4, n_tables=8, planes_per_table=4, seed=7)
+    blk = DD.embedding_near_duplicates(emb, verify_kernel="block", **kw).toPandas()
+    arw = DD.embedding_near_duplicates(emb, verify_kernel="arrow", **kw).toPandas()
+    key = lambda df: sorted(  # noqa: E731
+        (int(r.id_a), int(r.id_b), round(r.cosine, 9)) for r in df.itertuples()
+    )
+    assert key(blk) == key(arw)
+
+
 def test_embedding_index_sparse_ids(spark):
     """Dense remap: 10^12-range vec ids must not allocate max(id)+1
     rows; absent/null ids score 0 via the sentinel row."""
