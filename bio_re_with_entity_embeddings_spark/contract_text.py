@@ -973,5 +973,6 @@ def dedup_winnowing(spark, sf_dir):
     md5 oracle mode, fingerprint bucket gate replayed in SQL."""
     d = _load(spark, sf_dir, "documents")
     return DD.winnowing_near_duplicates(
-        d, "doc_id", "text", k=5, w=4, min_shared=5, hash_mode="md5"
+        d, "doc_id", "text", k=5, w=4, min_shared=5, hash_mode="md5",
+        max_bucket_size=2000,  # pinned: the SQL restatement says <= 2000
     )

@@ -680,11 +680,11 @@ def winnowing_near_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    k: int = 5,
-    w: int = 4,
+    k: int = 25,
+    w: int = 16,
     min_shared: int = 2,
     hash_mode: str = "xxhash64",
-    max_bucket_size: int = 2000,
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """LOCAL-similarity near-dup pairs: documents sharing at least
     ``min_shared`` winnowing fingerprints (Schleimer SIGMOD'03). The
@@ -697,11 +697,21 @@ def winnowing_near_duplicates(
 
     Scale shape mirrors the banded joins: fingerprints are the bucket
     keys; a per-fp size gate (same ``max_bucket_size`` window as
-    minhash buckets) drops degenerate fingerprints — a boilerplate
-    k-gram shared by 10^6 docs would otherwise emit 10^12/2 pairs while
-    carrying no pair-level signal (ubiquitous = uninformative,
-    idf ~ 0); capped candidates are <= n_fp * cap / 2. The pair count
-    aggregate is map-side combinable on (id_a, id_b)."""
+    minhash buckets) drops degenerate fingerprints; capped candidates
+    are <= n_fp * cap / 2, and the pair aggregate is map-side
+    combinable on (id_a, id_b).
+
+    Defaults are PASSAGE-scale and the gate is tight, both on a
+    measurement: with toy-scale ``k=5`` char-grams on a 50k-doc
+    shared-vocabulary corpus, most fingerprints recur across thousands
+    of documents — each gated bucket of 2000 emits ~2M pair rows and
+    the join detonated the JVM. A fingerprint shared by thousands of
+    docs has idf ~ 0 and carries no pair-level signal; ``k=25, w=16``
+    guarantees detection of any shared passage >= 40 chars (the MOSS
+    operating range) while making cross-document fingerprint
+    collisions meaningful, and ``max_bucket_size=200`` bounds the
+    residual worst case. Tiny-fixture callers (and the DuckDB oracle,
+    which pins every knob) pass small k explicitly."""
     from ..functions.text import winnowing_fingerprints
 
     fp = winnowing_fingerprints(df, id_col, text_col, k, w, hash_mode)
