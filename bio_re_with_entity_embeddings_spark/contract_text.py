@@ -122,7 +122,12 @@ def curate_quota_sample(spark, sf_dir):
     from .operators import curation as CUR
 
     d = _load(spark, sf_dir, "documents")
-    return CUR.quota_sample(d, "lang", 50, "doc_id").select("doc_id", "lang")
+    # skew_salts pinned: auto mode runs a plan-construction count job
+    # (the antipattern this round bans elsewhere); fixture groups are
+    # tiny and the salted result is exactly equal anyway
+    return CUR.quota_sample(
+        d, "lang", 50, "doc_id", skew_salts=1
+    ).select("doc_id", "lang")
 
 
 # Deterministic benchmark split for the decontamination query: every

@@ -27,7 +27,13 @@ def _exploded_grams(df: DataFrame, id_col, text_col: str, n: int) -> DataFrame:
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     sel = [F.col(id_col).cast("string").alias("doc")] if id_col else []
     return (
-        df.select(*sel, toks.alias("_tk"))
+        # NULL text yields NO gram rows (concat_ws would otherwise
+        # swallow the null slice into gram "" and make every null-text
+        # doc pair with every other at jaccard 1.0 in the hashed
+        # minhash verify — the string-array mode drops them via null
+        # propagation, and the two modes must agree)
+        df.where(F.col(text_col).isNotNull())
+        .select(*sel, toks.alias("_tk"))
         .select(
             *(["doc"] if id_col else []),
             "_tk",

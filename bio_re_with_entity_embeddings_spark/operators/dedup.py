@@ -433,7 +433,7 @@ def embedding_lsh_candidates(
     n_tables: int = 8,
     planes_per_table: int | None = None,
     seed: int = 7,
-    target_bucket_size: int = 1024,
+    target_bucket_size: int = 128,
     max_bucket_size: int = 2000,
     n_vectors: int | None = None,
 ) -> DataFrame:
@@ -449,7 +449,10 @@ def embedding_lsh_candidates(
 
     * ``planes_per_table=None`` (default) derives the plane count from
       the corpus size so expected co-occupancy tracks
-      ``target_bucket_size`` (see ``derive_planes_per_table``). The
+      ``target_bucket_size`` (see ``derive_planes_per_table``;
+      default 128, aligned with ``embedding_near_duplicates`` — the
+      old 1024 default measurably ground through ~10^8 candidate
+      pairs at 50k x 64-dim, BENCH/BASELINE.md). The
       size comes from the ``n_vectors`` hint when the caller already
       knows it; otherwise ONE eager ``vectors.count()`` job runs at
       plan-construction time (ADVICE r3 — pass the hint, or an
@@ -466,6 +469,38 @@ def embedding_lsh_candidates(
     1 - (1 - p^4)^8 ~ 0.9998 where p = 1 - theta/pi ~ 0.899; at 17
     planes/table it is 1 - (1 - p^17)^8 ~ 0.86 — the standard
     recall/candidate-volume trade, tunable via ``n_tables``."""
+    tabbed = _lsh_tabbed_gated(
+        vectors, [F.col(id_col).alias("id")], vec_col, n_tables,
+        planes_per_table, seed, target_bucket_size, max_bucket_size,
+        n_vectors,
+    )
+    return (
+        tabbed.alias("x")
+        .join(tabbed.alias("y"), ["tbl", "bkey"], "inner")
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def _lsh_tabbed_gated(
+    vectors: DataFrame,
+    carry: list,
+    vec_col: str,
+    n_tables: int,
+    planes_per_table: int | None,
+    seed: int,
+    target_bucket_size: int,
+    max_bucket_size: int,
+    n_vectors: int | None,
+) -> DataFrame:
+    """The ONE bucketing stage every hyperplane-LSH consumer shares
+    (candidate self-join and block verify must agree on which buckets
+    exist and which are gated): per-table (tbl, bkey) membership rows
+    carrying ``carry`` columns, plane count derived from the corpus
+    size unless pinned, degenerate buckets dropped by the
+    ``max_bucket_size`` window over the same (tbl, bkey) partitioning
+    the consumers shuffle on anyway."""
     from .similarity import lsh_table_keys_udf
 
     if planes_per_table is None:
@@ -473,22 +508,14 @@ def embedding_lsh_candidates(
             n_vectors = vectors.count()
         planes_per_table = derive_planes_per_table(n_vectors, target_bucket_size)
     keys = lsh_table_keys_udf(n_tables, planes_per_table, seed)
-    v = vectors.select(F.col(id_col).alias("id"), keys(F.col(vec_col)).alias("ks"))
-    tabbed = v.select(
-        "id", F.posexplode("ks").alias("tbl", "bkey")
+    tabbed = vectors.select(
+        *carry, F.posexplode(keys(F.col(vec_col))).alias("tbl", "bkey")
     )
-    # Per-bucket size gate over the same (tbl, bkey) partitioning the
-    # self-join shuffles on anyway.
     w = Window.partitionBy("tbl", "bkey")
-    tabbed = tabbed.withColumn("_bsz", F.count(F.lit(1)).over(w)).where(
-        F.col("_bsz") <= max_bucket_size
-    ).drop("_bsz")
     return (
-        tabbed.alias("x")
-        .join(tabbed.alias("y"), ["tbl", "bkey"], "inner")
-        .where(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
+        tabbed.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .where(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
     )
 
 
@@ -531,40 +558,37 @@ def embedding_near_duplicates(
     * ``'hof'``: the interpreted expression fold — the DuckDB-oracle
       arithmetic (sequential sum order), used by the contract query;
       correct but ~20x slower per pair and pair-join shaped.
-    Block emits ids as BIGINT (static Arrow schema; numeric vec ids
-    assumed); the join kernels keep the input id type."""
-    from .similarity import cosine_cols, cosine_pairs_udf, lsh_table_keys_udf
+    Block needs a static Arrow schema for the ids: numeric id columns
+    emit BIGINT, everything else emits STRING (min/max pair ordering
+    is numeric or lexicographic accordingly); the join kernels keep
+    the input id type untouched."""
+    from .similarity import cosine_cols, cosine_pairs_udf
 
     if method != "exact" and verify_kernel == "block":
-        if planes_per_table is None:
-            if n_vectors is None:
-                n_vectors = vectors.count()
-            planes_per_table = derive_planes_per_table(
-                n_vectors, target_bucket_size
-            )
-        keys = lsh_table_keys_udf(n_tables, planes_per_table, seed)
-        tabbed = vectors.select(
-            F.col(id_col).cast("long").alias("id"),
-            F.col(vec_col).alias("v"),
-            F.posexplode(keys(F.col(vec_col))).alias("tbl", "bkey"),
-        )
-        w = Window.partitionBy("tbl", "bkey")
-        tabbed = (
-            tabbed.withColumn("_bsz", F.count(F.lit(1)).over(w))
-            .where(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
+        id_dtype = dict(vectors.dtypes)[id_col]
+        numeric = id_dtype in ("tinyint", "smallint", "int", "bigint")
+        out_t = "long" if numeric else "string"
+        tabbed = _lsh_tabbed_gated(
+            vectors,
+            [
+                F.col(id_col).cast(out_t).alias("id"),
+                F.col(vec_col).alias("v"),
+            ],
+            vec_col, n_tables, planes_per_table, seed,
+            target_bucket_size, max_bucket_size, n_vectors,
         )
 
         import pandas as pd  # noqa: F811 (worker-side import)
         import numpy as np  # noqa: F811
 
         thr = float(threshold)
+        empty_dtype = "int64" if numeric else object
 
         def block(pdf: pd.DataFrame) -> pd.DataFrame:
             if len(pdf) < 2:
                 return pd.DataFrame(
-                    {"id_a": pd.Series([], dtype="int64"),
-                     "id_b": pd.Series([], dtype="int64"),
+                    {"id_a": pd.Series([], dtype=empty_dtype),
+                     "id_b": pd.Series([], dtype=empty_dtype),
                      "cosine": pd.Series([], dtype="float64")}
                 )
             M = np.stack(
@@ -574,7 +598,11 @@ def embedding_near_duplicates(
                 np.linalg.norm(M, axis=1, keepdims=True), 1e-30
             )
             S = M @ M.T
-            ids = pdf["id"].to_numpy(dtype=np.int64)
+            ids = (
+                pdf["id"].to_numpy(dtype=np.int64)
+                if empty_dtype == "int64"
+                else pdf["id"].to_numpy()
+            )
             ia, ib = np.where(np.triu(S >= thr, k=1))
             a_ids, b_ids = ids[ia], ids[ib]
             lo = np.minimum(a_ids, b_ids)
@@ -586,7 +614,7 @@ def embedding_near_duplicates(
             )
 
         found = tabbed.groupBy("tbl", "bkey").applyInPandas(
-            block, "id_a long, id_b long, cosine double"
+            block, f"id_a {out_t}, id_b {out_t}, cosine double"
         )
         # a pair can surface in several tables: dedup on the pair key
         # (cosine identical across tables -> max == any)
@@ -639,8 +667,11 @@ def dedup_keepers(
 
     Scale shape: CC is O(log n) star rounds over the pair set (pairs
     are already candidate-bounded by the upstream cap knobs); keeper
-    election is one per-cluster max_by aggregate + a broadcast-sized
-    join back of (cluster, keeper). Docs never in any pair are absent
+    election is two map-combinable aggregates + a shuffle-hash join
+    back of (cluster, keeper) — NOT a broadcast: keepers is O(number
+    of clusters), which grows with the corpus, the exact
+    driver-collect failure mode the embedding verify hit at 500k rows
+    (BENCH/BASELINE.md). Docs never in any pair are absent
     from the output — they are trivially kept (union them in as
     ``drop=false`` only if a full roster is needed; avoids scanning
     the corpus here).
@@ -669,7 +700,7 @@ def dedup_keepers(
     else:
         keepers = comp.groupBy("cluster").agg(F.min("doc").alias("keeper"))
     return (
-        comp.join(F.broadcast(keepers), "cluster")
+        comp.join(keepers.hint("shuffle_hash"), "cluster")
         .select(
             "doc", "cluster", "keeper", (F.col("doc") != F.col("keeper")).alias("drop")
         )

@@ -239,6 +239,22 @@ def test_embedding_block_kernel_bucket_cap_and_parity(spark):
     )
     assert key(blk) == key(arw)
 
+    # string ids: the block kernel must handle non-numeric id columns
+    # (lexicographic pair ordering) instead of a silent long cast
+    semb = emb.select(
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias("vec_id"),
+        "embedding",
+    )
+    sblk = DD.embedding_near_duplicates(semb, verify_kernel="block", **kw).toPandas()
+    skey = {
+        (r.id_a, r.id_b, round(r.cosine, 9)) for r in sblk.itertuples()
+    }
+    exp = {
+        (f"doc-{a}", f"doc-{b}", c) if f"doc-{a}" < f"doc-{b}" else (f"doc-{b}", f"doc-{a}", c)
+        for a, b, c in key(blk)
+    }
+    assert skey == exp
+
 
 def test_embedding_index_sparse_ids(spark):
     """Dense remap: 10^12-range vec ids must not allocate max(id)+1
@@ -460,6 +476,27 @@ def test_winnowing_near_duplicates_bucket_gate(spark):
     # the 26 boilerplate docs share ONLY gated fingerprints -> no pairs
     assert not any(a.startswith("d") and b.startswith("d") for a, b in pairs)
     assert ("x1", "x2") in pairs
+
+
+def test_minhash_null_text_docs_never_pair(spark):
+    """Code-review r4: NULL-text docs must not pair with each other at
+    jaccard 1.0 in the hashed verify mode (string mode drops them via
+    null propagation; the modes must agree)."""
+    docs = spark.createDataFrame(
+        [
+            ("n1", None),
+            ("n2", None),
+            ("p1", "one two three four five six seven eight nine ten"),
+            ("p2", "one two three four five six seven eight nine zzz"),
+        ],
+        "doc_id string, text string",
+    )
+    for mode in ("xxhash64", "md5"):
+        got = DD.minhash_near_duplicates(
+            docs, "doc_id", "text", threshold=0.5, hash_mode=mode
+        ).toPandas()
+        pairs = {(r.doc_a, r.doc_b) for r in got.itertuples()}
+        assert pairs == {("p1", "p2")}, (mode, pairs)
 
 
 def test_dedup_keepers_transitive_clusters(spark):
