@@ -405,9 +405,15 @@ def simhash_near_duplicates(
     return (
         a.join(b, ["chunk", "ckey"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+        # hamming filter BEFORE the pair dedup: bit_count(xor) is a
+        # codegen'd per-row expression, while dropDuplicates is a full
+        # shuffle keyed on the pair — deduping the raw candidate
+        # stream (~bands x cap^2/2 rows) exhausted executor memory at
+        # 200k docs; deduping only the hamming survivors is the same
+        # result (hamming is a function of the pair) at output size
         .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", "hamming")
     )
 
