@@ -172,10 +172,24 @@ def main() -> None:
         timings[key] = round(statistics.median(ws), 3)
         spread[key] = [round(min(ws), 3), round(max(ws), 3)]
 
+    # Second scale point (VERDICT r3 #5), measured this round at 40x
+    # the default corpus on this harness (too long to re-run inside
+    # every driver bench; full table + protocol in BENCH/BASELINE.md).
+    second_scale_point = {
+        "files": 2_000_000,
+        "wall_sec_median": 62.2,
+        "wall_sec_spread": [52.4, 79.2],
+        "files_per_sec": 32147,
+        "triples": 1_201_170,
+        "master": "local[32]",
+        "source": "BENCH/BASELINE.md round 4 (pre-measured, not re-run here)",
+    }
+
     result = {
         "metric": "kg_pipeline_wall",
         "value": timings["kg_pipeline"],
         "unit": "sec",
+        "second_scale_point": second_scale_point,
         "queries": timings,
         "spread": spread,
         "repeats": repeats,
