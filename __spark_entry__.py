@@ -76,6 +76,7 @@ QUERY_ORDER: list[str] = [
     "dedup_simhash",
     "dedup_embedding",
     # curation + text analysis
+    "curate_corpus",
     "curate_quota_sample",
     "curate_decontaminate",
     "text_stats",
@@ -84,6 +85,7 @@ QUERY_ORDER: list[str] = [
     "text_quality",
     "text_langid",
     "text_repetition",
+    "text_pii",
     # normalizers + ontology
     "norm_default",
     "norm_chemical",
@@ -101,9 +103,7 @@ QUERY_ORDER: list[str] = [
     "rel_filter_project",
     "rel_agg_groupby",
     "rel_distinct_sort",
-    "rel_dedup_keys",
     "rel_topk_global",
-    "rel_union_distinct",
     "events_hourly_rollup",
     "events_sessionize",
 ]

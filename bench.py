@@ -183,7 +183,15 @@ def main() -> None:
         "triples": 1_201_170,
         "master": "local[32]",
         "source": "BENCH/BASELINE.md round 4 (pre-measured, not re-run here)",
+        # Staleness stamp (ADVICE r4): the commit/date this point was
+        # measured at. If the pipeline changes materially after this
+        # commit, re-measure via bench_dedup_scale.py / the round-4
+        # protocol in BENCH/BASELINE.md instead of trusting this entry.
+        "measured_at_commit": "5c262af",
+        "measured_at_date": "2026-08-17",
     }
+    if os.environ.get("SPARK_GRAFT_OMIT_SCALE_POINT"):
+        second_scale_point = None
 
     result = {
         "metric": "kg_pipeline_wall",

@@ -165,6 +165,35 @@ def cmd_extract_vectors(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """The composed LLM-corpus curation chain (plans/curation.py):
+    quality gate -> exact dedup -> minhash keepers -> decontamination
+    -> per-group quota. --working_dir switches to the checkpointed
+    resumable runner (per-bucket manifests, exact resume)."""
+    from .plans import curation as PC
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+    cfg = PC.CurationConfig(
+        min_quality=args.min_quality,
+        decon_n=args.decon_n,
+        quota=args.quota,
+        quota_key=args.quota_key,
+        quota_max_group_rows=args.max_group_rows,
+    )
+    if args.working_dir:
+        out = PC.run_curation_checkpointed(
+            spark, docs, bench, args.working_dir,
+            n_buckets=args.n_buckets, config=cfg,
+        )
+    else:
+        out = PC.curate_corpus(spark, docs, bench, cfg)
+    out["corpus"].write.mode("overwrite").parquet(args.output)
+    print(f"curated corpus -> {args.output}", file=sys.stderr)
+    return 0
+
+
 def cmd_resume_run(args) -> int:
     from .plans import runner
 
@@ -246,6 +275,25 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--tag_col", default="entity_id")
     sp.add_argument("--vec_col", default="embedding")
     sp.set_defaults(fn=cmd_extract_vectors)
+
+    sp = sub.add_parser("curate")
+    sp.add_argument("--input", required=True,
+                    help="parquet of (doc_id, text, lang) documents")
+    sp.add_argument("--benchmark", default=None,
+                    help="parquet of held-out benchmark docs to "
+                         "decontaminate against (same schema)")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--working_dir", default=None,
+                    help="enable the checkpointed resumable runner")
+    sp.add_argument("--min_quality", type=float, default=0.55)
+    sp.add_argument("--decon_n", type=int, default=13)
+    sp.add_argument("--quota", type=int, default=0)
+    sp.add_argument("--quota_key", default="lang")
+    sp.add_argument("--max_group_rows", type=int, default=None,
+                    help="largest quota-group size hint (skips the "
+                         "plan-time count job)")
+    sp.add_argument("--n_buckets", type=int, default=32)
+    sp.set_defaults(fn=cmd_curate)
 
     sp = sub.add_parser("resume-run")
     common(sp)

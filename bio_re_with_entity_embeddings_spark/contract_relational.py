@@ -151,7 +151,7 @@ def rel_distinct_sort(spark, sf_dir):
     return _load(spark, sf_dir, "part").select("p_type").distinct().orderBy("p_type")
 
 
-@register(
+@register_extra(
     "rel_dedup_keys",
     """
 SELECT o_custkey, o_orderstatus,
@@ -210,7 +210,7 @@ def rel_topk_global(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "rel_union_distinct",
     """
 SELECT * FROM (

@@ -586,7 +586,14 @@ def sim_ann_lsh(spark, sf_dir):
     buckets). Deterministic seed -> row-exact oracle; recall vs brute
     force additionally asserted in tests."""
     emb = _load(spark, sf_dir, "embeddings")
-    out = SIM.ann_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+    # oracle mode: n_planes pinned to the 6 literal hyperplanes the SQL
+    # restates, verify via the interpreted fold whose sequential sum
+    # order the SQL shares (the scale defaults — derived plane count +
+    # Arrow einsum verify — are pinned against this mode in tests)
+    out = SIM.ann_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=5, n_planes=6,
+        verify_kernel="hof",
+    )
     return out.select(
         "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
     )
@@ -641,7 +648,8 @@ def sim_ivf(spark, sf_dir):
     by unit tests (recall >= anchors, determinism)."""
     emb = _load(spark, sf_dir, "embeddings")
     out = SIM.ivf_topk(
-        emb, emb.where(F.col("vec_id") < 5), k=5, n_cells=16, n_probe=4
+        emb, emb.where(F.col("vec_id") < 5), k=5, n_cells=16, n_probe=4,
+        verify_kernel="hof",  # oracle arithmetic; 'arrow' is the scale default
     )
     return out.select(
         "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
@@ -835,6 +843,7 @@ WITH d AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc,
          string_split_regex(lower(trim(text)), '\\s+') AS toks
   FROM documents
+  WHERE text IS NOT NULL
 ),
 g AS (
   SELECT doc,
@@ -879,7 +888,7 @@ FROM documents
 """
 
 
-@register_extra(
+@register(
     "text_pii",
     f"""
 WITH aug AS ({_SQL_PII_AUG})
@@ -981,3 +990,148 @@ def dedup_winnowing(spark, sf_dir):
         d, "doc_id", "text", k=5, w=4, min_shared=5, hash_mode="md5",
         max_bucket_size=2000,  # pinned: the SQL restatement says <= 2000
     )
+
+
+# --- the composed curation plan, oracle-checked end to end ---------------
+#
+# plans/curation.py::curate_corpus — quality gate -> exact dedup ->
+# minhash near-dup + CC keeper election -> benchmark decontamination ->
+# per-lang quota — restated as ONE recursive-CTE SQL dataflow with every
+# knob pinned (md5 minhash, string-keyed decon, salts=1 quota; the
+# xxhash64/hashed production modes are pinned against these in tests).
+# Near-dups are PLANTED (clones of doc_id < 10 with one appended token)
+# so the near-dup + keeper stages demonstrably fire; exact-dup recall is
+# covered by dedup_exact, whose planted clones exact dedup would silently
+# swallow here.
+
+_SQL_QUALITY_EXPR = f"""least(len(string_split_regex(trim(text), '\\s+')) / 50.0, 1.0) * 0.5
+         + (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+             / greatest(length(lower(text)), 1)) * 0.3
+         + least(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                   x -> x IN {_SQL_STOP_LISTS["en"]})) AS DOUBLE)
+             / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1) * 5.0, 1.0) * 0.2"""
+
+_SQL_CURATE_CORPUS = f"""
+WITH RECURSIVE docs2 AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' zzqx' AS text, lang
+  FROM documents WHERE doc_id < 10
+),
+corpus0 AS (SELECT * FROM docs2 WHERE doc_id % 20 <> 0),
+bench0 AS (SELECT * FROM docs2 WHERE doc_id % 20 = 0),
+sig AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc, lang, text,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         round({_SQL_QUALITY_EXPR}, 6) AS quality,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM corpus0
+),
+qp AS (SELECT * FROM sig WHERE quality >= 0.55),
+ek AS (SELECT fp, min(doc) AS keeper FROM qp GROUP BY fp),
+ex AS (SELECT q.* FROM qp q JOIN ek k ON k.fp = q.fp AND q.doc = k.keeper),
+sh AS (
+  SELECT doc, list_distinct(list_transform(
+           range(greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
+           i -> array_to_string(list_slice(string_split_regex(lower(trim(text)), '\\s+'),
+                                           i + 1, i + 3), ' ')
+         )) AS grams
+  FROM ex
+),
+g AS (SELECT doc, unnest(grams) AS g FROM sh),
+mh AS (SELECT doc, {_SQL_MH_MCOLS} FROM g),
+sg AS (SELECT doc, {_SQL_MH_SIG} FROM mh GROUP BY doc),
+banded AS (SELECT doc, unnest([{_SQL_MH_BANDS}]) AS bb FROM sg),
+b2 AS (SELECT doc, bb.band AS band, bb.bucket AS bucket FROM banded),
+cand AS (
+  SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+  FROM b2 x JOIN b2 y ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.doc < y.doc
+),
+prs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(a.grams || b.grams)) AS jaccard
+    FROM cand c JOIN sh a ON a.doc = c.doc_a JOIN sh b ON b.doc = c.doc_b
+  ) WHERE jaccard >= 0.5
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM prs
+  UNION
+  SELECT doc_b, doc_a FROM prs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v AND r.u <> e.v
+),
+clus AS (
+  SELECT n.doc, least(n.doc, coalesce(r.mn, n.doc)) AS cluster
+  FROM (SELECT DISTINCT u AS doc FROM edges) n
+  LEFT JOIN (SELECT u, min(v) AS mn FROM reach GROUP BY u) r ON r.u = n.doc
+),
+cq AS (SELECT c.doc, c.cluster, s.quality FROM clus c JOIN sig s ON s.doc = c.doc),
+mx AS (SELECT cluster, max(quality) AS mq FROM cq GROUP BY cluster),
+keep2 AS (
+  SELECT cq.cluster, min(cq.doc) AS keeper
+  FROM cq JOIN mx ON mx.cluster = cq.cluster AND cq.quality = mx.mq
+  GROUP BY cq.cluster
+),
+drops AS (
+  SELECT cq.doc FROM cq JOIN keep2 ON keep2.cluster = cq.cluster
+  WHERE cq.doc <> keep2.keeper
+),
+nd AS (SELECT * FROM ex WHERE doc NOT IN (SELECT doc FROM drops)),
+ndt AS (SELECT doc, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM nd),
+ndg AS (
+  SELECT doc,
+         array_to_string(toks[CAST(i.g AS INT) : CAST(i.g AS INT) + 3], ' ') AS gram
+  FROM ndt, unnest(generate_series(1, greatest(len(toks) - 3, 1))) AS i(g)
+),
+bt AS (SELECT string_split_regex(lower(trim(text)), '\\s+') AS toks FROM bench0),
+bg AS (
+  SELECT DISTINCT array_to_string(toks[CAST(i.g AS INT) : CAST(i.g AS INT) + 3], ' ') AS gram
+  FROM bt, unnest(generate_series(1, greatest(len(toks) - 3, 1))) AS i(g)
+),
+hits AS (SELECT DISTINCT c.doc FROM ndg c JOIN bg USING (gram)),
+clean AS (SELECT * FROM nd WHERE doc NOT IN (SELECT doc FROM hits))
+SELECT doc, lang, quality, n_tokens FROM (
+  SELECT doc, lang, quality, n_tokens,
+         row_number() OVER (PARTITION BY lang ORDER BY md5(doc), doc) AS rn
+  FROM clean
+) WHERE rn <= 40
+"""
+
+
+@register("curate_corpus", _SQL_CURATE_CORPUS)
+def curate_corpus(spark, sf_dir):
+    """The composed end-to-end curation plan (plans/curation.py) in
+    oracle mode over the documents table + planted near-duplicates:
+    signals -> quality >= 0.55 -> exact dedup -> md5 minhash pairs ->
+    CC keeper election (quality-ranked) -> string-keyed 4-gram
+    decontamination vs the %20 benchmark split -> 40-per-lang quota."""
+    from .plans import curation as PC
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    dups = (
+        d.where(F.col("doc_id") < 10)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zzqx")))
+    )
+    docs2 = d.unionByName(dups)
+    cfg = PC.CurationConfig(
+        min_quality=0.55,
+        hash_mode="md5",
+        decon_n=4,
+        decon_hashed=False,
+        quota=40,
+        quota_skew_salts=1,  # oracle pins the one-stage window
+    )
+    out = PC.curate_corpus(
+        spark,
+        docs2.where(F.col("doc_id") % 20 != 0),
+        benchmark=docs2.where(F.col("doc_id") % 20 == 0),
+        config=cfg,
+    )
+    return out["corpus"]

@@ -564,10 +564,10 @@ def embedding_near_duplicates(
     * ``'hof'``: the interpreted expression fold — the DuckDB-oracle
       arithmetic (sequential sum order), used by the contract query;
       correct but ~20x slower per pair and pair-join shaped.
-    Block needs a static Arrow schema for the ids: numeric id columns
-    emit BIGINT, everything else emits STRING (min/max pair ordering
-    is numeric or lexicographic accordingly); the join kernels keep
-    the input id type untouched."""
+    All kernels return id_a/id_b in the INPUT id dtype: block's Arrow
+    schema needs a static long/string internally (min/max pair
+    ordering is numeric or lexicographic accordingly) but casts back
+    on output, so switching verify_kernel never changes the schema."""
     from .similarity import cosine_cols, cosine_pairs_udf
 
     if method != "exact" and verify_kernel == "block":
@@ -623,9 +623,17 @@ def embedding_near_duplicates(
             block, f"id_a {out_t}, id_b {out_t}, cosine double"
         )
         # a pair can surface in several tables: dedup on the pair key
-        # (cosine identical across tables -> max == any)
+        # (cosine identical across tables -> max == any); ids are cast
+        # BACK to the input dtype so switching verify_kernel never
+        # changes the output schema (ADVICE r4 — the Arrow block schema
+        # needs long/string internally, but that is an implementation
+        # detail callers must not see)
         return found.groupBy("id_a", "id_b").agg(
             F.max("cosine").alias("cosine")
+        ).select(
+            F.col("id_a").cast(id_dtype).alias("id_a"),
+            F.col("id_b").cast(id_dtype).alias("id_b"),
+            "cosine",
         )
 
     a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))

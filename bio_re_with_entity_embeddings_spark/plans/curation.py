@@ -1,0 +1,307 @@
+"""End-to-end LLM-corpus curation plan (VERDICT r4 #1).
+
+``build_triples`` is the KG product; this is the curation product — the
+composed, resumable chain a 100 TB pre-training pipeline actually
+ships, built from the individually-proven stages:
+
+    signals (quality / lang / PII / fingerprint)
+      -> quality gate
+      -> exact dedup (fingerprint group, min-doc keeper)
+      -> minhash near-dup pairs -> connected-component keeper election
+      -> benchmark decontamination
+      -> per-group quota sampling
+
+Everything is ONE lazy plan per output except the shared ``signals``
+projection, which is persisted DISK_ONLY and eagerly materialized
+exactly like the pipeline's mention cache (same two measured reasons,
+plans/pipeline.py:133-145: MemoryStore registration serializes under
+task concurrency, and AQE races an unpopulated cache across
+independent subtrees).
+
+Scale shape per stage:
+
+* signals — one codegen'd projection over the corpus scan.
+* exact dedup — map-combined ``groupBy(fp).agg(min)`` (never a window:
+  a boilerplate doc duplicated 10^6 times would sort-buffer one task)
+  + a ``shuffle_hash`` join back (keeper table is O(distinct texts),
+  grows with the corpus — NOT broadcastable, the dedup_keepers
+  lesson).
+* near-dup — the measured minhash path (int64 gram-hash verify, capped
+  buckets) + ``dedup_keepers`` (CC over capped pairs, quality-ranked
+  keeper, shuffle-hash join back).
+* decontamination — benchmark n-grams hashed + broadcast; corpus side
+  one scan.
+* quota — salted two-stage top-k (exact; see quota_sample).
+
+The whole chain is restated in ANSI SQL for the driver oracle
+(``contract_text.curate_corpus``) with md5/string hash modes and every
+knob pinned; the xxhash64 production mode is pinned against md5 mode
+in tests.
+
+Reference: the reference has no curation layer at all (its dedup is
+key-based drop_duplicates, utils/pandas_utils.py:109-120); this plan
+is the beyond-reference training-data product of SURVEY.md section 2.8.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..functions import text as TXT
+from ..operators import curation as CUR
+from ..operators import dedup as DD
+
+
+@dataclass
+class CurationConfig:
+    min_quality: float = 0.55
+    langs: list[str] | None = None  # None: keep all langs
+    minhash_threshold: float = 0.5
+    hash_mode: str = "xxhash64"  # 'md5' = oracle mode (cross-engine)
+    decon_n: int = 13  # published decontamination gram size
+    decon_hashed: bool = True  # False = string-keyed oracle dataflow
+    max_decon_hits: int = 0  # drop docs with MORE than this many hits
+    quota_key: str = "lang"
+    quota: int = 0  # 0: skip the quota stage
+    # quota skew knobs (forwarded to quota_sample; leaving both None
+    # runs its plan-time max-group count job — pass the hint at scale)
+    quota_skew_salts: int | None = None
+    quota_max_group_rows: int | None = None
+    eager_cache: bool = True
+    # minhash knobs forwarded to minhash_near_duplicates
+    minhash_hashes: int = 32
+    minhash_bands: int = 8
+    max_bucket_size: int = 2000
+
+
+def curate_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    config: CurationConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> dict[str, DataFrame]:
+    """Compose the curation chain; returns every intermediate plus the
+    final ``corpus`` as lazy DataFrames (signals persisted, see module
+    doc). Deterministic end to end — reruns produce identical output,
+    and the md5 oracle mode is row-exactly restatable in ANSI SQL.
+
+    Output keys: ``signals`` (doc, lang, text, content_sha, n_tokens,
+    quality, fp), ``quality_pass``, ``exact_survivors``,
+    ``dedup_pairs``, ``dedup_clusters`` (doc, cluster, keeper, drop),
+    ``decon_hits`` (doc, n_hits; empty frame when no benchmark),
+    ``corpus`` (doc, lang, quality, n_tokens).
+    """
+    cfg = config or CurationConfig()
+
+    signals = docs.select(
+        F.col(id_col).cast("string").alias("doc"),
+        F.col(lang_col).alias("lang"),
+        F.col(text_col).alias("text"),
+        F.sha2(F.col(text_col), 256).alias("content_sha"),
+        TXT.token_count(text_col).alias("n_tokens"),
+        F.round(TXT.quality_score(text_col), 6).alias("quality"),
+        TXT.fingerprint(text_col).alias("fp"),
+    ).persist(StorageLevel.DISK_ONLY)
+    if cfg.eager_cache:
+        signals.count()
+
+    parts = _chain(spark, signals, benchmark, cfg)
+    clean = parts["clean"]
+
+    final = clean
+    if cfg.quota > 0:
+        final = CUR.quota_sample(
+            clean,
+            cfg.quota_key,
+            cfg.quota,
+            "doc",
+            skew_salts=cfg.quota_skew_salts,
+            max_group_rows=cfg.quota_max_group_rows,
+        )
+
+    return {
+        "signals": signals,
+        "quality_pass": parts["quality_pass"],
+        "exact_survivors": parts["exact_survivors"],
+        "dedup_pairs": parts["pairs"],
+        "dedup_clusters": parts["clusters"],
+        "decon_hits": parts["hits"],
+        "corpus": final.select("doc", "lang", "quality", "n_tokens"),
+    }
+
+
+def run_curation_checkpointed(
+    spark: SparkSession,
+    docs: DataFrame,
+    benchmark: DataFrame | None,
+    base_dir: str,
+    n_buckets: int = 32,
+    config: CurationConfig | None = None,
+    run_id: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> dict[str, DataFrame]:
+    """Checkpointed/resumable curation — the ``plans/runner.py``
+    machinery applied to the curation chain:
+
+      signals  bucket-local (bucket = pmod(xxhash64(doc), n)): the
+               per-doc projection; a grown corpus recomputes only the
+               buckets whose input changed.
+      keep     global single-bucket tail (dedup pairs cross buckets by
+               definition — same shape as the runner's ``triples``
+               stage): quality gate -> exact dedup -> minhash keepers
+               -> decontamination; skipped iff the signal table's
+               count + content-sha fold is unchanged.
+      corpus   global single-bucket quota stage over keep's output —
+               a crash between keep and corpus resumes exactly.
+
+    Per-bucket manifests record rows in/out, content-sha xor fold and
+    wall; reruns are idempotent per-bucket dynamic overwrites."""
+    from . import manifest as M
+
+    cfg = config or CurationConfig()
+    # lazy here: run_stage materializes each stage to parquet anyway,
+    # so the in-plan persist would only duplicate the checkpoint I/O
+    cfg_lazy = CurationConfig(**{**cfg.__dict__, "eager_cache": False})
+
+    sig_input = docs.select(
+        F.col(id_col).cast("string").alias("doc"),
+        F.col(lang_col).alias("lang"),
+        F.col(text_col).alias("text"),
+        F.sha2(F.col(text_col), 256).alias("content_sha"),
+    )
+    signals = M.run_stage(
+        spark,
+        base_dir,
+        "signals",
+        M.with_bucket(sig_input, "doc", n_buckets),
+        lambda df: df.select(
+            "doc",
+            "lang",
+            "text",
+            "content_sha",
+            "bucket",
+            TXT.token_count("text").alias("n_tokens"),
+            F.round(TXT.quality_score("text"), 6).alias("quality"),
+            TXT.fingerprint("text").alias("fp"),
+        ),
+        run_id=run_id,
+    )
+
+    def keep_tail(sig: DataFrame) -> DataFrame:
+        out = _chain(spark, sig.drop("bucket"), benchmark, cfg_lazy)["clean"]
+        return out.withColumn("bucket", F.lit(0).cast("int"))
+
+    keep = M.run_stage(
+        spark,
+        base_dir,
+        "keep",
+        signals.withColumn("bucket", F.lit(0).cast("int")),
+        keep_tail,
+        run_id=run_id,
+    )
+
+    def quota_tail(kept: DataFrame) -> DataFrame:
+        final = kept.drop("bucket")
+        if cfg.quota > 0:
+            final = CUR.quota_sample(
+                final,
+                cfg.quota_key,
+                cfg.quota,
+                "doc",
+                skew_salts=cfg.quota_skew_salts,
+                max_group_rows=cfg.quota_max_group_rows,
+            )
+        return final.withColumn("bucket", F.lit(0).cast("int"))
+
+    corpus = M.run_stage(
+        spark, base_dir, "corpus", keep, quota_tail, run_id=run_id
+    )
+    return {
+        "signals": signals,
+        "keep": keep.drop("bucket"),
+        "corpus": corpus.drop("bucket").select(
+            "doc", "lang", "quality", "n_tokens"
+        ),
+    }
+
+
+def _chain(
+    spark: SparkSession,
+    signals: DataFrame,
+    benchmark: DataFrame | None,
+    cfg: CurationConfig,
+) -> dict[str, DataFrame]:
+    """Quality gate -> exact dedup -> minhash keepers -> decon over an
+    (already persisted or materialized) signals table — the one chain
+    both entry points share. Returns every intermediate; ``clean`` is
+    the decontaminated survivor set the quota stage consumes."""
+    gate = F.col("quality") >= cfg.min_quality
+    if cfg.langs is not None:
+        gate = gate & F.col("lang").isin(cfg.langs)
+    quality_pass = signals.where(gate)
+
+    # Exact dedup: min-doc keeper per normalized-text fingerprint.
+    # groupBy (map-combined), not a window (a boilerplate doc
+    # duplicated 10^6 times would buffer one task); join back with
+    # shuffle_hash — the keeper table is O(distinct texts), which
+    # grows with the corpus (never broadcast).
+    exact_keepers = quality_pass.groupBy("fp").agg(F.min("doc").alias("_keep"))
+    exact_survivors = (
+        quality_pass.join(exact_keepers.hint("shuffle_hash"), "fp")
+        .where(F.col("doc") == F.col("_keep"))
+        .drop("_keep")
+    )
+
+    pairs = DD.minhash_near_duplicates(
+        exact_survivors,
+        "doc",
+        "text",
+        threshold=cfg.minhash_threshold,
+        n_hashes=cfg.minhash_hashes,
+        bands=cfg.minhash_bands,
+        hash_mode=cfg.hash_mode,
+        max_bucket_size=cfg.max_bucket_size,
+    )
+    clusters = DD.dedup_keepers(
+        pairs,
+        id_a="doc_a",
+        id_b="doc_b",
+        quality=signals.select("doc", "quality"),
+        quality_id="doc",
+        quality_col="quality",
+    )
+    drops = clusters.where(F.col("drop")).select("doc")
+    near_survivors = exact_survivors.join(
+        drops.hint("shuffle_hash"), "doc", "left_anti"
+    )
+
+    if benchmark is not None:
+        decon = CUR.decontaminate if cfg.decon_hashed else CUR.decontaminate_exact
+        hits = decon(near_survivors, benchmark, "doc", "text", n=cfg.decon_n)
+        contaminated = hits.where(
+            F.col("n_hits") > cfg.max_decon_hits
+        ).select("doc")
+        clean = near_survivors.join(
+            contaminated.hint("shuffle_hash"), "doc", "left_anti"
+        )
+    else:
+        hits = spark.createDataFrame([], "doc string, n_hits long")
+        clean = near_survivors
+
+    return {
+        "quality_pass": quality_pass,
+        "exact_survivors": exact_survivors,
+        "pairs": pairs,
+        "clusters": clusters,
+        "hits": hits,
+        "clean": clean,
+    }

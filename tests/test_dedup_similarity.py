@@ -707,3 +707,70 @@ def test_embedding_lsh_derived_planes_above_floor(spark):
     for i in range(3):
         assert (i, 5000 + i) in pairs
     assert n_derived < n_floor, (n_derived, n_floor)
+
+
+# --- ANN scale defaults (VERDICT r4 #1) ----------------------------------
+
+
+def test_ann_defaults_are_scale_safe():
+    """Pin the scale-safe defaults: both ANN top-k paths verify with
+    the Arrow einsum kernel (the interpreted HOF fold is oracle mode
+    only), and ann_topk derives its plane count from the corpus size
+    instead of a fixed 6 (~n/64 candidates/query at any n)."""
+    import inspect
+
+    ann = inspect.signature(SIM.ann_topk).parameters
+    assert ann["verify_kernel"].default == "arrow"
+    assert ann["n_planes"].default is None
+    ivf = inspect.signature(SIM.ivf_topk).parameters
+    assert ivf["verify_kernel"].default == "arrow"
+
+
+def test_ann_arrow_verify_equals_hof(spark):
+    """Same candidates either kernel; cosines agree to float64 noise,
+    so (query, neighbor) sets and ranks coincide on non-tied data."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+    cols = ["query_id", "neighbor_id", "rank"]
+    a = SIM.ann_topk(emb, q, k=5, n_planes=4, verify_kernel="arrow").toPandas()
+    h = SIM.ann_topk(emb, q, k=5, n_planes=4, verify_kernel="hof").toPandas()
+    assert sorted(map(tuple, a[cols].itertuples(index=False))) == sorted(
+        map(tuple, h[cols].itertuples(index=False))
+    )
+    ai = SIM.ivf_topk(emb, q, k=5, n_probe=4, verify_kernel="arrow").toPandas()
+    hi = SIM.ivf_topk(emb, q, k=5, n_probe=4, verify_kernel="hof").toPandas()
+    assert sorted(map(tuple, ai[cols].itertuples(index=False))) == sorted(
+        map(tuple, hi[cols].itertuples(index=False))
+    )
+
+
+def test_ann_derived_planes_recall_100k(spark):
+    """The derived-plane + Arrow-verify path at volume: 100k random
+    16-dim vectors, 20 queries each with a planted near-twin (cosine
+    ~0.999). derive_planes_per_table(100k, 1024) = 7 planes; a twin at
+    cosine 0.999 flips a sign bit w.p. ~theta/pi ~ 0.014, so hamming-1
+    multi-probe recovers it w.p. ~0.996 — assert recall >= 0.9
+    (deterministic: fixed data seed + fixed hyperplane seed)."""
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    n, dim, nq = 100_000, 16, 20
+    base = rng.standard_normal((n, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    twins = base[:nq] + 0.045 * rng.standard_normal((nq, dim))
+    mat = np.vstack([base, twins]).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(len(mat), dtype=np.int64),
+         "embedding": [row.tolist() for row in mat]}
+    )
+    vecs = spark.createDataFrame(pdf).repartition(8)
+    queries = vecs.where(F.col("vec_id") < nq)
+    got = SIM.ann_topk(
+        vecs, queries, k=5, n_vectors=n + nq
+    ).toPandas()
+    hits = {
+        (r.query_id, r.neighbor_id)
+        for r in got.itertuples()
+    }
+    recall = sum((q, n + q) in hits for q in range(nq)) / nq
+    assert recall >= 0.9, recall
