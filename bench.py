@@ -153,9 +153,34 @@ def main() -> None:
                 ).count(),
             )
         )
+
+        # Composed curation plan, PRODUCTION mode (xxhash64 minhash,
+        # hashed decon, salted quota via the max_group_rows hint — no
+        # plan-time count). The contract's md5/string oracle variant is
+        # correctness-gated; this is the round-over-round throughput
+        # number for the end-to-end chain.
+        from bio_re_with_entity_embeddings_spark.plans import curation as PC
+
+        def run_curation() -> None:
+            docs2 = _docs_with_dups(spark, sf_dir)
+            cur_cfg = PC.CurationConfig(
+                min_quality=0.55,
+                decon_n=4,
+                quota=2000,
+                quota_max_group_rows=30_000,
+            )
+            PC.curate_corpus(
+                spark,
+                docs2.where(F.col("doc_id") % 20 != 0),
+                benchmark=docs2.where(F.col("doc_id") % 20 == 0),
+                config=cur_cfg,
+            )["corpus"].count()
+
+        measurements.append(("curate_corpus", run_curation))
         # untimed warm-up pass (pipeline already warmed above)
         for _, fn in measurements[1:]:
             fn()
+        spark.catalog.clearCache()
 
     walls: dict[str, list[float]] = {k: [] for k, _ in measurements}
     for _ in range(repeats):
@@ -163,9 +188,9 @@ def main() -> None:
             t0 = time.perf_counter()
             fn()
             walls[key].append(time.perf_counter() - t0)
-            if key == "kg_pipeline":
+            if key in ("kg_pipeline", "curate_corpus"):
                 # cache teardown between repeats, OUTSIDE the timed
-                # region (the pipeline persists internally; pre-r4
+                # region (both plans persist internally; pre-r4
                 # protocol also excluded teardown from the wall)
                 spark.catalog.clearCache()
     for key, ws in walls.items():

@@ -209,6 +209,9 @@ FROM documents"""
 )
 
 
+_SR = TXT.SCRIPT_RANGES
+
+
 @register(
     "text_langid",
     f"""
@@ -221,13 +224,33 @@ best AS (
            row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang) AS rn
     FROM hits WHERE h > 0
   ) WHERE rn = 1
+),
+scr AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[{_SR["kana"]}]')) AS nk,
+         len(regexp_extract_all(text, '[{_SR["hangul"]}]')) AS nh,
+         len(regexp_extract_all(text, '[{_SR["han"]}]')) AS nz,
+         len(regexp_extract_all(text, '[{_SR["thai"]}]')) AS nt,
+         greatest(length(text), 1) AS l
+  FROM documents
 )
-SELECT d.doc_id, d.lang, coalesce(b.lang_pred, 'und') AS lang_pred
-FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
+SELECT d.doc_id, d.lang,
+       CASE WHEN (s.nk + s.nh + s.nz + s.nt) / CAST(s.l AS DOUBLE) >= {TXT.SCRIPT_MIN_RATIO}
+            THEN CASE WHEN s.nk > 0 THEN 'ja'
+                      WHEN s.nh > 0 THEN 'ko'
+                      WHEN s.nt >= s.nz THEN 'th'
+                      ELSE 'zh' END
+            ELSE coalesce(b.lang_pred, 'und') END AS lang_pred
+FROM documents d
+LEFT JOIN best b ON b.doc_id = d.doc_id
+JOIN scr s ON s.doc_id = d.doc_id
 """,
 )
 def text_langid(spark, sf_dir):
-    """Stopword-vote language ID heuristic."""
+    """Two-tier language ID: char-script histogram for whitespace-free
+    scripts (ja/ko/zh/th), stopword vote for Latin-script languages —
+    the SQL replays both tiers (the script tier decides via the same
+    shared Java/RE2 char-class patterns)."""
     d = _load(spark, sf_dir, "documents")
     return d.select("doc_id", "lang", TXT.lang_id("text").alias("lang_pred"))
 

@@ -13,10 +13,10 @@ from pyspark.sql import functions as F
 # Tiny per-language stopword lists for the stopword-vote language-ID
 # heuristic. Deterministic, self-contained (no external models).
 # SCOPE: whitespace-tokenized LATIN-SCRIPT languages only — scripts
-# without whitespace word boundaries (zh/ja/th...) cannot be identified
-# by token voting and are deliberately not listed; they fall through to
-# 'und' rather than silently misfiring (a previous pinyin-syllable "zh"
-# list could never match real Chinese text).
+# without whitespace word boundaries (zh/ja/ko/th) cannot be identified
+# by token voting and are deliberately not listed; they are handled by
+# the char-script-histogram tier in :func:`lang_id` instead (a previous
+# pinyin-syllable "zh" list could never match real Chinese text).
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "is", "in", "that", "for"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
@@ -25,6 +25,22 @@ STOPWORDS = {
     "it": ["il", "la", "di", "che", "e", "non", "un", "per"],
     "pt": ["o", "a", "de", "que", "e", "do", "um", "para"],
 }
+
+# Unicode script ranges for the whitespace-free tier (BMP blocks as
+# literal char-class ranges — syntax Java regex and RE2 share, so the
+# same pattern strings run in Spark's codegen'd regexp_count AND the
+# DuckDB oracle). Scope: BMP only (rare Han extensions B+ ignored);
+# kana presence dominates Han so mixed Japanese text reads 'ja'.
+SCRIPT_RANGES = {
+    "kana": "ぁ-ヿ",    # hiragana + katakana (ja)
+    "hangul": "가-힣",  # hangul syllables (ko)
+    "han": "一-鿿",     # CJK unified ideographs (zh)
+    "thai": "ก-๛",    # thai (th)
+}
+# Minimum fraction of script characters for the script tier to decide;
+# below it (e.g. a Latin doc quoting one Chinese word) the stopword
+# vote runs instead.
+SCRIPT_MIN_RATIO = 0.3
 
 
 def token_count(col) -> Column:
@@ -82,9 +98,30 @@ def quality_score(col) -> Column:
 
 
 def lang_id(col) -> Column:
-    """Stopword-vote language ID: argmax over per-language hit counts;
-    ties broken by language code order; no hits -> 'und'."""
+    """Two-tier language ID, all codegen'd native expressions:
+
+    1. char-script histogram (whitespace-free scripts): when >= 30% of
+       characters are kana/hangul/han/thai, decide ja/ko/zh/th by a
+       fixed cascade — kana present -> ja (Japanese text mixes kana
+       with Han), else hangul -> ko, else thai-majority -> th, else
+       zh. Token voting is structurally blind to these languages (no
+       whitespace word boundaries).
+    2. stopword vote (Latin-script languages): argmax over
+       per-language stopword hit counts; ties broken by language code
+       order; no hits -> 'und'."""
     c = F.col(col) if isinstance(col, str) else col
+    n_scr = {
+        k: F.regexp_count(c, F.lit(f"[{r}]"))
+        for k, r in SCRIPT_RANGES.items()
+    }
+    total_scr = n_scr["kana"] + n_scr["hangul"] + n_scr["han"] + n_scr["thai"]
+    scr_ratio = total_scr / F.greatest(F.length(c), F.lit(1))
+    script_pred = (
+        F.when(n_scr["kana"] > 0, F.lit("ja"))
+        .when(n_scr["hangul"] > 0, F.lit("ko"))
+        .when(n_scr["thai"] >= n_scr["han"], F.lit("th"))
+        .otherwise(F.lit("zh"))
+    )
     toks = F.split(F.lower(F.trim(c)), r"\s+")
 
     def _hits(sw):
@@ -105,7 +142,8 @@ def lang_id(col) -> Column:
             lambda s: F.struct((-s["hits"]).alias("neg"), s["lang"].alias("lang")),
         )
     )
-    return F.when(inv.isNull(), F.lit("und")).otherwise(inv["lang"])
+    vote = F.when(inv.isNull(), F.lit("und")).otherwise(inv["lang"])
+    return F.when(scr_ratio >= SCRIPT_MIN_RATIO, script_pred).otherwise(vote)
 
 
 def fingerprint(col) -> Column:

@@ -260,6 +260,17 @@ def _chain(
         .where(F.col("doc") == F.col("_keep"))
         .drop("_keep")
     )
+    # The hub of the tail: consumed by the minhash signature AND
+    # shingle subtrees (evaluated eagerly by CC's localCheckpoint),
+    # then again by the survivor joins and the final output — persist
+    # like the pipeline's mention cache (DISK_ONLY for the same
+    # measured MemoryStore-contention reason) so the fp join runs once,
+    # not once per consumer (exchange reuse only dedupes byte-identical
+    # subtrees WITHIN one action; CC's checkpoint rounds are separate
+    # actions).
+    exact_survivors = exact_survivors.persist(StorageLevel.DISK_ONLY)
+    if cfg.eager_cache:
+        exact_survivors.count()
 
     pairs = DD.minhash_near_duplicates(
         exact_survivors,

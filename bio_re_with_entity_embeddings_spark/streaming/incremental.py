@@ -265,6 +265,47 @@ def incremental_triples(
     return streaming_triple_emitter(pairs, threshold, idle_timeout_ms)
 
 
+def incremental_curated_triples(
+    corpus_stream: DataFrame,
+    dict_entries,
+    relations: list[tuple[str, str]],
+    predicate_fn,
+    threshold: int = 2,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming curation composed with streaming KG construction: the
+    corpus stream is exact-content-DEDUPED before detection, so a
+    re-crawled / mirrored document can never double-count pair support
+    (the streaming analog of ``curate_corpus``'s exact-dedup stage
+    feeding ``build_triples``).
+
+    The dedup stage is Spark's NATIVE streaming ``dropDuplicates`` on
+    the content fingerprint — engine state store, so dedup state
+    checkpoints with the query and survives restarts, and (unlike the
+    custom ``streaming_dedup`` operator) the native operator is
+    CHAINABLE in front of the downstream stateful emitter: Spark
+    requires applyInPandasWithState to be the last stateful operator
+    in an append-mode plan, so the observability-oriented
+    ``streaming_dedup`` (which reports keeper/is_duplicate per
+    arrival) cannot be composed upstream of it. Keeper semantics:
+    first arrival wins (a within-batch tie picks an arbitrary clone —
+    harmless here, identical content yields identical entities).
+
+    Returns the unstarted (subj, pred, obj, n_docs) streaming
+    DataFrame, exactly-once per triple across restarts."""
+    from ..functions.text import fingerprint
+
+    deduped = (
+        corpus_stream.withColumn("_fp", fingerprint("content"))
+        .dropDuplicates(["_fp"])
+        .drop("_fp")
+    )
+    return incremental_triples(
+        deduped, dict_entries, relations, predicate_fn, threshold,
+        idle_timeout_ms,
+    )
+
+
 def incremental_triples_to_graph(
     corpus_stream: DataFrame,
     dict_entries,

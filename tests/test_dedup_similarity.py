@@ -774,3 +774,90 @@ def test_ann_derived_planes_recall_100k(spark):
     }
     recall = sum((q, n + q) in hits for q in range(nq)) / nq
     assert recall >= 0.9, recall
+
+
+# --- two-tier language ID (script histogram + stopword vote) -------------
+
+
+def test_lang_id_script_tier(spark):
+    """The char-script tier identifies whitespace-free scripts the
+    stopword vote is structurally blind to; Latin text still routes
+    through the vote, and a Latin doc QUOTING one CJK word stays on
+    the vote (ratio gate)."""
+    from bio_re_with_entity_embeddings_spark.functions.text import lang_id
+
+    rows = [
+        ("zh", "这是一个中文句子没有空格"),
+        ("ja", "これは日本語の文章です漢字も混ざる"),
+        ("ko", "이것은 한국어 문장입니다"),
+        ("th", "นี่คือประโยคภาษาไทย"),
+        ("en", "the quick brown fox is in the yard for fun"),
+        ("de", "der hund ist nicht ein katze und das ist zu viel"),
+        ("quote", "the word 中 means middle in the text for all that is"),
+        ("und", "qqq www eee rrr"),
+    ]
+    d = spark.createDataFrame(rows, "k string, text string")
+    got = {r.k: r.p for r in d.select("k", lang_id("text").alias("p")).collect()}
+    assert got["zh"] == "zh"
+    assert got["ja"] == "ja"  # kana presence dominates the Han chars
+    assert got["ko"] == "ko"
+    assert got["th"] == "th"
+    assert got["en"] == "en"
+    assert got["de"] == "de"
+    assert got["quote"] == "en"  # one quoted ideograph: below ratio gate
+    assert got["und"] == "und"
+
+
+def test_lang_id_script_tier_duckdb_parity(spark):
+    """The script-tier decision replays identically in DuckDB via the
+    same shared char-class patterns (the sf oracle only exercises the
+    Latin path — fixture texts carry no CJK — so this pins the CJK
+    branch cross-engine on planted rows)."""
+    import duckdb
+
+    from bio_re_with_entity_embeddings_spark.functions.text import (
+        SCRIPT_MIN_RATIO,
+        SCRIPT_RANGES,
+        lang_id,
+    )
+
+    rows = [
+        (0, "这是一个中文句子没有空格"),
+        (1, "これは日本語の文章です"),
+        (2, "이것은 한국어 문장입니다"),
+        (3, "นี่คือประโยคภาษาไทย"),
+        (4, "the plain latin text is here for the vote"),
+        (5, "中文 mixed with latin words half and half maybe"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.p
+        for r in d.select("doc_id", lang_id("text").alias("p")).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (doc_id BIGINT, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    sr = SCRIPT_RANGES
+    sql = f"""
+    SELECT doc_id,
+           CASE WHEN (nk + nh + nz + nt) / CAST(greatest(l, 1) AS DOUBLE) >= {SCRIPT_MIN_RATIO}
+                THEN CASE WHEN nk > 0 THEN 'ja' WHEN nh > 0 THEN 'ko'
+                          WHEN nt >= nz THEN 'th' ELSE 'zh' END
+                ELSE 'vote' END AS p
+    FROM (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[{sr["kana"]}]')) AS nk,
+             len(regexp_extract_all(text, '[{sr["hangul"]}]')) AS nh,
+             len(regexp_extract_all(text, '[{sr["han"]}]')) AS nz,
+             len(regexp_extract_all(text, '[{sr["thai"]}]')) AS nt,
+             length(text) AS l
+      FROM t)
+    """
+    oracle = {int(r[0]): r[1] for r in con.execute(sql).fetchall()}
+    for k, v in oracle.items():
+        if v == "vote":
+            assert got[k] not in ("zh", "ja", "ko", "th"), (k, got[k])
+        else:
+            assert got[k] == v, (k, got[k], v)
