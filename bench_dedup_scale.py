@@ -104,6 +104,122 @@ def main() -> None:
         )
     )
 
+    n_win = int(os.environ.get("SPARK_GRAFT_DEDUP_WINNOW", "0"))
+    if n_win > 0:
+        # Winnowing at volume, passage-planted ground truth: ~n/100
+        # donor docs each get a distinct ~128-char passage appended,
+        # and a TWIN doc is created whose body is unrelated md5 filler
+        # + the same passage — the contained-copy case minhash cannot
+        # see (global jaccard ~ 0). Each passage lives in exactly 2
+        # docs, so the per-fingerprint bucket gate never hides it.
+        base = spark.read.parquet(corpus_path).select(
+            F.col("path").alias("doc_id"), F.col("content").alias("text")
+        )
+        if n_win != n_files:
+            base = base.where(
+                F.pmod(F.xxhash64("doc_id"), F.lit(max(n_files // n_win, 1)))
+                == 0
+            )
+        donors = F.pmod(F.xxhash64("doc_id"), F.lit(100)) == 0
+        passage = F.concat_ws(
+            "",
+            *[F.md5(F.concat(F.lit(f"p{j}:"), F.col("doc_id"))) for j in range(4)],
+        )
+        docs_w = base.select(
+            "doc_id",
+            F.when(donors, F.concat("text", F.lit(" "), passage))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        twins = base.where(donors).select(
+            F.concat(F.lit("w:"), "doc_id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.md5(F.concat(F.lit(f"f{j}:"), F.col("doc_id")))
+                    for j in range(16)
+                ],
+                passage,
+            ).alias("text"),
+        )
+        all_docs = docs_w.unionByName(twins)
+        n_planted_df = base.where(donors).count()
+        t0 = time.perf_counter()
+        wpairs = DD.winnowing_near_duplicates(all_docs, "doc_id", "text")
+        row = wpairs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("id_b") == F.concat(F.lit("w:"), F.col("id_a")))
+                    | (F.col("id_a") == F.concat(F.lit("w:"), F.col("id_b"))),
+                    1,
+                ).otherwise(0)
+            ).alias("hits"),
+        ).collect()[0]
+        t_win = round(time.perf_counter() - t0, 1)
+        n_docs_w = n_win + n_planted_df
+        print(
+            json.dumps(
+                {
+                    "op": "winnowing_near_duplicates",
+                    "docs": n_docs_w,
+                    "pairs": int(row["n"]),
+                    "planted": n_planted_df,
+                    "planted_recalled": int(row["hits"] or 0),
+                    "t_full_s": t_win,
+                    "docs_per_sec": round(n_docs_w / t_win, 0),
+                    "master": f"local[{cpus}]",
+                }
+            )
+        )
+
+    n_kpairs = int(os.environ.get("SPARK_GRAFT_DEDUP_KEEPER_PAIRS", "0"))
+    if n_kpairs > 0:
+        # Keeper election over a multi-million-pair input: clusters of
+        # 5 nodes (4 chain edges each), so n_kpairs/4 components with
+        # known size — CC round count stays O(log n) and the keeper
+        # join-back sees O(n) keepers. Quality table covers all nodes.
+        n_clusters = n_kpairs // 4
+        n_nodes = n_clusters * 5
+        e = spark.range(n_kpairs).select(
+            (F.col("id") / 4).cast("long").alias("c"),
+            F.pmod(F.col("id"), F.lit(4)).alias("j"),
+        )
+        pairs_df = e.select(
+            F.concat(F.lit("d"), (F.col("c") * 5 + F.col("j")).cast("string")).alias("id_a"),
+            F.concat(F.lit("d"), (F.col("c") * 5 + F.col("j") + 1).cast("string")).alias("id_b"),
+        )
+        quality = spark.range(n_nodes).select(
+            F.concat(F.lit("d"), F.col("id").cast("string")).alias("doc"),
+            (F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(1000)) / 1000.0).alias(
+                "score"
+            ),
+        )
+        t0 = time.perf_counter()
+        keepers = DD.dedup_keepers(pairs_df, quality=quality)
+        row = keepers.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("cluster").alias("k"),
+            F.sum(F.when(F.col("drop"), 1).otherwise(0)).alias("d"),
+        ).collect()[0]
+        t_keep = round(time.perf_counter() - t0, 1)
+        assert int(row["k"]) == n_clusters, (row["k"], n_clusters)
+        assert int(row["n"]) == n_nodes and int(row["d"]) == n_nodes - n_clusters
+        print(
+            json.dumps(
+                {
+                    "op": "dedup_keepers",
+                    "pairs": n_kpairs,
+                    "nodes": n_nodes,
+                    "clusters": int(row["k"]),
+                    "dropped": int(row["d"]),
+                    "t_full_s": t_keep,
+                    "pairs_per_sec": round(n_kpairs / t_keep, 0),
+                    "master": f"local[{cpus}]",
+                }
+            )
+        )
+
     n_vec = int(os.environ.get("SPARK_GRAFT_DEDUP_VECTORS", "500000"))
     if n_vec > 0:
         vecs = synth_embeddings(spark, n_vec)

@@ -730,6 +730,7 @@ def winnowing_near_duplicates(
     min_shared: int = 2,
     hash_mode: str = "xxhash64",
     max_bucket_size: int = 200,
+    kernel: str | None = None,
 ) -> DataFrame:
     """LOCAL-similarity near-dup pairs: documents sharing at least
     ``min_shared`` winnowing fingerprints (Schleimer SIGMOD'03). The
@@ -756,10 +757,29 @@ def winnowing_near_duplicates(
     operating range) while making cross-document fingerprint
     collisions meaningful, and ``max_bucket_size=200`` bounds the
     residual worst case. Tiny-fixture callers (and the DuckDB oracle,
-    which pins every knob) pass small k explicitly."""
-    from ..functions.text import winnowing_fingerprints
+    which pins every knob) pass small k explicitly.
 
-    fp = winnowing_fingerprints(df, id_col, text_col, k, w, hash_mode)
+    ``kernel``: ``'arrow'`` fingerprints each doc in one vectorized
+    NumPy pass (``winnowing_fingerprints_arrow`` — the measured ~100x
+    fingerprint-stage fix, round 5); ``'expr'`` is the posexplode +
+    window expression path whose md5 mode the DuckDB oracle replays.
+    Default (None): arrow for ``hash_mode='xxhash64'``, expr for
+    ``'md5'``. The two kernels select DIFFERENT (equally valid)
+    fingerprint sets — the shared-passage guarantee holds for both,
+    exact pair equality across kernels is not promised."""
+    from ..functions.text import (
+        winnowing_fingerprints,
+        winnowing_fingerprints_arrow,
+    )
+
+    if kernel is None:
+        kernel = "arrow" if hash_mode == "xxhash64" else "expr"
+    if kernel == "arrow":
+        if hash_mode != "xxhash64":
+            raise ValueError("kernel='arrow' supports hash_mode='xxhash64' only")
+        fp = winnowing_fingerprints_arrow(df, id_col, text_col, k, w)
+    else:
+        fp = winnowing_fingerprints(df, id_col, text_col, k, w, hash_mode)
     wdw = Window.partitionBy("fp")
     gated = (
         fp.withColumn("_bsz", F.count(F.lit(1)).over(wdw))

@@ -861,3 +861,41 @@ def test_lang_id_script_tier_duckdb_parity(spark):
             assert got[k] not in ("zh", "ja", "ko", "th"), (k, got[k])
         else:
             assert got[k] == v, (k, got[k], v)
+
+
+def test_winnowing_arrow_kernel_guarantee(spark):
+    """The Arrow rolling-hash kernel preserves the winnowing invariant
+    (any shared byte run >= k + w - 1 shares a fingerprint; short docs
+    yield nothing; density < all-gram count) and is the default for
+    xxhash64-mode winnowing_near_duplicates."""
+    import inspect
+
+    from bio_re_with_entity_embeddings_spark.functions.text import (
+        winnowing_fingerprints_arrow,
+    )
+
+    shared = "xqzjvkwpy"  # 9 >= k + w - 1 = 8
+    docs = spark.createDataFrame(
+        [
+            ("a", f"left padding {shared} more text here"),
+            ("b", f"completely different start {shared} and end"),
+            ("c", "nothing in common with the others at all"),
+            ("d", "hi"),
+        ],
+        "doc_id string, text string",
+    )
+    fp = winnowing_fingerprints_arrow(docs, "doc_id", "text", k=5, w=4).toPandas()
+    by_doc = {d: set(g["fp"]) for d, g in fp.groupby("doc")}
+    assert by_doc["a"] & by_doc["b"]
+    assert not (by_doc["a"] & by_doc["b"] & by_doc["c"])
+    assert "d" not in by_doc
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for d in ("a", "b", "c"):
+        assert len(by_doc[d]) < len(texts[d]) - 5 + 1
+    # pinned default: xxhash64-mode near-dup pairs run the Arrow kernel
+    sig = inspect.signature(DD.winnowing_near_duplicates).parameters
+    assert sig["kernel"].default is None  # None -> arrow for xxhash64
+    got = DD.winnowing_near_duplicates(
+        docs, "doc_id", "text", k=5, w=4, min_shared=1
+    ).toPandas()
+    assert ("a", "b") in {(r.id_a, r.id_b) for r in got.itertuples()}
