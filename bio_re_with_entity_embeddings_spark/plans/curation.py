@@ -23,12 +23,14 @@ Scale shape per stage:
 * signals — one codegen'd projection over the corpus scan.
 * exact dedup — map-combined ``groupBy(fp).agg(min)`` (never a window:
   a boilerplate doc duplicated 10^6 times would sort-buffer one task)
-  + a ``shuffle_hash`` join back (keeper table is O(distinct texts),
-  grows with the corpus — NOT broadcastable, the dedup_keepers
-  lesson).
+  + a ``merge`` (sort-merge) join back: the keeper table is
+  O(distinct texts), so it must be neither broadcast (grows with the
+  corpus) nor hash-built (a shuffled hash join's per-partition
+  UnsafeHashedRelation cannot spill — the OOM minhash's verify hit at
+  2M docs, BENCH/BASELINE.md round 5).
 * near-dup — the measured minhash path (int64 gram-hash verify, capped
   buckets) + ``dedup_keepers`` (CC over capped pairs, quality-ranked
-  keeper, shuffle-hash join back).
+  keeper, sort-merge join back).
 * decontamination — benchmark n-grams hashed + broadcast; corpus side
   one scan.
 * quota — salted two-stage top-k (exact; see quota_sample).
@@ -252,11 +254,13 @@ def _chain(
     # Exact dedup: min-doc keeper per normalized-text fingerprint.
     # groupBy (map-combined), not a window (a boilerplate doc
     # duplicated 10^6 times would buffer one task); join back with
-    # shuffle_hash — the keeper table is O(distinct texts), which
-    # grows with the corpus (never broadcast).
+    # merge — the keeper table is O(distinct texts), which grows
+    # with the corpus: never broadcast, and never hash-built either (a
+    # shuffled hash join's build side cannot spill; measured OOM class,
+    # BENCH/BASELINE.md round 5).
     exact_keepers = quality_pass.groupBy("fp").agg(F.min("doc").alias("_keep"))
     exact_survivors = (
-        quality_pass.join(exact_keepers.hint("shuffle_hash"), "fp")
+        quality_pass.join(exact_keepers.hint("merge"), "fp")
         .where(F.col("doc") == F.col("_keep"))
         .drop("_keep")
     )
@@ -292,7 +296,7 @@ def _chain(
     )
     drops = clusters.where(F.col("drop")).select("doc")
     near_survivors = exact_survivors.join(
-        drops.hint("shuffle_hash"), "doc", "left_anti"
+        drops.hint("merge"), "doc", "left_anti"
     )
 
     if benchmark is not None:
@@ -302,7 +306,7 @@ def _chain(
             F.col("n_hits") > cfg.max_decon_hits
         ).select("doc")
         clean = near_survivors.join(
-            contaminated.hint("shuffle_hash"), "doc", "left_anti"
+            contaminated.hint("merge"), "doc", "left_anti"
         )
     else:
         hits = spark.createDataFrame([], "doc string, n_hits long")

@@ -255,7 +255,9 @@ def test_repetition_signals_two_map_combinable_aggregates(spark):
 def test_pii_mask_no_shuffle(spark):
     """PII masking is a pure projection: zero exchanges, whole-stage
     codegen, no UDF in the plan."""
-    df = entrymod.extra_queries()["text_pii"](spark, SF_DIR)
+    # r5: text_pii was promoted from the extras registry into the
+    # 50-row driver window
+    df = entrymod.queries()["text_pii"](spark, SF_DIR)
     plan = plan_of(df)
     assert "Exchange" not in plan, plan[:1200]
     assert "Python" not in plan  # no pandas/python eval nodes
@@ -273,3 +275,18 @@ def test_winnowing_dedup_no_cartesian(spark):
     plan = plan_of(out)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "Window" in plan  # the bucket gate
+
+
+def test_minhash_verify_join_is_sort_merge(spark):
+    """The verify-side array joins must plan as SortMergeJoin: never a
+    broadcast of the O(corpus) array table (round 4: AQE's attempted
+    broadcast blew driver.maxResultSize), and never a shuffled hash
+    join (round 5: its per-partition UnsafeHashedRelation build side
+    cannot spill — OOM'd at 2M docs; sort-merge spills AND measured
+    faster, 31.3 s vs 47.9 s at 200k)."""
+    from bio_re_with_entity_embeddings_spark.operators import dedup as DD
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(DD.minhash_near_duplicates(d, "doc_id", "text"))
+    assert "SortMergeJoin" in plan, plan[:1500]
+    assert "ShuffledHashJoin" not in plan, plan[:1500]
