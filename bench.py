@@ -162,18 +162,26 @@ def main() -> None:
         from bio_re_with_entity_embeddings_spark.plans import curation as PC
 
         def run_curation() -> None:
-            docs2 = _docs_with_dups(spark, sf_dir)
+            from bio_re_with_entity_embeddings_spark.contract_text import (
+                _curate_split,
+                _docs_with_near_dups,
+            )
+
+            corp, bench_split = _curate_split(
+                _docs_with_near_dups(spark, sf_dir)
+            )
+            # 40k > quota * _QUOTA_SKEW_FACTOR (32k), so the hint
+            # actually selects the SALTED two-stage top-k (the scale
+            # path this bench claims to exercise) without a plan-time
+            # count job
             cur_cfg = PC.CurationConfig(
                 min_quality=0.55,
                 decon_n=4,
                 quota=2000,
-                quota_max_group_rows=30_000,
+                quota_max_group_rows=40_000,
             )
             PC.curate_corpus(
-                spark,
-                docs2.where(F.col("doc_id") % 20 != 0),
-                benchmark=docs2.where(F.col("doc_id") % 20 == 0),
-                config=cur_cfg,
+                spark, corp, benchmark=bench_split, config=cur_cfg
             )["corpus"].count()
 
         measurements.append(("curate_corpus", run_curation))

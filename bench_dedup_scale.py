@@ -143,6 +143,9 @@ def main() -> None:
             ).alias("text"),
         )
         all_docs = docs_w.unionByName(twins)
+        n_base = base.count()  # ACTUAL sampled count (the pmod sample
+        # only approximates n_win and keeps everything when the ratio
+        # rounds to 1) — docs/s must use the real denominator
         n_planted_df = base.where(donors).count()
         t0 = time.perf_counter()
         wpairs = DD.winnowing_near_duplicates(all_docs, "doc_id", "text")
@@ -157,7 +160,7 @@ def main() -> None:
             ).alias("hits"),
         ).collect()[0]
         t_win = round(time.perf_counter() - t0, 1)
-        n_docs_w = n_win + n_planted_df
+        n_docs_w = n_base + n_planted_df
         print(
             json.dumps(
                 {
@@ -174,6 +177,7 @@ def main() -> None:
         )
 
     n_kpairs = int(os.environ.get("SPARK_GRAFT_DEDUP_KEEPER_PAIRS", "0"))
+    n_kpairs -= n_kpairs % 4  # exact 5-node clusters need 4 edges each
     if n_kpairs > 0:
         # Keeper election over a multi-million-pair input: clusters of
         # 5 nodes (4 chain edges each), so n_kpairs/4 components with

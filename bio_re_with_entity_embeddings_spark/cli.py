@@ -189,7 +189,9 @@ def cmd_curate(args) -> int:
         )
     else:
         out = PC.curate_corpus(spark, docs, bench, cfg)
-    out["corpus"].write.mode("overwrite").parquet(args.output)
+    # corpus_full keeps the TEXT — the product a training pipeline
+    # consumes ("corpus" is the metadata/oracle view)
+    out["corpus_full"].write.mode("overwrite").parquet(args.output)
     print(f"curated corpus -> {args.output}", file=sys.stderr)
     return 0
 

@@ -1127,6 +1127,33 @@ SELECT doc, lang, quality, n_tokens FROM (
 """
 
 
+def _docs_with_near_dups(spark, sf_dir):
+    """documents + NEAR-duplicate clones: doc_id < 10 re-appears as
+    doc_id + 100000 with one appended token (' zzqx') — high-jaccard
+    but not byte-identical, so the minhash/keeper stages (not exact
+    dedup) must catch them. THE single source of the planted world the
+    curate_corpus oracle, tests/test_curation_plan.py, and bench.py's
+    curation measurement all share — a drifted copy would make them
+    validate different worlds. The SQL mirror lives in the docs2 CTE
+    of _SQL_CURATE_CORPUS (keep the two in sync)."""
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    dups = (
+        d.where(F.col("doc_id") < 10)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zzqx")))
+    )
+    return d.unionByName(dups)
+
+
+def _curate_split(docs2):
+    """(corpus, benchmark): every 20th doc id is the held-out
+    benchmark (the SQL mirror: corpus0/bench0 CTEs)."""
+    return (
+        docs2.where(F.col("doc_id") % 20 != 0),
+        docs2.where(F.col("doc_id") % 20 == 0),
+    )
+
+
 @register("curate_corpus", _SQL_CURATE_CORPUS)
 def curate_corpus(spark, sf_dir):
     """The composed end-to-end curation plan (plans/curation.py) in
@@ -1136,13 +1163,7 @@ def curate_corpus(spark, sf_dir):
     decontamination vs the %20 benchmark split -> 40-per-lang quota."""
     from .plans import curation as PC
 
-    d = _load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    dups = (
-        d.where(F.col("doc_id") < 10)
-        .withColumn("doc_id", F.col("doc_id") + 100000)
-        .withColumn("text", F.concat(F.col("text"), F.lit(" zzqx")))
-    )
-    docs2 = d.unionByName(dups)
+    corpus, bench = _curate_split(_docs_with_near_dups(spark, sf_dir))
     cfg = PC.CurationConfig(
         min_quality=0.55,
         hash_mode="md5",
@@ -1151,10 +1172,5 @@ def curate_corpus(spark, sf_dir):
         quota=40,
         quota_skew_salts=1,  # oracle pins the one-stage window
     )
-    out = PC.curate_corpus(
-        spark,
-        docs2.where(F.col("doc_id") % 20 != 0),
-        benchmark=docs2.where(F.col("doc_id") % 20 == 0),
-        config=cfg,
-    )
+    out = PC.curate_corpus(spark, corpus, benchmark=bench, config=cfg)
     return out["corpus"]

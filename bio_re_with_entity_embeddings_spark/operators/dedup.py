@@ -692,11 +692,14 @@ def dedup_keepers(
 
     Scale shape: CC is O(log n) star rounds over the pair set (pairs
     are already candidate-bounded by the upstream cap knobs); keeper
-    election is two map-combinable aggregates + a shuffle-hash join
-    back of (cluster, keeper) — NOT a broadcast: keepers is O(number
-    of clusters), which grows with the corpus, the exact
-    driver-collect failure mode the embedding verify hit at 500k rows
-    (BENCH/BASELINE.md). Docs never in any pair are absent
+    election is two map-combinable aggregates + a SORT-MERGE join
+    back of (cluster, keeper) — NOT a broadcast (keepers is O(number
+    of clusters), which grows with the corpus — the driver-collect
+    failure mode the embedding verify hit at 500k rows) and NOT a
+    shuffled hash join (its unspillable per-partition build side is
+    the OOM class the minhash verify hit at 2M docs, both in
+    BENCH/BASELINE.md; probed here at 4M pairs / 5M nodes, 49.8 s).
+    Docs never in any pair are absent
     from the output — they are trivially kept (union them in as
     ``drop=false`` only if a full roster is needed; avoids scanning
     the corpus here).

@@ -135,7 +135,12 @@ def curate_corpus(
         "dedup_pairs": parts["pairs"],
         "dedup_clusters": parts["clusters"],
         "decon_hits": parts["hits"],
+        # corpus: the metadata view (the oracle's shape); corpus_full
+        # keeps the TEXT — the frame a training pipeline actually
+        # consumes (the survivors carry text all the way through the
+        # chain; only this select ever drops it)
         "corpus": final.select("doc", "lang", "quality", "n_tokens"),
+        "corpus_full": final,
     }
 
 
@@ -166,7 +171,24 @@ def run_curation_checkpointed(
                a crash between keep and corpus resumes exactly.
 
     Per-bucket manifests record rows in/out, content-sha xor fold and
-    wall; reruns are idempotent per-bucket dynamic overwrites."""
+    wall; reruns are idempotent per-bucket dynamic overwrites.
+
+    CONFIG/BENCHMARK LINEAGE: run_stage's skip test covers only the
+    stage INPUT (count + sha fold) — on its own it would silently
+    serve a stale 'keep' output after the user changes a config knob
+    or swaps the benchmark over the same working dir (the exact
+    "silently stale" resume class the reference is criticized for,
+    plans/manifest.py module doc). The knobs and the benchmark are
+    therefore folded into the stage IDENTITY: 'keep' runs as
+    ``keep_<hash(chain knobs + benchmark count/sha-fold)>`` and
+    'corpus' as ``corpus_<hash(quota knobs)>`` — a changed config or
+    benchmark starts a fresh stage directory (recompute), an unchanged
+    one resumes exactly; prior configs' directories remain as orphans
+    (rerun the old config and it resumes too). Fingerprinting the
+    benchmark costs one map-combined count+fold scan per rerun —
+    benchmarks are dimension-sized by definition."""
+    import hashlib
+
     from . import manifest as M
 
     cfg = config or CurationConfig()
@@ -198,6 +220,33 @@ def run_curation_checkpointed(
         run_id=run_id,
     )
 
+    # Stage identity = chain knobs + benchmark fingerprint (see
+    # docstring). Skew salts are EXCLUDED from the corpus hash: the
+    # salted two-stage quota is exactly equal to the unsalted window,
+    # so those knobs cannot change the output.
+    keep_knobs = (
+        cfg.min_quality, tuple(cfg.langs) if cfg.langs else None,
+        cfg.minhash_threshold, cfg.hash_mode, cfg.decon_n,
+        cfg.decon_hashed, cfg.max_decon_hits, cfg.minhash_hashes,
+        cfg.minhash_bands, cfg.max_bucket_size,
+    )
+    if benchmark is not None:
+        bdf = benchmark.select(
+            F.sha2(F.col(text_col), 256).alias("content_sha")
+        )
+        brow = bdf.agg(
+            F.count(F.lit(1)).alias("n"), M.sha_xor(bdf).alias("x")
+        ).collect()[0]
+        bench_fp = (int(brow["n"]), int(brow["x"] or 0))
+    else:
+        bench_fp = None
+
+    def _h(parts) -> str:
+        return hashlib.sha256(repr(parts).encode()).hexdigest()[:10]
+
+    keep_stage = f"keep_{_h((keep_knobs, bench_fp))}"
+    corpus_stage = f"corpus_{_h((keep_stage, cfg.quota_key, cfg.quota))}"
+
     def keep_tail(sig: DataFrame) -> DataFrame:
         out = _chain(spark, sig.drop("bucket"), benchmark, cfg_lazy)["clean"]
         return out.withColumn("bucket", F.lit(0).cast("int"))
@@ -205,7 +254,7 @@ def run_curation_checkpointed(
     keep = M.run_stage(
         spark,
         base_dir,
-        "keep",
+        keep_stage,
         signals.withColumn("bucket", F.lit(0).cast("int")),
         keep_tail,
         run_id=run_id,
@@ -225,7 +274,7 @@ def run_curation_checkpointed(
         return final.withColumn("bucket", F.lit(0).cast("int"))
 
     corpus = M.run_stage(
-        spark, base_dir, "corpus", keep, quota_tail, run_id=run_id
+        spark, base_dir, corpus_stage, keep, quota_tail, run_id=run_id
     )
     return {
         "signals": signals,
@@ -233,6 +282,14 @@ def run_curation_checkpointed(
         "corpus": corpus.drop("bucket").select(
             "doc", "lang", "quality", "n_tokens"
         ),
+        "corpus_full": corpus.drop("bucket"),
+        # resolved stage names (config-hashed, see docstring) so
+        # callers/tests can locate the manifest directories
+        "_stages": {
+            "signals": "signals",
+            "keep": keep_stage,
+            "corpus": corpus_stage,
+        },
     }
 
 

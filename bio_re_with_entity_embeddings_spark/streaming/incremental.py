@@ -272,6 +272,7 @@ def incremental_curated_triples(
     predicate_fn,
     threshold: int = 2,
     idle_timeout_ms: int | None = None,
+    dedup_within: str | None = None,
 ) -> DataFrame:
     """Streaming curation composed with streaming KG construction: the
     corpus stream is exact-content-DEDUPED before detection, so a
@@ -291,15 +292,37 @@ def incremental_curated_triples(
     first arrival wins (a within-batch tie picks an arbitrary clone —
     harmless here, identical content yields identical entities).
 
+    State-size envelope (``dedup_within=None``, the exact default):
+    the dedup state holds one row per DISTINCT content fingerprint
+    ever seen — ~50 B/doc of state-store footprint, hash-partitioned;
+    ~50 GB per 10^9 distinct documents. That unbounded-but-linear
+    growth is what makes the never-double-count guarantee
+    unconditional (same trade as the emitter's 17 B/pair state, which
+    this composition also carries). ``dedup_within`` (e.g.
+    ``"24 hours"``) bounds it via
+    ``dropDuplicatesWithinWatermark`` over an ingest-time watermark:
+    state older than the horizon is evicted, so a clone re-arriving
+    AFTER it is re-admitted and can double-count — the standard TTL
+    trade; pick the horizon from the re-crawl cadence.
+
     Returns the unstarted (subj, pred, obj, n_docs) streaming
     DataFrame, exactly-once per triple across restarts."""
     from ..functions.text import fingerprint
 
-    deduped = (
-        corpus_stream.withColumn("_fp", fingerprint("content"))
-        .dropDuplicates(["_fp"])
-        .drop("_fp")
-    )
+    if dedup_within is not None:
+        deduped = (
+            corpus_stream.withColumn("_fp", fingerprint("content"))
+            .withColumn("_ingest_ts", F.current_timestamp())
+            .withWatermark("_ingest_ts", dedup_within)
+            .dropDuplicatesWithinWatermark(["_fp"])
+            .drop("_fp", "_ingest_ts")
+        )
+    else:
+        deduped = (
+            corpus_stream.withColumn("_fp", fingerprint("content"))
+            .dropDuplicates(["_fp"])
+            .drop("_fp")
+        )
     return incremental_triples(
         deduped, dict_entries, relations, predicate_fn, threshold,
         idle_timeout_ms,

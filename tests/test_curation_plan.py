@@ -14,20 +14,16 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def world(spark):
-    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
-        "doc_id", "text", "lang"
+    # the ONE planted world the oracle/bench/tests share (drifted
+    # copies would validate different worlds)
+    from bio_re_with_entity_embeddings_spark.contract_text import (
+        _curate_split,
+        _docs_with_near_dups,
     )
-    dups = (
-        d.where(F.col("doc_id") < 10)
-        .withColumn("doc_id", F.col("doc_id") + 100000)
-        .withColumn("text", F.concat(F.col("text"), F.lit(" zzqx")))
-    )
-    docs2 = d.unionByName(dups).cache()
+
+    docs2 = _docs_with_near_dups(spark, SF_DIR).cache()
     docs2.count()
-    return (
-        docs2.where(F.col("doc_id") % 20 != 0),
-        docs2.where(F.col("doc_id") % 20 == 0),
-    )
+    return _curate_split(docs2)
 
 
 def _corpus_set(out):
@@ -155,13 +151,53 @@ def test_kill_between_keep_and_corpus_resumes(spark, world, tmp_path):
         spark, docs, bench, base, n_buckets=8, config=cfg, run_id="r1"
     )
     want = _corpus_set(first)
-    shutil.rmtree(f"{base}/corpus")  # the "crash": quota output lost
+    stages = first["_stages"]
+    shutil.rmtree(f"{base}/{stages['corpus']}")  # the "crash": quota output lost
     out = PC.run_curation_checkpointed(
         spark, docs, bench, base, n_buckets=8, config=cfg, run_id="r2"
     )
     assert _corpus_set(out) == want
-    for stage in ("signals", "keep"):
+    for stage in (stages["signals"], stages["keep"]):
         m = M.read_manifest(spark, base, stage).toPandas()
         assert (m["run_id"] == "r1").all(), stage
-    m = M.read_manifest(spark, base, "corpus").toPandas()
+    m = M.read_manifest(spark, base, stages["corpus"]).toPandas()
     assert (m["run_id"] == "r2").all()
+
+
+def test_config_or_benchmark_change_recomputes(spark, world, tmp_path):
+    """The silently-stale-resume guard: rerunning over the same
+    working dir with a different config knob or benchmark must NOT
+    serve the old stage output (knobs + benchmark fingerprint are part
+    of the stage identity), while an unchanged rerun still resumes."""
+    docs, bench = world
+    base = str(tmp_path / "ck4")
+    cfg1 = PC.CurationConfig(hash_mode="md5", **CFG)
+    out1 = PC.run_curation_checkpointed(
+        spark, docs, bench, base, n_buckets=8, config=cfg1, run_id="r1"
+    )
+    # different quality gate -> different keep stage -> fresh compute
+    cfg2 = PC.CurationConfig(hash_mode="md5", **{**CFG, "min_quality": 0.75})
+    out2 = PC.run_curation_checkpointed(
+        spark, docs, bench, base, n_buckets=8, config=cfg2, run_id="r2"
+    )
+    assert out1["_stages"]["keep"] != out2["_stages"]["keep"]
+    assert _corpus_set(out2) != _corpus_set(out1)
+    clean2 = PC.run_curation_checkpointed(
+        spark, docs, bench, str(tmp_path / "clean4"), n_buckets=8,
+        config=cfg2, run_id="rc",
+    )
+    assert _corpus_set(out2) == _corpus_set(clean2)
+    # different benchmark -> different keep stage identity
+    out3 = PC.run_curation_checkpointed(
+        spark, docs, bench.limit(5), base, n_buckets=8, config=cfg1,
+        run_id="r3",
+    )
+    assert out3["_stages"]["keep"] != out1["_stages"]["keep"]
+    # unchanged rerun of cfg1 resumes the ORIGINAL stage untouched
+    out4 = PC.run_curation_checkpointed(
+        spark, docs, bench, base, n_buckets=8, config=cfg1, run_id="r4"
+    )
+    assert out4["_stages"]["keep"] == out1["_stages"]["keep"]
+    m = M.read_manifest(spark, base, out1["_stages"]["keep"]).toPandas()
+    assert (m["run_id"] == "r1").all()
+    assert _corpus_set(out4) == _corpus_set(out1)

@@ -736,3 +736,63 @@ def test_incremental_curated_triples_dedup_and_restart(spark, tmp_path):
     # the composition is load-bearing: counting clones would have
     # pushed additional pairs over the threshold
     assert want_withdups - want_dedup, "clones changed nothing; weak test"
+
+
+def test_incremental_curated_triples_bounded_state_variant(spark, tmp_path):
+    """dedup_within bounds the dedup state via an ingest-time
+    watermark; within the horizon it behaves exactly like lifetime
+    dedup (clones in a later batch are still dropped)."""
+    from bio_re_with_entity_embeddings_spark import fixtures, schemas
+    from bio_re_with_entity_embeddings_spark.operators import triples as T_OP
+    from bio_re_with_entity_embeddings_spark.plans import pipeline
+    from bio_re_with_entity_embeddings_spark.streaming.incremental import (
+        incremental_curated_triples,
+    )
+
+    dictionary = fixtures.make_dictionary()
+    rows = fixtures.make_corpus_rows(60, dictionary)
+    clones = [
+        (f"mirror/{r[0]}", r[1], r[2], r[3], r[4]) for r in rows[:20]
+    ]
+    src = tmp_path / "ttl_in"
+    src.mkdir()
+    spark.createDataFrame(rows, schemas.CORPUS).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    spark.createDataFrame(clones, schemas.CORPUS).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    dict_entries = [(e.surface, e.entity_id, e.entity_type) for e in dictionary]
+    relations = [(fixtures.FN, fixtures.PKG)]
+    out_dir = str(tmp_path / "ttl_out")
+    stream = (
+        spark.readStream.schema(schemas.CORPUS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        incremental_curated_triples(
+            stream, dict_entries, relations, T_OP.predicate_for,
+            threshold=3, dedup_within="1 hour",
+        )
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, eid: df.write.mode("append").parquet(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ttl_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    got = {(r.subj, r.pred, r.obj) for r in spark.read.parquet(out_dir).collect()}
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    want = {
+        (r.subj, r.pred, r.obj)
+        for r in pipeline.build_triples(
+            spark, spark.createDataFrame(rows, schemas.CORPUS), dictionary,
+            emb,
+            pipeline.PipelineConfig(
+                relations=relations, articles_cap=-1, threshold=-1e9
+            ),
+        )["triples"].where("n_docs >= 3").collect()
+    }
+    assert got == want  # clones within the horizon were deduped
