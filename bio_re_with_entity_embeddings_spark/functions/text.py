@@ -238,6 +238,63 @@ def winnowing_fingerprints(
     )
 
 
+_WINNOW_B = 0x9E3779B97F4A7C15  # odd -> invertible mod 2^64
+_WINNOW_BINV = pow(_WINNOW_B, -1, 1 << 64)
+_WINNOW_M1, _WINNOW_M2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB  # splitmix64
+
+
+def winnow_text(t, k: int, w: int):
+    """The Arrow winnowing kernel's per-document core, as a PURE
+    function so the selection invariants are property-testable without
+    a SparkSession: normalize (lower + whitespace collapse), rolling
+    64-bit polynomial hash over byte ``k``-grams, splitmix64 finalize,
+    sliding-window-``w`` min, unique. Returns a sorted int64 ndarray of
+    kept fingerprints, or None for null/short input (no complete
+    window — expr-path parity). Callers inside Arrow batches set
+    ``np.seterr(over="ignore")`` once; standalone use trips no error
+    because numpy only warns on scalar overflow by default."""
+    import numpy as np
+
+    if t is None:
+        return None
+    s = " ".join(str(t).lower().split())
+    b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+    L = len(b)
+    if L < k:
+        return None
+    err = np.geterr()
+    np.seterr(over="ignore")
+    try:
+        bu = b.astype(np.uint64)
+        # H[i] = sum_{d<k} b[i+d] * B^(k-1-d)  (mod 2^64)
+        # via one prefix sum: Q[m] = sum_{j<m} b[j]*BINV^j,
+        # H[i] = (Q[i+k] - Q[i]) * B^i * B^(k-1)
+        binv_pow = np.full(L, np.uint64(_WINNOW_BINV), dtype=np.uint64)
+        binv_pow[0] = np.uint64(1)
+        np.multiply.accumulate(binv_pow, out=binv_pow)
+        q = np.zeros(L + 1, dtype=np.uint64)
+        np.cumsum(bu * binv_pow, out=q[1:])
+        b_pow = np.full(L - k + 1, np.uint64(_WINNOW_B), dtype=np.uint64)
+        b_pow[0] = np.uint64(1)
+        np.multiply.accumulate(b_pow, out=b_pow)
+        h = (q[k:] - q[: L - k + 1]) * b_pow * np.uint64(
+            pow(_WINNOW_B, k - 1, 1 << 64)
+        )
+        # splitmix64 finalize: min-selection density should not
+        # correlate with byte content
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(_WINNOW_M1)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(_WINNOW_M2)
+        h ^= h >> np.uint64(31)
+        if len(h) < w:
+            return None  # complete windows only (expr parity)
+        wins = np.lib.stride_tricks.sliding_window_view(h, w)
+        return np.unique(wins.min(axis=1))
+    finally:
+        np.seterr(**err)
+
+
 def winnowing_fingerprints_arrow(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -269,14 +326,7 @@ def winnowing_fingerprints_arrow(
     import numpy as np
     import pandas as pd
 
-    B = 0x9E3779B97F4A7C15  # odd -> invertible mod 2^64
-    BINV = pow(B, -1, 1 << 64)
-    M1, M2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB  # splitmix64
-
     def run(batches):
-        Bu = np.uint64(B)
-        BINVu = np.uint64(BINV)
-        Bk1 = np.uint64(pow(B, k - 1, 1 << 64))
         err = np.geterr()
         np.seterr(over="ignore")  # uint64 wraparound is the arithmetic
         try:
@@ -286,37 +336,9 @@ def winnowing_fingerprints_arrow(
                 for doc, t in zip(
                     pdf[id_col].astype(str).values, pdf[text_col].values
                 ):
-                    if t is None:
+                    fps = winnow_text(t, k, w)
+                    if fps is None:
                         continue
-                    s = " ".join(str(t).lower().split())
-                    b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
-                    L = len(b)
-                    if L < k:
-                        continue
-                    bu = b.astype(np.uint64)
-                    # H[i] = sum_{d<k} b[i+d] * B^(k-1-d)  (mod 2^64)
-                    # via one prefix sum: Q[m] = sum_{j<m} b[j]*BINV^j,
-                    # H[i] = (Q[i+k] - Q[i]) * B^i * B^(k-1)
-                    binv_pow = np.full(L, BINVu, dtype=np.uint64)
-                    binv_pow[0] = np.uint64(1)
-                    np.multiply.accumulate(binv_pow, out=binv_pow)
-                    q = np.zeros(L + 1, dtype=np.uint64)
-                    np.cumsum(bu * binv_pow, out=q[1:])
-                    b_pow = np.full(L - k + 1, Bu, dtype=np.uint64)
-                    b_pow[0] = np.uint64(1)
-                    np.multiply.accumulate(b_pow, out=b_pow)
-                    h = (q[k:] - q[: L - k + 1]) * b_pow * Bk1
-                    # splitmix64 finalize: min-selection density should
-                    # not correlate with byte content
-                    h ^= h >> np.uint64(30)
-                    h *= np.uint64(M1)
-                    h ^= h >> np.uint64(27)
-                    h *= np.uint64(M2)
-                    h ^= h >> np.uint64(31)
-                    if len(h) < w:
-                        continue  # complete windows only (expr parity)
-                    wins = np.lib.stride_tricks.sliding_window_view(h, w)
-                    fps = np.unique(wins.min(axis=1))
                     out_doc.extend([doc] * len(fps))
                     out_fp.append(fps)
                 yield pd.DataFrame(

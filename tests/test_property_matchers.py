@@ -164,3 +164,28 @@ def test_salted_topk_equals_global_topk(keys, quota, n_salts):
     ]
     two_stage = sorted(survivors, key=okey)[:quota]
     assert two_stage == one_stage
+
+
+@given(
+    st.text(alphabet="abcdefgh xyz", min_size=0, max_size=40),
+    st.text(alphabet="nopqrstu vw", min_size=0, max_size=40),
+    st.text(alphabet="ABCDEFGHJKMNPQ", min_size=8, max_size=30),
+)
+@settings(max_examples=200, deadline=None)
+def test_winnow_text_shared_substring_guarantee(prefix, suffix, shared):
+    """Winnowing invariant on the PURE Arrow-kernel core (no Spark):
+    two texts sharing a normalized byte run >= k + w - 1 share at
+    least one fingerprint; fingerprints are a subset of what a doc
+    could keep (count <= gram count); short input yields None."""
+    from bio_re_with_entity_embeddings_spark.functions.text import winnow_text
+
+    k, w = 5, 4  # guarantee length k + w - 1 = 8; shared has min_size 8
+    a = winnow_text(prefix + " " + shared + " " + suffix, k, w)
+    b = winnow_text(suffix + "Z " + shared + " Y" + prefix, k, w)
+    assert a is not None and b is not None
+    assert set(a.tolist()) & set(b.tolist()), "shared run must share a fp"
+    # density: strictly fewer fps than gram positions
+    norm = " ".join((prefix + " " + shared + " " + suffix).lower().split())
+    assert len(a) <= len(norm.encode()) - k + 1
+    assert winnow_text("hi", k, w) is None
+    assert winnow_text(None, k, w) is None
