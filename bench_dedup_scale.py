@@ -224,6 +224,67 @@ def main() -> None:
             )
         )
 
+    n_cur = int(os.environ.get("SPARK_GRAFT_CURATE_DOCS", "0"))
+    if n_cur > 0:
+        # The COMPOSED curation chain at volume (stages are
+        # individually scale-proven; composition is where cache-reuse
+        # and shuffle interactions hide): production mode over the
+        # bench corpus + 1% planted near-dup clones, decontaminated
+        # against a 0.5% benchmark sample drawn from the corpus itself
+        # (so decon provably drops the sampled docs), salted quota.
+        from bio_re_with_entity_embeddings_spark.plans import curation as PC
+
+        base = spark.read.parquet(corpus_path).select(
+            F.col("path").alias("doc_id"),
+            F.col("content").alias("text"),
+            "lang",
+        )
+        if n_cur != n_files:
+            base = base.where(
+                F.pmod(F.xxhash64("doc_id"), F.lit(max(n_files // n_cur, 1)))
+                == 0
+            )
+        clones = base.where(
+            F.pmod(F.xxhash64("doc_id"), F.lit(100)) == 1
+        ).select(
+            F.concat(F.lit("c:"), "doc_id").alias("doc_id"),
+            F.concat("text", F.lit(" zzqx")).alias("text"),
+            "lang",
+        )
+        docs_c = base.unionByName(clones)
+        bench_docs = base.where(F.pmod(F.xxhash64("doc_id"), F.lit(200)) == 2)
+        n_in = docs_c.count()
+        cur_cfg = PC.CurationConfig(
+            min_quality=0.3,
+            decon_n=13,
+            quota=1_000_000,  # effectively uncapped; salt hint keeps
+            quota_max_group_rows=n_in,  # the two-stage path honest
+        )
+        t0 = time.perf_counter()
+        out = PC.curate_corpus(spark, docs_c, bench_docs, cur_cfg)
+        n_final = out["corpus"].count()
+        t_cur = round(time.perf_counter() - t0, 1)
+        stage_counts = {
+            "in": n_in,
+            "quality_pass": out["quality_pass"].count(),
+            "exact_survivors": out["exact_survivors"].count(),
+            "near_dup_drops": out["dedup_clusters"].where("drop").count(),
+            "decon_flagged": out["decon_hits"].where("n_hits > 0").count(),
+            "final": n_final,
+        }
+        print(
+            json.dumps(
+                {
+                    "op": "curate_corpus",
+                    "docs": n_in,
+                    "stages": stage_counts,
+                    "t_full_s": t_cur,
+                    "docs_per_sec": round(n_in / t_cur, 0),
+                    "master": f"local[{cpus}]",
+                }
+            )
+        )
+
     n_vec = int(os.environ.get("SPARK_GRAFT_DEDUP_VECTORS", "500000"))
     if n_vec > 0:
         vecs = synth_embeddings(spark, n_vec)
