@@ -1174,3 +1174,88 @@ def curate_corpus(spark, sf_dir):
     )
     out = PC.curate_corpus(spark, corpus, benchmark=bench, config=cfg)
     return out["corpus"]
+
+
+# --- keeper election, isolated oracle (extras registry) ------------------
+#
+# dedup_keepers is SQL-checked inside the curate_corpus chain; this
+# extra checks the operator IN ISOLATION over the exact-clone world:
+# md5 minhash pairs -> recursive-CTE connected components -> max-quality
+# (tie: min doc) keeper -> drop flags.
+
+_SQL_KEEPERS = (
+    "\nWITH RECURSIVE "
+    + _SQL_DOCS_WITH_DUPS.replace("\nWITH ", "", 1)
+    + f"""
+, sh AS ({_SQL_GRAMS})
+, g AS (SELECT doc, unnest(grams) AS g FROM sh)
+, mh AS (SELECT doc, {_SQL_MH_MCOLS} FROM g)
+, sg AS (SELECT doc, {_SQL_MH_SIG} FROM mh GROUP BY doc)
+, banded AS (SELECT doc, unnest([{_SQL_MH_BANDS}]) AS bb FROM sg)
+, b2 AS (SELECT doc, bb.band AS band, bb.bucket AS bucket FROM banded)
+, cand AS (
+  SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+  FROM b2 x JOIN b2 y ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.doc < y.doc
+),
+prs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(a.grams || b.grams)) AS jaccard
+    FROM cand c JOIN sh a ON a.doc = c.doc_a JOIN sh b ON b.doc = c.doc_b
+  ) WHERE jaccard >= 0.5
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM prs
+  UNION
+  SELECT doc_b, doc_a FROM prs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v AND r.u <> e.v
+),
+clus AS (
+  SELECT n.doc, least(n.doc, coalesce(r.mn, n.doc)) AS cluster
+  FROM (SELECT DISTINCT u AS doc FROM edges) n
+  LEFT JOIN (SELECT u, min(v) AS mn FROM reach GROUP BY u) r ON r.u = n.doc
+),
+q AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc, round({_SQL_QUALITY_EXPR}, 6) AS quality
+  FROM docs2
+),
+cq AS (SELECT c.doc, c.cluster, q.quality FROM clus c JOIN q ON q.doc = c.doc),
+mx AS (SELECT cluster, max(quality) AS mq FROM cq GROUP BY cluster),
+keep2 AS (
+  SELECT cq.cluster, min(cq.doc) AS keeper
+  FROM cq JOIN mx ON mx.cluster = cq.cluster AND cq.quality = mx.mq
+  GROUP BY cq.cluster
+)
+SELECT c.doc, c.cluster, k.keeper, c.doc <> k.keeper AS drop
+FROM clus c JOIN keep2 k ON k.cluster = c.cluster
+"""
+)
+
+
+@register_extra("dedup_keepers", _SQL_KEEPERS)
+def dedup_keepers_q(spark, sf_dir):
+    """Keeper election in isolation (operators/dedup.py::dedup_keepers):
+    md5 minhash pairs over the exact-clone world -> transitive CC
+    clusters -> quality-ranked keeper (tie: min doc) -> drop flags; the
+    SQL replays CC with a recursive CTE and the same argmax."""
+    from .functions.text import quality_score
+
+    docs2 = _docs_with_dups(spark, sf_dir)
+    pairs = DD.minhash_near_duplicates(
+        docs2, "doc_id", "text", threshold=0.5, hash_mode="md5"
+    )
+    quality = docs2.select(
+        F.col("doc_id").cast("string").alias("doc"),
+        F.round(quality_score("text"), 6).alias("quality"),
+    )
+    out = DD.dedup_keepers(
+        pairs, id_a="doc_a", id_b="doc_b",
+        quality=quality, quality_id="doc", quality_col="quality",
+    )
+    return out.select("doc", "cluster", "keeper", "drop")

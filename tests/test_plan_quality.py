@@ -290,3 +290,42 @@ def test_minhash_verify_join_is_sort_merge(spark):
     plan = plan_of(DD.minhash_near_duplicates(d, "doc_id", "text"))
     assert "SortMergeJoin" in plan, plan[:1500]
     assert "ShuffledHashJoin" not in plan, plan[:1500]
+
+
+def test_curate_corpus_composed_plan_shape(spark):
+    """The composed curation plan at the 100x lens: no cartesian
+    product anywhere, no shuffled-hash join (unspillable build side —
+    the 2M-doc OOM class), and the only INNER broadcast is the
+    decontamination gram probe (gh-keyed; the benchmark side is
+    dimension-sized by definition). Outer broadcasts on doc are AQE's
+    fixture-size choice for the keeper quality join — unpinned, since
+    at scale AQE's size stats pick sort-merge there (default
+    preferSortMergeJoin)."""
+    import re
+
+    from bio_re_with_entity_embeddings_spark.contract_text import (
+        _curate_split,
+        _docs_with_near_dups,
+    )
+    from bio_re_with_entity_embeddings_spark.plans import curation as PC
+
+    corp, bench = _curate_split(_docs_with_near_dups(spark, SF_DIR))
+    cfg = PC.CurationConfig(
+        min_quality=0.55, decon_n=4, quota=8, quota_max_group_rows=1000
+    )
+    out = PC.curate_corpus(spark, corp, bench, cfg)
+    plan = plan_of(out["corpus"])
+    assert "CartesianProduct" not in plan
+    assert "ShuffledHashJoin" not in plan
+    inner_bhj = re.findall(
+        r"BroadcastHashJoin\s*\n(?:.+\n){0,3}.*Join type: Inner", plan
+    )
+    keys = re.findall(
+        r"\(\d+\) BroadcastHashJoin\s*\nLeft keys \[1\]: \[(\w+)#", plan
+    )
+    # every INNER broadcast must be the gh (hashed decon gram) probe
+    for k in keys:
+        assert k in ("gh", "doc"), (k, plan[:800])
+    assert "SortMergeJoin" in plan  # the verify/keeper/anti joins
+    for c in ("signals", "exact_survivors"):
+        out[c].unpersist()
