@@ -1259,3 +1259,27 @@ def dedup_keepers_q(spark, sf_dir):
         quality=quality, quality_id="doc", quality_col="quality",
     )
     return out.select("doc", "cluster", "keeper", "drop")
+
+
+@register_extra(
+    "curate_budget",
+    f"""
+SELECT lang AS grp,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '{TXT.BPE_PRETOKEN_PATTERN.replace("'", "''")}'))) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(sum(CAST(round({_SQL_QUALITY_EXPR}, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS mean_quality
+FROM documents
+GROUP BY lang
+""",
+)
+def curate_budget(spark, sf_dir):
+    """Per-lang corpus budget report (docs, whitespace tokens, BPE
+    pretokens, mean quality) — the curation product's telemetry; the
+    quality mean accumulates as DECIMAL so both engines sum
+    order-insensitively."""
+    from .operators import curation as CUR
+
+    d = _load(spark, sf_dir, "documents")
+    return CUR.corpus_budget(d, group_col="lang", text_col="text")

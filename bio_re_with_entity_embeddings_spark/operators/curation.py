@@ -189,6 +189,54 @@ def decontaminate_exact(
     )
 
 
+def corpus_budget(
+    df: DataFrame,
+    group_col: str = "lang",
+    ws_tokens_col=None,
+    bpe_tokens_col=None,
+    quality_col=None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group curation budget report — the telemetry a corpus
+    product ships next to the data: documents, whitespace tokens, BPE
+    pretokens (the unit an LLM training run budgets by) and mean
+    quality per group. One map-combinable aggregate; token/quality
+    columns are computed from ``text_col`` when not already present
+    (pass the column names to reuse ``curate_corpus`` signals).
+
+    Cross-engine exactness: token sums are longs; the quality mean
+    accumulates as DECIMAL(18,6) (order-insensitive) and divides once
+    — float summation order would differ between engines."""
+    from ..functions import text as TXT
+
+    ws = (
+        F.col(ws_tokens_col)
+        if ws_tokens_col
+        else TXT.token_count(text_col)
+    ).cast("long")
+    bpe = (
+        F.col(bpe_tokens_col)
+        if bpe_tokens_col
+        else TXT.token_count_bpe(text_col)
+    ).cast("long")
+    q = (
+        F.col(quality_col)
+        if quality_col
+        else F.round(TXT.quality_score(text_col), 6)
+    ).cast("decimal(18,6)")
+    return (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(ws).alias("n_ws_tokens"),
+            F.sum(bpe).alias("n_bpe_tokens"),
+            F.round(
+                (F.sum(q) / F.count(F.lit(1))).cast("double"), 6
+            ).alias("mean_quality"),
+        )
+    )
+
+
 def repetition_signals(
     df: DataFrame,
     id_col: str = "doc_id",
