@@ -357,6 +357,15 @@ def _chain(
     )
 
     if benchmark is not None:
+        # near_survivors is consumed by the decon-hit subtree AND the
+        # final anti-join — unpersisted, the keeper-election joins and
+        # the drop anti-join would re-execute per consumer (exchange
+        # reuse dedupes only byte-identical exchanges within one
+        # action; the checkpointed runner materializes the whole keep
+        # stage anyway, so this matters for the lazy plan)
+        near_survivors = near_survivors.persist(StorageLevel.DISK_ONLY)
+        if cfg.eager_cache:
+            near_survivors.count()
         decon = CUR.decontaminate if cfg.decon_hashed else CUR.decontaminate_exact
         hits = decon(near_survivors, benchmark, "doc", "text", n=cfg.decon_n)
         contaminated = hits.where(
