@@ -59,6 +59,31 @@ def synth_embeddings(spark, n: int, dim: int = 64, dup_every: int = 100):
     return orig.unionByName(twins)
 
 
+def _run_minhash(spark, docs, n_files, hash_mode, cpus):
+        t0 = time.perf_counter()
+        DD.minhash_signatures(docs, "doc_id", "text", hash_mode=hash_mode).count()
+        t_sig = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        pairs = DD.minhash_near_duplicates(
+            docs, "doc_id", "text", threshold=0.5, hash_mode=hash_mode
+        ).count()
+        t_full = round(time.perf_counter() - t0, 1)
+        print(
+            json.dumps(
+                {
+                    "op": "minhash_near_duplicates",
+                    "docs": n_files,
+                    "hash_mode": hash_mode,
+                    "pairs": pairs,
+                    "t_signatures_s": t_sig,
+                    "t_full_s": t_full,
+                    "docs_per_sec": round(n_files / t_full, 0),
+                    "master": f"local[{cpus}]",
+                }
+            )
+        )
+
+
 def main() -> None:
     n_files = int(os.environ.get("SPARK_GRAFT_DEDUP_FILES", "200000"))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -81,28 +106,8 @@ def main() -> None:
     docs = spark.read.parquet(corpus_path).select(
         F.col("path").alias("doc_id"), F.col("content").alias("text")
     )
-    t0 = time.perf_counter()
-    DD.minhash_signatures(docs, "doc_id", "text", hash_mode=hash_mode).count()
-    t_sig = round(time.perf_counter() - t0, 1)
-    t0 = time.perf_counter()
-    pairs = DD.minhash_near_duplicates(
-        docs, "doc_id", "text", threshold=0.5, hash_mode=hash_mode
-    ).count()
-    t_full = round(time.perf_counter() - t0, 1)
-    print(
-        json.dumps(
-            {
-                "op": "minhash_near_duplicates",
-                "docs": n_files,
-                "hash_mode": hash_mode,
-                "pairs": pairs,
-                "t_signatures_s": t_sig,
-                "t_full_s": t_full,
-                "docs_per_sec": round(n_files / t_full, 0),
-                "master": f"local[{cpus}]",
-            }
-        )
-    )
+    if not os.environ.get("SPARK_GRAFT_DEDUP_SKIP_MINHASH"):
+        _run_minhash(spark, docs, n_files, hash_mode, cpus)
 
     n_win = int(os.environ.get("SPARK_GRAFT_DEDUP_WINNOW", "0"))
     if n_win > 0:
@@ -219,6 +224,48 @@ def main() -> None:
                     "dropped": int(row["d"]),
                     "t_full_s": t_keep,
                     "pairs_per_sec": round(n_kpairs / t_keep, 0),
+                    "master": f"local[{cpus}]",
+                }
+            )
+        )
+
+    if os.environ.get("SPARK_GRAFT_DEDUP_SIMHASH"):
+        # SimHash at the same volume as the minhash probe: linear
+        # sign-aggregation + chunk-banded candidate join (narrow keys),
+        # hamming verify BEFORE pair-dedup (the round-4 ordering fix).
+        t0 = time.perf_counter()
+        spairs = DD.simhash_near_duplicates(
+            docs, "doc_id", "text", max_hamming=3
+        ).count()
+        t_sim = round(time.perf_counter() - t0, 1)
+        print(
+            json.dumps(
+                {
+                    "op": "simhash_near_duplicates",
+                    "docs": n_files,
+                    "max_hamming": 3,
+                    "pairs": spairs,
+                    "t_full_s": t_sim,
+                    "docs_per_sec": round(n_files / t_sim, 0),
+                    "master": f"local[{cpus}]",
+                }
+            )
+        )
+
+    if os.environ.get("SPARK_GRAFT_DEDUP_EXACT"):
+        # Exact dedup at volume: one map-combined hash aggregate over
+        # normalized-text fingerprints (the linear baseline).
+        t0 = time.perf_counter()
+        groups = DD.exact_duplicates(docs, "doc_id", "text").count()
+        t_ex = round(time.perf_counter() - t0, 1)
+        print(
+            json.dumps(
+                {
+                    "op": "exact_duplicates",
+                    "docs": n_files,
+                    "dup_groups": groups,
+                    "t_full_s": t_ex,
+                    "docs_per_sec": round(n_files / t_ex, 0),
                     "master": f"local[{cpus}]",
                 }
             )
