@@ -60,28 +60,28 @@ def synth_embeddings(spark, n: int, dim: int = 64, dup_every: int = 100):
 
 
 def _run_minhash(spark, docs, n_files, hash_mode, cpus):
-        t0 = time.perf_counter()
-        DD.minhash_signatures(docs, "doc_id", "text", hash_mode=hash_mode).count()
-        t_sig = round(time.perf_counter() - t0, 1)
-        t0 = time.perf_counter()
-        pairs = DD.minhash_near_duplicates(
-            docs, "doc_id", "text", threshold=0.5, hash_mode=hash_mode
-        ).count()
-        t_full = round(time.perf_counter() - t0, 1)
-        print(
-            json.dumps(
-                {
-                    "op": "minhash_near_duplicates",
-                    "docs": n_files,
-                    "hash_mode": hash_mode,
-                    "pairs": pairs,
-                    "t_signatures_s": t_sig,
-                    "t_full_s": t_full,
-                    "docs_per_sec": round(n_files / t_full, 0),
-                    "master": f"local[{cpus}]",
-                }
-            )
+    t0 = time.perf_counter()
+    DD.minhash_signatures(docs, "doc_id", "text", hash_mode=hash_mode).count()
+    t_sig = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    pairs = DD.minhash_near_duplicates(
+        docs, "doc_id", "text", threshold=0.5, hash_mode=hash_mode
+    ).count()
+    t_full = round(time.perf_counter() - t0, 1)
+    print(
+        json.dumps(
+            {
+                "op": "minhash_near_duplicates",
+                "docs": n_files,
+                "hash_mode": hash_mode,
+                "pairs": pairs,
+                "t_signatures_s": t_sig,
+                "t_full_s": t_full,
+                "docs_per_sec": round(n_files / t_full, 0),
+                "master": f"local[{cpus}]",
+            }
         )
+    )
 
 
 def main() -> None:
