@@ -210,17 +210,18 @@ def main() -> None:
     # every driver bench; full table + protocol in BENCH/BASELINE.md).
     second_scale_point = {
         "files": 2_000_000,
-        "wall_sec_median": 62.2,
-        "wall_sec_spread": [52.4, 79.2],
-        "files_per_sec": 32147,
+        "wall_sec_median": 32.0,
+        "wall_sec_spread": [30.1, 37.3],
+        "files_per_sec": 62440,
         "triples": 1_201_170,
         "master": "local[32]",
-        "source": "BENCH/BASELINE.md round 4 (pre-measured, not re-run here)",
+        "source": "BENCH/BASELINE.md round 5 (pre-measured, not re-run here)",
         # Staleness stamp (ADVICE r4): the commit/date this point was
         # measured at. If the pipeline changes materially after this
-        # commit, re-measure via bench_dedup_scale.py / the round-4
-        # protocol in BENCH/BASELINE.md instead of trusting this entry.
-        "measured_at_commit": "5c262af",
+        # commit, re-measure (SPARK_GRAFT_SCALE_FILES=2000000
+        # SPARK_GRAFT_SKIP_HEADLINE=1 python bench.py) instead of
+        # trusting this entry.
+        "measured_at_commit": "dc51458",
         "measured_at_date": "2026-08-17",
     }
     if os.environ.get("SPARK_GRAFT_OMIT_SCALE_POINT"):
