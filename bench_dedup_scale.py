@@ -301,11 +301,15 @@ def main() -> None:
         docs_c = base.unionByName(clones)
         bench_docs = base.where(F.pmod(F.xxhash64("doc_id"), F.lit(200)) == 2)
         n_in = docs_c.count()
+        # quota=2000 with hint n_in (>> 16*quota) genuinely selects
+        # the SALTED two-stage top-k (quota_sample salts only when
+        # max_group_rows > quota*16 — a huge quota would silently run
+        # the one-stage window while claiming otherwise)
         cur_cfg = PC.CurationConfig(
             min_quality=0.3,
             decon_n=13,
-            quota=1_000_000,  # effectively uncapped; salt hint keeps
-            quota_max_group_rows=n_in,  # the two-stage path honest
+            quota=2000,
+            quota_max_group_rows=n_in,
         )
         t0 = time.perf_counter()
         out = PC.curate_corpus(spark, docs_c, bench_docs, cur_cfg)

@@ -243,16 +243,25 @@ _WINNOW_BINV = pow(_WINNOW_B, -1, 1 << 64)
 _WINNOW_M1, _WINNOW_M2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB  # splitmix64
 
 
-def winnow_text(t, k: int, w: int):
+# per-k cache of B^(k-1) mod 2^64 (a Python bignum modpow per DOC was
+# measurable at multi-million-doc scale)
+_WINNOW_BK1: dict[int, object] = {}
+
+
+def winnow_text(t, k: int, w: int, _guard: bool = True):
     """The Arrow winnowing kernel's per-document core, as a PURE
     function so the selection invariants are property-testable without
     a SparkSession: normalize (lower + whitespace collapse), rolling
     64-bit polynomial hash over byte ``k``-grams, splitmix64 finalize,
     sliding-window-``w`` min, unique. Returns a sorted int64 ndarray of
     kept fingerprints, or None for null/short input (no complete
-    window — expr-path parity). Callers inside Arrow batches set
-    ``np.seterr(over="ignore")`` once; standalone use trips no error
-    because numpy only warns on scalar overflow by default."""
+    window — expr-path parity).
+
+    ``_guard=False`` skips the per-call numpy seterr save/restore —
+    for batch callers (the Arrow kernel) that already set
+    ``np.seterr(over="ignore")`` once per partition; a geterr/seterr
+    round-trip per DOCUMENT re-adds seconds at the scale this kernel
+    was the measured 18x fix for."""
     import numpy as np
 
     if t is None:
@@ -262,8 +271,13 @@ def winnow_text(t, k: int, w: int):
     L = len(b)
     if L < k:
         return None
-    err = np.geterr()
-    np.seterr(over="ignore")
+    bk1 = _WINNOW_BK1.get(k)
+    if bk1 is None:
+        bk1 = np.uint64(pow(_WINNOW_B, k - 1, 1 << 64))
+        _WINNOW_BK1[k] = bk1
+    err = np.geterr() if _guard else None
+    if _guard:
+        np.seterr(over="ignore")
     try:
         bu = b.astype(np.uint64)
         # H[i] = sum_{d<k} b[i+d] * B^(k-1-d)  (mod 2^64)
@@ -277,9 +291,7 @@ def winnow_text(t, k: int, w: int):
         b_pow = np.full(L - k + 1, np.uint64(_WINNOW_B), dtype=np.uint64)
         b_pow[0] = np.uint64(1)
         np.multiply.accumulate(b_pow, out=b_pow)
-        h = (q[k:] - q[: L - k + 1]) * b_pow * np.uint64(
-            pow(_WINNOW_B, k - 1, 1 << 64)
-        )
+        h = (q[k:] - q[: L - k + 1]) * b_pow * bk1
         # splitmix64 finalize: min-selection density should not
         # correlate with byte content
         h ^= h >> np.uint64(30)
@@ -292,7 +304,8 @@ def winnow_text(t, k: int, w: int):
         wins = np.lib.stride_tricks.sliding_window_view(h, w)
         return np.unique(wins.min(axis=1))
     finally:
-        np.seterr(**err)
+        if _guard:
+            np.seterr(**err)
 
 
 def winnowing_fingerprints_arrow(
@@ -336,7 +349,7 @@ def winnowing_fingerprints_arrow(
                 for doc, t in zip(
                     pdf[id_col].astype(str).values, pdf[text_col].values
                 ):
-                    fps = winnow_text(t, k, w)
+                    fps = winnow_text(t, k, w, _guard=False)
                     if fps is None:
                         continue
                     out_doc.extend([doc] * len(fps))

@@ -134,6 +134,7 @@ def curate_corpus(
         "exact_survivors": parts["exact_survivors"],
         "dedup_pairs": parts["pairs"],
         "dedup_clusters": parts["clusters"],
+        "near_survivors": parts["near_survivors"],
         "decon_hits": parts["hits"],
         # corpus: the metadata view (the oracle's shape); corpus_full
         # keeps the TEXT — the frame a training pipeline actually
@@ -231,13 +232,23 @@ def run_curation_checkpointed(
         cfg.minhash_bands, cfg.max_bucket_size,
     )
     if benchmark is not None:
+        # duplicate-SENSITIVE fold (not the manifest's xor: xor of
+        # identical shas cancels pairwise, so {E,E} and {D,D} would
+        # collide and a swapped benchmark could silently resume the
+        # stale keep stage — the exact staleness class this hash
+        # exists to close). Decimal sum: exact, order-insensitive,
+        # multiplicity-sensitive, no ANSI long-overflow hazard.
         bdf = benchmark.select(
-            F.sha2(F.col(text_col), 256).alias("content_sha")
+            F.conv(
+                F.substring(F.sha2(F.col(text_col), 256), 1, 15), 16, 10
+            )
+            .cast("decimal(38,0)")
+            .alias("sha_i")
         )
         brow = bdf.agg(
-            F.count(F.lit(1)).alias("n"), M.sha_xor(bdf).alias("x")
+            F.count(F.lit(1)).alias("n"), F.sum("sha_i").alias("s")
         ).collect()[0]
-        bench_fp = (int(brow["n"]), int(brow["x"] or 0))
+        bench_fp = (int(brow["n"]), str(brow["s"]))
     else:
         bench_fp = None
 
@@ -361,10 +372,13 @@ def _chain(
         # final anti-join — unpersisted, the keeper-election joins and
         # the drop anti-join would re-execute per consumer (exchange
         # reuse dedupes only byte-identical exchanges within one
-        # action; the checkpointed runner materializes the whole keep
-        # stage anyway, so this matters for the lazy plan)
-        near_survivors = near_survivors.persist(StorageLevel.DISK_ONLY)
+        # action). Persist ONLY on the lazy path (eager_cache): the
+        # checkpointed runner materializes the whole keep stage to
+        # parquet anyway. Returned as "near_survivors" so callers can
+        # unpersist (a cache entry reachable only through derived
+        # lineage could never be released).
         if cfg.eager_cache:
+            near_survivors = near_survivors.persist(StorageLevel.DISK_ONLY)
             near_survivors.count()
         decon = CUR.decontaminate if cfg.decon_hashed else CUR.decontaminate_exact
         hits = decon(near_survivors, benchmark, "doc", "text", n=cfg.decon_n)
@@ -383,6 +397,7 @@ def _chain(
         "exact_survivors": exact_survivors,
         "pairs": pairs,
         "clusters": clusters,
+        "near_survivors": near_survivors,
         "hits": hits,
         "clean": clean,
     }
