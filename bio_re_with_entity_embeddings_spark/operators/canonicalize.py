@@ -14,7 +14,9 @@ Scale shape:
 * connected components — alternating large-star / small-star
   (Kiveris et al., "Connected Components in MapReduce and Beyond"),
   O(log n) rounds, each round two join+groupBy stages; iteration
-  state is localCheckpoint'ed to truncate lineage.
+  state is localCheckpoint'ed to truncate lineage. Convergence is a
+  shuffle-free set-signature comparison fused into the checkpoint
+  materialization (ONE job per round; see ``_edge_signature``).
 * remap — broadcast join of the (entity -> canonical) dimension onto
   the triple stream; no extra shuffle of the fact table.
 """
@@ -117,6 +119,25 @@ def surface_candidate_edges(
     return exact.unionByName(near).distinct()
 
 
+def _edge_signature(e: DataFrame) -> tuple:
+    """Set signature of a DISTINCT edge set: row count plus two
+    independent xxhash64 xor-folds. Equal signatures on distinct sets
+    means equal sets up to ~2^-128 collision odds (deterministic, so
+    never flaky). One map-combined, shuffle-free scan — the convergence
+    test this feeds replaced ``new_e.exceptAll(e).limit(1).count()``,
+    which (a) co-group-shuffled the full edge set twice per star round
+    (at 10^9 edges x ~10 rounds that is ~20 full-set shuffles spent on
+    detection alone) and (b) only saw ADDED edges, declaring a
+    shrink-only round converged; signature equality is the true fixed
+    point of the deterministic round function."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64("u", "v", F.lit(1))).alias("x1"),
+        F.bit_xor(F.xxhash64("u", "v", F.lit(2))).alias("x2"),
+    ).collect()[0]
+    return (row["n"], row["x1"], row["x2"])
+
+
 def connected_components(
     edges: DataFrame, max_iterations: int = 20, stats: dict | None = None
 ) -> DataFrame:
@@ -137,8 +158,13 @@ def connected_components(
         .unionByName(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy checkpoint: the signature aggregate right below is the
+        # materializing action, so each round runs ONE job (checkpoint
+        # + convergence test fused), not an eager-checkpoint job plus a
+        # detection job; lineage is truncated all the same.
+        .localCheckpoint(eager=False)
     )
+    sig = _edge_signature(e)
     for _ in range(max_iterations):
         # large-star: connect v > u to min(N(u) + u)
         mins = e.groupBy("u").agg(F.min("v").alias("mn"))
@@ -176,13 +202,14 @@ def connected_components(
             )
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = new_e.exceptAll(e).limit(1).count()
+        new_sig = _edge_signature(new_e)
         e = new_e
         rounds += 1
-        if changed == 0:
+        if new_sig == sig:
             break
+        sig = new_sig
     if stats is not None:
         stats["rounds"] = rounds
     comp = e.groupBy("u").agg(F.min("v").alias("mn"))

@@ -18,6 +18,20 @@ def test_connected_components_known_graph(spark):
     assert got.get("a", "a") == "a" and got.get("x", "x") == "x"
 
 
+def test_edge_signature_set_semantics(spark):
+    """Convergence detection rests on _edge_signature: equal on equal
+    DISTINCT sets regardless of row order/partitioning, different on
+    subset and on same-count-different-members sets, stable on empty."""
+    mk = lambda rows: spark.createDataFrame(rows, "u string, v string")
+    sa = C._edge_signature(mk([("a", "b"), ("b", "c")]))
+    sb = C._edge_signature(mk([("b", "c"), ("a", "b")]).repartition(7))
+    sc = C._edge_signature(mk([("a", "b")]))
+    sd = C._edge_signature(mk([("a", "b"), ("b", "d")]))
+    assert sa == sb
+    assert sa != sc and sa != sd and sc != sd
+    assert C._edge_signature(mk([])) == C._edge_signature(mk([]))
+
+
 def test_connected_components_long_chain(spark):
     n = 64
     edges = spark.createDataFrame(
