@@ -7,10 +7,12 @@ ids map to the same DOID/DrugBank id (``utils/pandas_utils.py:141-146,
 entities collapse to one canonical node before graph materialization.
 
 Scale shape:
-* candidate edges — (a) exact shared-surface self-join on the
-  (dimension-sized) dictionary, (b) minhash-LSH over character
-  3-gram shingles of surfaces (same banding machinery as
-  operators/dedup.py): O(n) with bucket joins, never O(n^2).
+* candidate edges — (a) exact shared-surface STAR to the per-surface
+  min entity (linear in the surface-group size; connectivity-
+  equivalent to the clique, which is all CC needs), (b) minhash-LSH
+  over character 3-gram shingles of DISTINCT surfaces (same banding
+  machinery and per-bucket size gate as operators/dedup.py): O(n)
+  with bucket joins, never O(n^2).
 * connected components — alternating large-star / small-star
   (Kiveris et al., "Connected Components in MapReduce and Beyond"),
   O(log n) rounds, each round two join+groupBy stages; iteration
@@ -23,7 +25,7 @@ Scale shape:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -42,33 +44,55 @@ def surface_candidate_edges(
     n_hashes: int = 16,
     bands: int = 8,
     jaccard_threshold: float = 0.6,
+    max_bucket_size: int = 2000,
 ) -> DataFrame:
     """Undirected candidate edges (a, b) between entity ids whose
-    surfaces are identical or near-identical (char-3-gram jaccard)."""
-    # (a) exact shared surface (the ambiguous-surface case)
+    surfaces are identical or near-identical (char-3-gram jaccard).
+
+    The edges exist ONLY to feed ``connected_components``, which lets
+    both branches shed their multiplicity-quadratic terms:
+
+    * exact branch — a connectivity-equivalent STAR (every member ->
+      the per-surface min entity_id), not the all-pairs clique: a
+      10^8-entity dictionary where 10^5 entities share one ambiguous
+      surface ("p53") would otherwise detonate into 10^10 pairs from a
+      single surface group. Linear in the group size, identical
+      component set (same members, same min).
+    * near branch — minhash-LSH over DISTINCT surfaces (true
+      dictionary cardinality), emitting root-to-root edges. Identical
+      surfaces are the exact branch's job; running LSH at surface
+      granularity means a surface's multiplicity never reaches the
+      bucket join at all (pre-fix, the shared-surface clique sneaked
+      back in here: identical surfaces -> identical signatures -> all
+      pairs in every band's bucket). Measured at 110k entities with a
+      10k-multiplicity hot surface: 50.0M edges / 315 s full map ->
+      9,999 edges / 27 s, identical canonical_map (BENCH/BASELINE.md).
+
+    ``max_bucket_size`` gates the LSH branch the same way every
+    detector in operators/dedup.py is gated: buckets above the cap are
+    skipped (near-miss pairs inside a gated bucket can still fire from
+    their other bands; exact duplicates are unaffected)."""
+    # (a) exact shared surface (the ambiguous-surface case): star to
+    # the per-surface min, not the per-surface clique (see docstring)
     s = dict_df.select(F.lower("surface").alias("s"), "entity_id")
+    roots = s.groupBy("s").agg(F.min("entity_id").alias("root"))
     exact = (
-        s.alias("x")
-        .join(s.alias("y"), "s")
-        .where(F.col("x.entity_id") < F.col("y.entity_id"))
-        .select(
-            F.col("x.entity_id").alias("a"), F.col("y.entity_id").alias("b")
-        )
+        s.join(roots, "s")
+        .where(F.col("entity_id") != F.col("root"))
+        .select(F.col("root").alias("a"), F.col("entity_id").alias("b"))
         .distinct()
     )
 
-    # (b) minhash-LSH near-identical surfaces: bucket join on ids only,
-    # shingles re-joined for candidate verification. Signature shape is
-    # explode + codegen min-aggs (see operators/dedup.py perf note).
+    # (b) minhash-LSH near-identical surfaces over the DISTINCT-surface
+    # table; bucket join on surface keys, shingles re-joined for
+    # candidate verification, edges emitted between surface roots.
+    # Signature shape is explode + codegen min-aggs (see
+    # operators/dedup.py perf note).
     rows_per_band = max(n_hashes // bands, 1)
-    grams_tbl = dict_df.select(
-        "entity_id", _char_shingles("surface").alias("grams")
-    ).dropDuplicates(["entity_id"])
+    grams_tbl = roots.select("s", "root", _char_shingles("s").alias("grams"))
     sig = (
-        dict_df.select(
-            "entity_id", F.explode(_char_shingles("surface")).alias("g")
-        )
-        .groupBy("entity_id")
+        roots.select("s", F.explode(_char_shingles("s")).alias("g"))
+        .groupBy("s")
         .agg(
             *[
                 F.min(F.xxhash64("g", F.lit(i))).alias(f"h{i}")
@@ -77,7 +101,7 @@ def surface_candidate_edges(
         )
     )
     banded = sig.select(
-        "entity_id",
+        "s",
         F.explode(
             F.array(
                 *[
@@ -97,24 +121,41 @@ def surface_candidate_edges(
                 ]
             )
         ).alias("bb"),
-    ).select("entity_id", "bb.band", "bb.bucket")
+    ).select("s", "bb.band", "bb.bucket")
+    # Per-bucket size gate (same shape as dedup.py's: one window count
+    # over the (band, bucket) partitioning the self-join shuffles on
+    # anyway) — candidates <= bands * cap^2 instead of unbounded.
+    wb = Window.partitionBy("band", "bucket")
+    banded = (
+        banded.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+        .where(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bucket"])
-        .where(F.col("x.entity_id") < F.col("y.entity_id"))
-        .select(
-            F.col("x.entity_id").alias("a"), F.col("y.entity_id").alias("b")
-        )
+        .where(F.col("x.s") < F.col("y.s"))
+        .select(F.col("x.s").alias("sa"), F.col("y.s").alias("sb"))
         .distinct()
     )
     jac = F.size(F.array_intersect("ga", "gb")) / F.size(F.array_union("ga", "gb"))
     near = (
         cand.join(
-            grams_tbl.withColumnsRenamed({"entity_id": "a", "grams": "ga"}), "a"
+            grams_tbl.withColumnsRenamed(
+                {"s": "sa", "root": "ra", "grams": "ga"}
+            ),
+            "sa",
         )
-        .join(grams_tbl.withColumnsRenamed({"entity_id": "b", "grams": "gb"}), "b")
+        .join(
+            grams_tbl.withColumnsRenamed(
+                {"s": "sb", "root": "rb", "grams": "gb"}
+            ),
+            "sb",
+        )
         .where(jac >= jaccard_threshold)
-        .select("a", "b")
+        # one entity may own both near-identical surfaces: drop a==b
+        .select(F.least("ra", "rb").alias("a"), F.greatest("ra", "rb").alias("b"))
+        .where(F.col("a") != F.col("b"))
     )
     return exact.unionByName(near).distinct()
 

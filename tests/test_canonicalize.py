@@ -104,6 +104,50 @@ def test_connected_components_adversarial_scale(spark):
     assert m["PKG:0001"] == "PKG:0001"
 
 
+def test_candidate_edges_exact_branch_is_linear_star(spark):
+    """An ambiguous surface shared by k entities must yield k-1 star
+    edges (to the min entity), not the k*(k-1)/2 clique — the clique
+    detonates at dictionary scale (10^5 entities sharing "p53" would
+    be 10^10 pairs) and CC only needs connectivity. Components must be
+    identical to the clique's."""
+    k = 40
+    rows = [("p53", f"GENE:{i:04d}", "gene") for i in range(k)]
+    rows += [("unique_surface", "GENE:9999", "gene")]
+    dict_df = spark.createDataFrame(
+        rows, "surface string, entity_id string, entity_type string"
+    )
+    edges = C.surface_candidate_edges(dict_df).collect()
+    star = {(r.a, r.b) for r in edges}
+    # linear: k-1 edges, every one anchored at the min entity
+    assert len(star) == k - 1
+    assert all(a == "GENE:0000" for a, _ in star)
+    # same components as the clique would give
+    m = {r.entity_id: r.canonical_id for r in C.canonical_map(dict_df).collect()}
+    assert all(m[f"GENE:{i:04d}"] == "GENE:0000" for i in range(k))
+    assert m["GENE:9999"] == "GENE:9999"
+
+
+def test_candidate_edges_bucket_gate(spark):
+    """LSH buckets above max_bucket_size are skipped (dedup.py's gate):
+    with the cap forced to 1 no near edges survive, while distinct
+    ambiguous surfaces still connect through the exact star branch."""
+    dict_df = spark.createDataFrame(
+        [
+            ("parse_frame_header", "A", "fn"),
+            ("parse_frame_headers", "B", "fn"),
+            ("shared_name", "X", "fn"),
+            ("shared_name", "Y", "fn"),
+        ],
+        "surface string, entity_id string, entity_type string",
+    )
+    edges = {
+        (r.a, r.b)
+        for r in C.surface_candidate_edges(dict_df, max_bucket_size=1).collect()
+    }
+    assert ("A", "B") not in edges  # near branch fully gated
+    assert ("X", "Y") in edges  # exact branch unaffected by the gate
+
+
 def test_candidate_edges_near_identical_surfaces(spark):
     dict_df = spark.createDataFrame(
         [
