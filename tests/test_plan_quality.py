@@ -333,3 +333,23 @@ def test_curate_corpus_composed_plan_shape(spark):
     assert "SortMergeJoin" in plan  # the verify/keeper/anti joins
     for c in ("signals", "exact_survivors", "near_survivors"):
         out[c].unpersist()
+
+
+def test_canonicalize_edges_no_clique_no_cartesian(spark):
+    """surface_candidate_edges must stay linear in surface multiplicity:
+    the exact branch is a groupBy star (an Aggregate feeding a join
+    against the per-surface roots), never a surface self-join clique;
+    the LSH branch is bucket-gated (Window) and never a cross product."""
+    from bio_re_with_entity_embeddings_spark.operators import canonicalize as C
+
+    dict_df = spark.createDataFrame(
+        [("p53", f"G{i:03d}", "gene") for i in range(20)]
+        + [("unique_one", "G999", "gene")],
+        "surface string, entity_id string, entity_type string",
+    )
+    edges = C.surface_candidate_edges(dict_df)
+    plan = plan_of(edges)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Window" in plan  # the per-bucket gate
+    # linear star, not the 190-pair clique
+    assert edges.count() == 19
