@@ -48,9 +48,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # _ordered() asserts the two sets match so a new registration can't
 # silently fall outside the checked window.
 QUERY_ORDER: list[str] = [
-    # end-to-end pipeline (reference sections 3.1-3.2)
+    # end-to-end pipeline (reference sections 3.1-3.2) + the composed
+    # curation->KG product (plans/full.py)
     "kg_pipeline_triples",
     "kg_pipeline_canonical",
+    "kg_full_curated",
     # stage-by-stage KG dataflow
     "kg_mentions",
     "kg_doc2entity",
@@ -103,7 +105,6 @@ QUERY_ORDER: list[str] = [
     "rel_filter_project",
     "rel_agg_groupby",
     "rel_distinct_sort",
-    "rel_topk_global",
     "events_hourly_rollup",
     "events_sessionize",
 ]

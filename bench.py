@@ -185,6 +185,44 @@ def main() -> None:
             )["corpus"].count()
 
         measurements.append(("curate_corpus", run_curation))
+
+        # Composed curation -> KG product (plans/full.py), PRODUCTION
+        # mode: xxhash64 minhash + hashed decon in front of the trie
+        # pipeline over the curated survivors. Same planted world as
+        # curate_corpus; the kg_full_curated contract row is the
+        # row-exact oracle variant of this measurement.
+        def run_full() -> None:
+            from bio_re_with_entity_embeddings_spark.contract_text import (
+                _as_code_corpus,
+                _curate_split,
+                _doc_dict_entities,
+                _doc_dict_entries,
+                _docs_with_near_dups,
+            )
+            from bio_re_with_entity_embeddings_spark.plans import full as PF
+
+            corp, bench_split = _curate_split(
+                _docs_with_near_dups(spark, sf_dir)
+            )
+            ccfg = PC.CurationConfig(min_quality=0.55, decon_n=4, quota=0)
+            pcfg = pipeline.PipelineConfig(
+                relations=[("op", "obj")],
+                predicates={("op", "obj"): "acts_on"},
+                threshold=-2.0,
+            )
+            PF.curate_then_build(
+                spark,
+                _as_code_corpus(corp),
+                _doc_dict_entries(),
+                embeddings,
+                benchmark=_as_code_corpus(bench_split),
+                curation_config=ccfg,
+                pipeline_config=pcfg,
+                entities=_doc_dict_entities(spark),
+                doc_key=F.col("repo"),
+            )["triples"].count()
+
+        measurements.append(("kg_full", run_full))
         # untimed warm-up pass (pipeline already warmed above)
         for _, fn in measurements[1:]:
             fn()
@@ -196,7 +234,7 @@ def main() -> None:
             t0 = time.perf_counter()
             fn()
             walls[key].append(time.perf_counter() - t0)
-            if key in ("kg_pipeline", "curate_corpus"):
+            if key in ("kg_pipeline", "curate_corpus", "kg_full"):
                 # cache teardown between repeats, OUTSIDE the timed
                 # region (both plans persist internally; pre-r4
                 # protocol also excluded teardown from the wall)

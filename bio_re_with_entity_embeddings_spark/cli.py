@@ -196,6 +196,46 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_full_build(args) -> int:
+    """The composed product (plans/full.py): curation in front of the
+    KG pipeline — quality gate / dedup / decontaminate the file
+    corpus, then build triples over the survivors only.
+    --working_dir switches both halves to their checkpointed
+    resumable runners under one working dir (curation/ + kg/)."""
+    from .plans import curation as PC
+    from .plans import full as PF
+    from .plans import pipeline
+    from .sources import iceberg
+
+    spark = _spark(args)
+    dictionary = _read_dictionary(spark, args.dictionary)
+    embeddings = spark.read.parquet(args.embeddings)
+    bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+    ccfg = PC.CurationConfig(
+        min_quality=args.min_quality, decon_n=args.decon_n
+    )
+    pcfg = pipeline.PipelineConfig(
+        threshold=args.threshold,
+        articles_cap=-1 if args.scale else 0,
+        salt_buckets=args.salt_buckets,
+    )
+    corpus = _read_corpus(spark, args)
+    if args.working_dir:
+        out = PF.run_full_checkpointed(
+            spark, corpus, dictionary, embeddings, args.working_dir,
+            benchmark=bench, n_buckets=args.n_buckets,
+            curation_config=ccfg, pipeline_config=pcfg,
+        )
+    else:
+        out = PF.curate_then_build(
+            spark, corpus, dictionary, embeddings, benchmark=bench,
+            curation_config=ccfg, pipeline_config=pcfg,
+        )
+    iceberg.write_triples(out["triples"], args.output, args.catalog)
+    print(f"curated triples written to {args.output}", file=sys.stderr)
+    return 0
+
+
 def cmd_resume_run(args) -> int:
     from .plans import runner
 
@@ -296,6 +336,25 @@ def build_parser() -> argparse.ArgumentParser:
                          "plan-time count job)")
     sp.add_argument("--n_buckets", type=int, default=32)
     sp.set_defaults(fn=cmd_curate)
+
+    sp = sub.add_parser("full-build")
+    common(sp)
+    sp.add_argument("--embeddings", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--benchmark", default=None,
+                    help="parquet of held-out benchmark docs "
+                         "(corpus schema; decontamination reads "
+                         "'content') — omit to skip decontamination")
+    sp.add_argument("--threshold", type=float, default=0.0)
+    sp.add_argument("--scale", action="store_true",
+                    help="scale path: evidence edges out-of-line")
+    sp.add_argument("--salt_buckets", type=int, default=0)
+    sp.add_argument("--min_quality", type=float, default=0.55)
+    sp.add_argument("--decon_n", type=int, default=13)
+    sp.add_argument("--working_dir", default=None,
+                    help="enable the checkpointed resumable runners")
+    sp.add_argument("--n_buckets", type=int, default=32)
+    sp.set_defaults(fn=cmd_full_build)
 
     sp = sub.add_parser("resume-run")
     common(sp)

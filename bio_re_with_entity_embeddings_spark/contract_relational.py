@@ -193,7 +193,7 @@ def rel_topk_window(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "rel_topk_global",
     """
 SELECT o_orderkey, o_totalprice FROM orders
@@ -201,7 +201,9 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """,
 )
 def rel_topk_global(spark, sf_dir):
-    """T2/T3 global ordered limit."""
+    """T2/T3 global ordered limit. Extras-registry since r5 (T2 stays
+    driver-checked via rel_distinct_sort) — retired to make window
+    room for kg_full_curated, the composed curation->KG oracle."""
     return (
         _load(spark, sf_dir, "orders")
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))

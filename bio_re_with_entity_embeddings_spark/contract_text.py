@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from .contract import (
     DOC_DICT,
+    _DICT_VALUES,
     _SQL_COSINE,
     _SQL_PAIRS,
     _SQL_PRELUDE,
@@ -689,9 +690,10 @@ def sim_ivf(spark, sf_dir):
 # and the double-precision SQL cosine agree at round(...,6) on this data
 # (verified row-exactly; both engines are deterministic).
 
-def _documents_corpus(spark, sf_dir):
-    """documents table -> corpus schema (repo/path/commit/lang/content)."""
-    d = _load(spark, sf_dir, "documents")
+def _as_code_corpus(d):
+    """(doc_id, text, lang) frame -> corpus schema
+    (repo/path/commit/lang/content); repo == the doc_id string, so the
+    corpus key is printable and SQL-restatable."""
     return d.select(
         F.col("doc_id").cast("string").alias("repo"),
         F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
@@ -699,6 +701,11 @@ def _documents_corpus(spark, sf_dir):
         F.col("lang"),
         F.col("text").alias("content"),
     )
+
+
+def _documents_corpus(spark, sf_dir):
+    """documents table -> corpus schema (repo/path/commit/lang/content)."""
+    return _as_code_corpus(_load(spark, sf_dir, "documents"))
 
 
 def _doc_dict_entries():
@@ -1034,8 +1041,11 @@ _SQL_QUALITY_EXPR = f"""least(len(string_split_regex(trim(text), '\\s+')) / 50.0
                    x -> x IN {_SQL_STOP_LISTS["en"]})) AS DOUBLE)
              / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1) * 5.0, 1.0) * 0.2"""
 
-_SQL_CURATE_CORPUS = f"""
-WITH RECURSIVE docs2 AS (
+# The chain CTE body (docs2 ... clean) is shared between the
+# curate_corpus oracle (which appends the quota select) and the
+# kg_full_curated oracle (which appends the mention/pair/scoring tail
+# over `clean` — the composed curation->KG product of plans/full.py).
+_SQL_CURATE_CHAIN = f"""docs2 AS (
   SELECT doc_id, text, lang FROM documents
   UNION ALL
   SELECT doc_id + 100000 AS doc_id, text || ' zzqx' AS text, lang
@@ -1118,13 +1128,19 @@ bg AS (
   FROM bt, unnest(generate_series(1, greatest(len(toks) - 3, 1))) AS i(g)
 ),
 hits AS (SELECT DISTINCT c.doc FROM ndg c JOIN bg USING (gram)),
-clean AS (SELECT * FROM nd WHERE doc NOT IN (SELECT doc FROM hits))
+clean AS (SELECT * FROM nd WHERE doc NOT IN (SELECT doc FROM hits))"""
+
+_SQL_CURATE_CORPUS = (
+    "\nWITH RECURSIVE "
+    + _SQL_CURATE_CHAIN
+    + """
 SELECT doc, lang, quality, n_tokens FROM (
   SELECT doc, lang, quality, n_tokens,
          row_number() OVER (PARTITION BY lang ORDER BY md5(doc), doc) AS rn
   FROM clean
 ) WHERE rn <= 40
 """
+)
 
 
 def _docs_with_near_dups(spark, sf_dir):
@@ -1174,6 +1190,84 @@ def curate_corpus(spark, sf_dir):
     )
     out = PC.curate_corpus(spark, corpus, benchmark=bench, config=cfg)
     return out["corpus"]
+
+
+# --- the composed product: curation -> KG construction -------------------
+#
+# plans/full.py::curate_then_build — quality gate -> exact dedup ->
+# minhash/CC keeper election -> decontamination, THEN mention
+# detection -> pair join -> scoring -> triple emission over the
+# curated survivors only. One recursive-CTE SQL statement: the
+# curation chain CTEs (shared with the curate_corpus oracle, planted
+# near-dup clones included) feed the mention/pair/scoring tail (shared
+# with kg_pipeline_triples). The planted clones provably change the
+# emitted n_docs supports vs the uncurated pipeline, so this checks
+# the COMPOSITION — curation feeding the KG — not just the two halves.
+
+_SQL_FULL_CURATED = (
+    "\nWITH RECURSIVE "
+    + _SQL_CURATE_CHAIN
+    + f""",
+dict(surface, entity_id, entity_type, vec_id) AS (
+  VALUES {_DICT_VALUES}
+),
+mentions AS (
+  SELECT DISTINCT c.doc AS doc_id, e.entity_id, e.entity_type, e.vec_id
+  FROM clean c
+  JOIN dict e
+    ON (' ' || lower(c.text) || ' ') LIKE ('% ' || e.surface || ' %')
+)"""
+    + _SQL_PAIRS
+    + _SQL_SCORED_TAIL
+    + "SELECT subj, pred, obj, n_docs, score FROM scored"
+)
+
+
+@register("kg_full_curated", _SQL_FULL_CURATED)
+def kg_full_curated(spark, sf_dir):
+    """The full composed product (plans/full.py): the oracle-mode
+    curation chain (md5 minhash, string-keyed 4-gram decon vs the %20
+    benchmark split, no quota) in front of the production KG pipeline
+    (Arrow trie mentions -> pair join -> float32 scoring -> triples)
+    over the curated survivors. doc_key = repo (the doc_id string) so
+    both engines elect identical dedup keepers."""
+    from .deploy import ensure_shipped
+    from .plans import curation as PCu
+    from .plans import full as PF
+    from .plans import pipeline as PP
+
+    ensure_shipped(spark)
+    corpus, bench = _curate_split(_docs_with_near_dups(spark, sf_dir))
+    ccfg = PCu.CurationConfig(
+        min_quality=0.55,
+        hash_mode="md5",
+        decon_n=4,
+        decon_hashed=False,
+        quota=0,
+    )
+    pcfg = PP.PipelineConfig(
+        relations=[("op", "obj")],
+        predicates={("op", "obj"): "acts_on"},
+        threshold=-2.0,
+    )
+    out = PF.curate_then_build(
+        spark,
+        _as_code_corpus(corpus),
+        _doc_dict_entries(),
+        _load(spark, sf_dir, "embeddings"),
+        benchmark=_as_code_corpus(bench),
+        curation_config=ccfg,
+        pipeline_config=pcfg,
+        entities=_doc_dict_entities(spark),
+        doc_key=F.col("repo"),
+    )
+    return out["triples"].select(
+        "subj",
+        "pred",
+        "obj",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round("score", 6).alias("score"),
+    )
 
 
 # --- keeper election, isolated oracle (extras registry) ------------------

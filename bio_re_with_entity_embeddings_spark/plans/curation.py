@@ -101,6 +101,14 @@ def curate_corpus(
     ``corpus`` (doc, lang, quality, n_tokens).
     """
     cfg = config or CurationConfig()
+    if benchmark is not None:
+        # normalize to the chain's internal column name: the decon
+        # stage only reads the benchmark's text (operators/curation.py
+        # _exploded_grams with id_col=None), and callers hand corpora
+        # whose text column matches text_col ('content' for the
+        # Iceberg file shape) — without this projection the chain
+        # would silently require a literal 'text' column.
+        benchmark = benchmark.select(F.col(text_col).alias("text"))
 
     signals = docs.select(
         F.col(id_col).cast("string").alias("doc"),
@@ -193,6 +201,10 @@ def run_curation_checkpointed(
     from . import manifest as M
 
     cfg = config or CurationConfig()
+    if benchmark is not None:
+        # same normalization as curate_corpus (the chain + the
+        # fingerprint below both read 'text')
+        benchmark = benchmark.select(F.col(text_col).alias("text"))
     # lazy here: run_stage materializes each stage to parquet anyway,
     # so the in-plan persist would only duplicate the checkpoint I/O
     cfg_lazy = CurationConfig(**{**cfg.__dict__, "eager_cache": False})
@@ -240,7 +252,7 @@ def run_curation_checkpointed(
         # multiplicity-sensitive, no ANSI long-overflow hazard.
         bdf = benchmark.select(
             F.conv(
-                F.substring(F.sha2(F.col(text_col), 256), 1, 15), 16, 10
+                F.substring(F.sha2(F.col("text"), 256), 1, 15), 16, 10
             )
             .cast("decimal(38,0)")
             .alias("sha_i")

@@ -34,6 +34,7 @@ def run_checkpointed(
     n_buckets: int = 32,
     config: P.PipelineConfig | None = None,
     run_id: str | None = None,
+    entities: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Stage-materialized pipeline with exact resume.
 
@@ -80,8 +81,12 @@ def run_checkpointed(
     # idempotently otherwise — so the all-upstream-buckets-complete
     # gate is enforced by construction (run_stage returned only after
     # completing them) and a crash mid-tail resumes exactly.
-    n_vecs = embeddings.selectExpr("max(vec_id) + 1 AS n").first()["n"]
-    entities = fixtures.entities_df(spark, dictionary, int(n_vecs))
+    if entities is None:
+        # default: the fixture vec-index convention (same fallback as
+        # build_triples); pass an explicit (entity_id, entity_type,
+        # vec_id) dimension for dictionaries outside that convention
+        n_vecs = embeddings.selectExpr("max(vec_id) + 1 AS n").first()["n"]
+        entities = fixtures.entities_df(spark, dictionary, int(n_vecs))
 
     from ..operators import pairs as pairs_op
 

@@ -68,6 +68,25 @@ def test_cli_build_triples_and_read_back(spark, world):
     assert {"subj", "pred", "obj", "score", "n_docs"} <= set(back.columns)
 
 
+def test_cli_full_build(spark, world):
+    """The composed curation->KG verb (plans/full.py): curate the file
+    corpus (no benchmark -> decon skipped; min_quality 0 keeps the
+    synthetic corpus), build triples over survivors, write the graph."""
+    from bio_re_with_entity_embeddings_spark.sources import iceberg
+
+    base, corpus, dct = world
+    out = str(base / "graph_full")
+    rc = cli.main([
+        "full-build", "--corpus", corpus, "--dictionary", dct,
+        "--embeddings", f"{SF_DIR}/embeddings.parquet",
+        "--output", out, "--threshold", "-2.0", "--min_quality", "0.0",
+    ])
+    assert rc == 0
+    back = iceberg.read_triples(spark, out)
+    assert back.count() > 0
+    assert {"subj", "pred", "obj", "score", "n_docs"} <= set(back.columns)
+
+
 def test_cli_train_and_extract(spark, world, tmp_path):
     base, corpus, dct = world
     rng = np.random.RandomState(1)
