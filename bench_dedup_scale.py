@@ -291,15 +291,23 @@ def main() -> None:
                 F.pmod(F.xxhash64("doc_id"), F.lit(max(n_files // n_cur, 1)))
                 == 0
             )
+        # Salted planting hashes — the unsalted form intersects the
+        # subsample's own pmod(xxhash64, k) == 0 congruence and plants
+        # nothing whenever n_cur != n_files (see the curate_then_build
+        # probe below). The recorded 200k/500k runs were unsubsampled
+        # (n_cur == n_files), so their planted rates were unaffected;
+        # the salt only changes WHICH docs carry clones.
         clones = base.where(
-            F.pmod(F.xxhash64("doc_id"), F.lit(100)) == 1
+            F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(100)) == 1
         ).select(
             F.concat(F.lit("c:"), "doc_id").alias("doc_id"),
             F.concat("text", F.lit(" zzqx")).alias("text"),
             "lang",
         )
         docs_c = base.unionByName(clones)
-        bench_docs = base.where(F.pmod(F.xxhash64("doc_id"), F.lit(200)) == 2)
+        bench_docs = base.where(
+            F.pmod(F.xxhash64("doc_id", F.lit(13)), F.lit(200)) == 2
+        )
         n_in = docs_c.count()
         # quota=2000 with hint n_in (>> 16*quota) genuinely selects
         # the SALTED two-stage top-k (quota_sample salts only when
@@ -331,6 +339,156 @@ def main() -> None:
                     "stages": stage_counts,
                     "t_full_s": t_cur,
                     "docs_per_sec": round(n_in / t_cur, 0),
+                    "master": f"local[{cpus}]",
+                }
+            )
+        )
+
+    n_full = int(os.environ.get("SPARK_GRAFT_FULL_FILES", "0"))
+    if n_full > 0:
+        # The COMPOSED curation -> KG product (plans/full.py) at
+        # volume. The curation chain alone is probed above (200k/500k,
+        # BENCH/BASELINE.md); this runs curate_then_build — curation
+        # feeding mention detection / pair join / scoring / triple
+        # emission over the survivor set — because the product a
+        # deployment ships is the composition, and the two plans share
+        # persists and a merge-hinted survivor semi-join that only a
+        # composed run exercises under load. Same planted world as the
+        # curation probe: 1% near-dup clones (distinct file identity,
+        # ' zzqx'-suffixed content, so minhash/CC — not exact dedup —
+        # must drop them), 0.5% benchmark sample for decontamination.
+        from bio_re_with_entity_embeddings_spark.plans import full as PF
+        from bio_re_with_entity_embeddings_spark.plans import (  # noqa: F811
+            curation as PC,
+        )
+        from bio_re_with_entity_embeddings_spark.plans import pipeline as P
+
+        base = spark.read.parquet(corpus_path)
+        if n_full != n_files:
+            base = base.where(
+                F.pmod(F.xxhash64("path"), F.lit(max(n_files // n_full, 1)))
+                == 0
+            )
+        # Planting selectors use SALTED hashes: the subsample above
+        # keeps pmod(xxhash64(path), k) == 0, so reusing the unsalted
+        # hash here would intersect contradictory congruences and
+        # plant NOTHING (measured: a 20k subsample ran with 0 clones
+        # and an empty benchmark before this salt).
+        clones = base.where(
+            F.pmod(F.xxhash64("path", F.lit(7)), F.lit(100)) == 1
+        ).select(
+            "repo",
+            F.concat(F.lit("clone/"), "path").alias("path"),
+            "commit",
+            "lang",
+            F.concat("content", F.lit(" zzqx")).alias("content"),
+        )
+        corpus_full = base.unionByName(clones)
+        bench_docs = base.where(
+            F.pmod(F.xxhash64("path", F.lit(13)), F.lit(200)) == 2
+        )
+        n_in = corpus_full.count()
+        emb_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        embeddings = spark.read.parquet(f"{emb_dir}/embeddings.parquet")
+        dictionary = fixtures.make_dictionary(n_pkg=400, n_fn=1200)
+        cur_cfg = PC.CurationConfig(min_quality=0.3, decon_n=13, quota=0)
+        pipe_cfg = P.PipelineConfig(repo_partitions=0, articles_cap=-1)
+        t0 = time.perf_counter()
+        out = PF.curate_then_build(
+            spark,
+            corpus_full,
+            dictionary,
+            embeddings,
+            benchmark=bench_docs,
+            curation_config=cur_cfg,
+            pipeline_config=pipe_cfg,
+        )
+        n_triples = out["triples"].count()
+        t_full = round(time.perf_counter() - t0, 1)
+        stage_counts = {
+            "in": n_in,
+            "near_dup_drops": out["cur_dedup_clusters"].where("drop").count(),
+            "decon_flagged": out["cur_decon_hits"].where("n_hits > 0").count(),
+            "survivors": out["cur_corpus_full"].count(),
+            "triples": n_triples,
+        }
+        print(
+            json.dumps(
+                {
+                    "op": "curate_then_build",
+                    "files": n_in,
+                    "stages": stage_counts,
+                    "t_full_s": t_full,
+                    "files_per_sec": round(n_in / t_full, 0),
+                    "triples_per_sec": round(n_triples / t_full, 0),
+                    "master": f"local[{cpus}]",
+                }
+            )
+        )
+
+    n_ckpt = int(os.environ.get("SPARK_GRAFT_FULL_CKPT_FILES", "0"))
+    if n_ckpt > 0:
+        # The CHECKPOINTED composed runner at volume: cold run, then an
+        # unchanged-input rerun. The north-rule resume claim ("exact
+        # resume from per-partition checkpoint/lineage") is test-proven
+        # at fixture scale (tests/test_full_plan.py); this measures the
+        # two numbers a deployment cares about — checkpoint overhead
+        # (cold wall vs the lazy plan above) and resume wall (manifest
+        # fingerprint checks only, no stage recompute).
+        import shutil
+
+        from bio_re_with_entity_embeddings_spark.plans import full as PF
+        from bio_re_with_entity_embeddings_spark.plans import (  # noqa: F811
+            curation as PC,
+        )
+        from bio_re_with_entity_embeddings_spark.plans import pipeline as P
+
+        base = spark.read.parquet(corpus_path)
+        if n_ckpt != n_files:
+            base = base.where(
+                F.pmod(F.xxhash64("path"), F.lit(max(n_files // n_ckpt, 1)))
+                == 0
+            )
+        bench_docs = base.where(
+            F.pmod(F.xxhash64("path", F.lit(13)), F.lit(200)) == 2
+        )
+        emb_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        embeddings = spark.read.parquet(f"{emb_dir}/embeddings.parquet")
+        dictionary = fixtures.make_dictionary(n_pkg=400, n_fn=1200)
+        cur_cfg = PC.CurationConfig(min_quality=0.3, decon_n=13, quota=0)
+        pipe_cfg = P.PipelineConfig(repo_partitions=0, articles_cap=-1)
+        ckpt_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".kgwork",
+            f"full_ckpt_f{n_ckpt}",
+        )
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+        walls = []
+        counts = []
+        for label in ("cold", "resume"):
+            t0 = time.perf_counter()
+            out = PF.run_full_checkpointed(
+                spark,
+                base,
+                dictionary,
+                embeddings,
+                ckpt_dir,
+                benchmark=bench_docs,
+                curation_config=cur_cfg,
+                pipeline_config=pipe_cfg,
+            )
+            counts.append(out["triples"].count())
+            walls.append(round(time.perf_counter() - t0, 1))
+        print(
+            json.dumps(
+                {
+                    "op": "run_full_checkpointed",
+                    "files": n_ckpt,
+                    "triples": counts[0],
+                    "resume_triples_equal": counts[0] == counts[1],
+                    "t_cold_s": walls[0],
+                    "t_resume_s": walls[1],
                     "master": f"local[{cpus}]",
                 }
             )
