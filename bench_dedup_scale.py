@@ -494,6 +494,125 @@ def main() -> None:
             )
         )
 
+    n_stream = int(os.environ.get("SPARK_GRAFT_STREAM_FILES", "0"))
+    if n_stream > 0:
+        # The COMPOSED STREAMING path at volume: streaming exact-dedup
+        # -> Arrow trie detection -> stateful once-only triple emitter
+        # (incremental_curated_triples), driven as 2 availableNow runs
+        # with a RESTART between them — the unit test's protocol
+        # (tests/test_sources_streaming_multimodal.py) over the bench
+        # corpus. Run 2's input includes content CLONES of run-1 docs
+        # under mirrored repo identities: the dedup state must survive
+        # the checkpoint for them to be dropped, and the emitter must
+        # never re-emit a pair across the restart (verified: emitted
+        # rows are globally distinct).
+        import shutil
+
+        from bio_re_with_entity_embeddings_spark import schemas
+        from bio_re_with_entity_embeddings_spark.operators import (
+            triples as T_OP,
+        )
+        from bio_re_with_entity_embeddings_spark.streaming.incremental import (
+            incremental_curated_triples,
+        )
+
+        dictionary = fixtures.make_dictionary(n_pkg=400, n_fn=1200)
+        dict_entries = [
+            (e.surface, e.entity_id, e.entity_type) for e in dictionary
+        ]
+        relations = [(fixtures.FN, fixtures.PKG), (fixtures.FN, fixtures.FN)]
+        base = spark.read.parquet(corpus_path)
+        if n_stream != n_files:
+            base = base.where(
+                F.pmod(F.xxhash64("path"), F.lit(max(n_files // n_stream, 1)))
+                == 0
+            )
+        work = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".kgwork",
+            f"stream_probe_f{n_stream}",
+        )
+        shutil.rmtree(work, ignore_errors=True)
+        src, out_dir, ckpt = (
+            os.path.join(work, d) for d in ("src", "out", "ckpt")
+        )
+        os.makedirs(src)
+        # run-1 input: half the corpus, 4 slice files (maxFilesPerTrigger
+        # 1 -> 4 micro-batches); run-2: the other half + 1% mirrored
+        # content clones of run-1 docs (clone salt as in the batch
+        # probes — the subsample congruence would otherwise empty it)
+        half = F.pmod(F.xxhash64("path", F.lit(5)), F.lit(2)) == 0
+        first = base.where(half)
+        rest = base.where(~half)
+        clones = first.where(
+            F.pmod(F.xxhash64("path", F.lit(7)), F.lit(100)) == 1
+        ).select(
+            F.concat(F.lit("mirror/"), "repo").alias("repo"),
+            "path", "commit", "lang", "content",
+        )
+        for i in range(4):
+            first.where(
+                F.pmod(F.xxhash64("path", F.lit(9)), F.lit(4)) == i
+            ).coalesce(1).write.parquet(os.path.join(src, f"b1_{i}"))
+
+        def run_once() -> float:
+            stream = (
+                spark.readStream.schema(schemas.CORPUS)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src + "/*")
+            )
+            t0 = time.perf_counter()
+            q = (
+                incremental_curated_triples(
+                    stream, dict_entries, relations, T_OP.predicate_for,
+                    threshold=2,
+                )
+                .writeStream.outputMode("append")
+                .foreachBatch(
+                    lambda df, eid: df.write.mode("append").parquet(out_dir)
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            q.stop()
+            return round(time.perf_counter() - t0, 1)
+
+        n_first = first.count()
+        t_run1 = run_once()
+        rest_and_clones = rest.unionByName(clones)
+        n_second = rest_and_clones.count()
+        n_clones = clones.count()
+        for i in range(4):
+            # slice on (path, repo): clones share path with their
+            # originals, so a path-only slice would not spread them
+            rest_and_clones.where(
+                F.pmod(F.xxhash64("path", "repo"), F.lit(4)) == i
+            ).coalesce(1).write.parquet(os.path.join(src, f"b2_{i}"))
+        t_run2 = run_once()
+        emitted = spark.read.parquet(out_dir)
+        n_emitted = emitted.count()
+        n_distinct = emitted.distinct().count()
+        print(
+            json.dumps(
+                {
+                    "op": "incremental_curated_triples",
+                    "files_run1": n_first,
+                    "files_run2": n_second,
+                    "clones_planted": n_clones,
+                    "triples_emitted": n_emitted,
+                    "once_only": n_emitted == n_distinct,
+                    "t_run1_s": t_run1,
+                    "t_run2_s": t_run2,
+                    "files_per_sec": round(
+                        (n_first + n_second) / (t_run1 + t_run2), 0
+                    ),
+                    "master": f"local[{cpus}]",
+                }
+            )
+        )
+
     n_vec = int(os.environ.get("SPARK_GRAFT_DEDUP_VECTORS", "500000"))
     if n_vec > 0:
         vecs = synth_embeddings(spark, n_vec)
