@@ -272,6 +272,16 @@ def main() -> None:
         "second_scale_point": second_scale_point,
         "queries": timings,
         "spread": spread,
+        # Per-query MIN of the interleaved repeats — the best
+        # contention-free estimate on this shared VM (see the
+        # measurement-protocol note above: repeats are round-robin, so
+        # a noise burst inflates some repeats of every query; the min
+        # survives). Read this when the medians look uniformly inflated
+        # vs the previous round AND the spread is wide: a 5-7x
+        # degraded host window was measured on 2026-08-17
+        # (BENCH/BASELINE.md "window calibration") where medians ran
+        # 6x the quiet-window values while the mins reproduced them.
+        "queries_min": {k: round(min(ws), 3) for k, ws in walls.items()},
         "repeats": repeats,
         "interleaved": True,
         "sf": sf,
