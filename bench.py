@@ -281,7 +281,9 @@ def main() -> None:
         # degraded host window was measured on 2026-08-17
         # (BENCH/BASELINE.md "window calibration") where medians ran
         # 6x the quiet-window values while the mins reproduced them.
-        "queries_min": {k: round(min(ws), 3) for k, ws in walls.items()},
+        # derived from spread (same rounding site) so the two can
+        # never drift apart if the spread computation changes
+        "queries_min": {k: spread[k][0] for k in walls},
         "repeats": repeats,
         "interleaved": True,
         "sf": sf,

@@ -449,6 +449,11 @@ def main() -> None:
                 F.pmod(F.xxhash64("path"), F.lit(max(n_files // n_ckpt, 1)))
                 == 0
             )
+        # DELIBERATELY no planted clones here (unlike the FULL_FILES
+        # probe above): this probe measures checkpoint overhead +
+        # resume wall, and the raw corpus keeps its triple count
+        # directly comparable to the clone-planted lazy probe — equal
+        # counts prove the chain dropped every clone there.
         bench_docs = base.where(
             F.pmod(F.xxhash64("path", F.lit(13)), F.lit(200)) == 2
         )

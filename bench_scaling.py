@@ -72,9 +72,12 @@ def run_full(cpus: int, sf_dir: str) -> dict:
     env.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-tmp")
     env["SPARK_GRAFT_DEDUP_SKIP_MINHASH"] = "1"
     env["SPARK_GRAFT_DEDUP_VECTORS"] = "0"
-    env["SPARK_GRAFT_FULL_FILES"] = os.environ.get(
-        "SPARK_GRAFT_SCALE_FILES", "100000"
-    )
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_FILES", "100000"))
+    env["SPARK_GRAFT_FULL_FILES"] = str(n)
+    # the probe harness subsamples FULL_FILES out of its DEDUP_FILES
+    # corpus (default 200k) — without this the request would silently
+    # cap at 200k (no-silent-caps discipline)
+    env["SPARK_GRAFT_DEDUP_FILES"] = str(max(200_000, n))
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     cmd = [sys.executable, os.path.join(HERE, "bench_dedup_scale.py")]
@@ -108,6 +111,25 @@ def main() -> None:
     # thread scale-up cannot emulate; 2->8 stays in the linear region.
     levels = [(2, 4), (8, 16)]
     results: dict[str, list[dict]] = {f"local[{c}]": [] for c, _ in levels}
+    if target == "full":
+        # ensure the probe corpus exists BEFORE any pinned level runs:
+        # a missing corpus would otherwise be generated inside the
+        # first taskset-pinned (2-core) invocation, distorting nothing
+        # in the timed region but stretching that level's wall far
+        # beyond the documented estimate. Unpinned, all probes off —
+        # bench_dedup_scale.py generates the corpus as a side effect.
+        env = dict(os.environ)
+        env.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-tmp")
+        env["SPARK_GRAFT_DEDUP_SKIP_MINHASH"] = "1"
+        env["SPARK_GRAFT_DEDUP_VECTORS"] = "0"
+        env["SPARK_GRAFT_DEDUP_FILES"] = str(
+            max(200_000, int(os.environ.get("SPARK_GRAFT_SCALE_FILES", "100000")))
+        )
+        subprocess.run(
+            [sys.executable, os.path.join(HERE, "bench_dedup_scale.py")],
+            env=env, capture_output=True, text=True, check=True,
+        )
+
     for _ in range(repeats):  # interleaved pairs: drift cancels
         for cpus, shuffle in levels:
             rec = (

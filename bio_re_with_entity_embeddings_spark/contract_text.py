@@ -1170,6 +1170,30 @@ def _curate_split(docs2):
     )
 
 
+# The curation chain persists three DISK_ONLY hubs per invocation
+# (signals / exact_survivors / near_survivors) and assigns unpersist
+# duty to the caller (plans/curation.py module doc). Contract rows are
+# called repeatedly in one long-lived session (driver window, oracle
+# parity tests), so each invocation releases the PREVIOUS one's hubs
+# before recording its own — the returned lazy frame stays computable
+# (its own persists live until the next call; a stale holder merely
+# recomputes). Without this the session's disk cache grows by three
+# frames per call for its lifetime.
+_CHAIN_PERSISTS: list = []
+
+
+def _swap_chain_persists(out: dict) -> None:
+    while _CHAIN_PERSISTS:
+        _CHAIN_PERSISTS.pop().unpersist()
+    for k in (
+        "signals", "exact_survivors", "near_survivors",
+        "cur_signals", "cur_exact_survivors", "cur_near_survivors",
+    ):
+        df = out.get(k)
+        if df is not None and df.storageLevel.useDisk:
+            _CHAIN_PERSISTS.append(df)
+
+
 @register("curate_corpus", _SQL_CURATE_CORPUS)
 def curate_corpus(spark, sf_dir):
     """The composed end-to-end curation plan (plans/curation.py) in
@@ -1189,6 +1213,7 @@ def curate_corpus(spark, sf_dir):
         quota_skew_salts=1,  # oracle pins the one-stage window
     )
     out = PC.curate_corpus(spark, corpus, benchmark=bench, config=cfg)
+    _swap_chain_persists(out)
     return out["corpus"]
 
 
@@ -1261,6 +1286,7 @@ def kg_full_curated(spark, sf_dir):
         entities=_doc_dict_entities(spark),
         doc_key=F.col("repo"),
     )
+    _swap_chain_persists(out)
     return out["triples"].select(
         "subj",
         "pred",

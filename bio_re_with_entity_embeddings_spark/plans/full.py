@@ -153,17 +153,19 @@ def run_full_checkpointed(
     runner) under ``{base_dir}/kg``, fed by the materialized survivor
     set.
 
-    Resume is end-to-end exact with NO extra bookkeeping: the curation
-    runner's stage identities already fold in the chain config and the
-    benchmark fingerprint (plans/curation.py), and the KG runner's
+    Resume is end-to-end exact: the curation runner's stage identities
+    fold in the chain config and the benchmark fingerprint
+    (plans/curation.py), the KG runner's stage identities fold in the
+    dictionary hash, the embeddings/entities content fingerprints and
+    the triple-config knobs (plans/runner.py), and the KG runner's
     per-bucket input fingerprints (count + content-sha xor fold) are
     computed over the survivor rows this function feeds it — so any
-    upstream change (grown corpus, new config, swapped benchmark)
-    invalidates exactly the downstream buckets it reaches, and a kill
-    at ANY point (mid-curation, between the products, mid-KG) rerun
-    recomputes only what is missing. Verified by
-    tests/test_full_plan.py (kill-between-products + config-change
-    recompute)."""
+    upstream change (grown corpus, new config on EITHER side, swapped
+    benchmark/dictionary/embeddings) invalidates exactly the downstream
+    stages it reaches, and a kill at ANY point (mid-curation, between
+    the products, mid-KG) rerun recomputes only what is missing.
+    Verified by tests/test_full_plan.py (kill-between-products +
+    config-change recompute on both sides)."""
     keyed = _keyed(corpus, doc_key)
     cur = PC.run_curation_checkpointed(
         spark,

@@ -15,6 +15,8 @@ one bucket, so partial corpora resume repo-atomically.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -23,6 +25,32 @@ from ..operators import mentions as mentions_op
 from ..operators import scoring, triples as triples_op
 from . import manifest as M
 from . import pipeline as P
+
+
+def _h(parts) -> str:
+    return hashlib.sha256(repr(parts).encode()).hexdigest()[:10]
+
+
+def _content_fp(df: DataFrame) -> tuple[int, str]:
+    """Duplicate-sensitive, order-insensitive content fingerprint of a
+    (small) dimension table — every column, row serialized as JSON
+    (null/array-safe, unlike concat_ws which silently drops nulls):
+    decimal sum of 15-hex-digit sha2 prefixes + row count. Same
+    construction and rationale as the curation runner's benchmark
+    fingerprint (plans/curation.py): the manifest's xor fold cancels
+    identical rows pairwise, so a swapped-but-multiset-colliding
+    dimension could silently resume a stale stage — the exact class
+    this fold closes. ONE extra map-combined job over the dimension
+    per rerun (the embeddings/entities tables are the broadcast dims —
+    vocabulary-sized, not corpus-sized)."""
+    row_json = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    d = df.select(
+        F.conv(F.substring(F.sha2(row_json, 256), 1, 15), 16, 10)
+        .cast("decimal(38,0)")
+        .alias("sha_i")
+    )
+    row = d.agg(F.count(F.lit(1)).alias("n"), F.sum("sha_i").alias("s")).collect()[0]
+    return (int(row["n"]), str(row["s"]))
 
 
 def run_checkpointed(
@@ -48,6 +76,23 @@ def run_checkpointed(
                 unchanged mentions skips the tail entirely; a crash
                 mid-tail (or any upstream bucket change) recomputes it
                 idempotently.
+
+    Stage identity folds in every RESULT-affecting input that is not
+    visible in the stage's row-level input fingerprint (the same
+    silently-stale-resume closure as the curation runner's
+    ``keep_<hash>``): the mentions stage name carries the dictionary
+    hash; the triples stage name carries the relation/threshold/cap
+    knobs plus content fingerprints of the embeddings and entities
+    dimensions. Rerunning over the same working dir with a changed
+    dictionary, embeddings matrix, entity dimension, or triple config
+    therefore computes FRESH stages instead of serving stale parquet;
+    unchanged reruns still skip everything. Plan-only knobs
+    (salt_buckets, repo_partitions, eager_cache, prepartition_by_dk,
+    advisory_partition_bytes) are deliberately excluded — they change
+    the physical plan, never the rows. Resolved names are returned
+    under ``_stages``. Pre-existing working dirs written before this
+    closure (fixed names ``mentions``/``triples``) are simply
+    recomputed under the new names — orphaned but never served.
     """
     cfg = config or P.PipelineConfig()
 
@@ -61,6 +106,8 @@ def run_checkpointed(
     )
 
     dict_entries = [(e.surface, e.entity_id, e.entity_type) for e in dictionary]
+    dict_fp = _h(tuple(sorted(dict_entries)))
+    mentions_stage = f"mentions_{dict_fp}"
 
     def detect(df: DataFrame) -> DataFrame:
         m = mentions_op.detect_mentions(df, dict_entries)
@@ -69,7 +116,7 @@ def run_checkpointed(
         )
 
     mentions = M.run_stage(
-        spark, base_dir, "mentions", docs, detect, run_id=run_id
+        spark, base_dir, mentions_stage, docs, detect, run_id=run_id
     )
 
     # Triple emission consumes the materialized mention table — a
@@ -87,6 +134,20 @@ def run_checkpointed(
         # vec_id) dimension for dictionaries outside that convention
         n_vecs = embeddings.selectExpr("max(vec_id) + 1 AS n").first()["n"]
         entities = fixtures.entities_df(spark, dictionary, int(n_vecs))
+        # derived deterministically from (dictionary, n_vecs) — both
+        # already part of the identity, no row fold needed
+        ent_fp: tuple = ("derived", dict_fp, int(n_vecs))
+    else:
+        ent_fp = _content_fp(entities)
+    emb_fp = _content_fp(embeddings)
+    triple_knobs = (
+        tuple(cfg.relations),
+        tuple(cfg.predicate(s, t) for s, t in cfg.relations),
+        cfg.threshold,
+        cfg.max_entities_per_doc,
+        cfg.articles_cap,
+    )
+    triples_stage = f"triples_{_h((triple_knobs, emb_fp, ent_fp))}"
 
     from ..operators import pairs as pairs_op
 
@@ -117,13 +178,19 @@ def run_checkpointed(
 
     tail_input = mentions.withColumn("bucket", F.lit(0).cast("int"))
     triples = M.run_stage(
-        spark, base_dir, "triples", tail_input, build_triples_tail, run_id=run_id
+        spark, base_dir, triples_stage, tail_input, build_triples_tail,
+        run_id=run_id,
     )
 
     return {
         "docs": docs,
         "mentions": mentions,
         "triples": triples.drop("bucket"),
+        "_stages": {
+            "ingest": "ingest",
+            "mentions": mentions_stage,
+            "triples": triples_stage,
+        },
     }
 
 

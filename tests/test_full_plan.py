@@ -186,3 +186,54 @@ def test_curation_config_change_recomputes_kg(
     got = _triples_set(out_ck["triples"])
     assert got == _triples_set(out_lazy["triples"])
     assert got != baseline  # the gate bit
+
+
+def test_kg_config_change_recomputes(spark, world, kg_inputs, tmp_path):
+    """The KG-side silently-stale-resume guard (mirror of the curation
+    test): rerunning over the same working dir with a changed
+    PIPELINE config (predicate/threshold — result-affecting knobs the
+    mention rows cannot reveal) must re-key the triples stage and
+    compute fresh output, while curation + ingest + mentions resume
+    untouched; switching BACK to the original config resumes the
+    original stage without recompute."""
+    from bio_re_with_entity_embeddings_spark.plans import manifest as M
+
+    corpus, bench = world
+    entries, emb, entities = kg_inputs
+    base = str(tmp_path / "kgck")
+    run = lambda pcfg, rid: PF.run_full_checkpointed(  # noqa: E731
+        spark, corpus, entries, emb, base, benchmark=bench,
+        n_buckets=8, curation_config=_ccfg(), pipeline_config=pcfg,
+        run_id=rid, entities=entities, doc_key=F.col("repo"),
+    )
+    out1 = run(_pcfg(), "r1")
+    t1 = _triples_set(out1["triples"])
+    st1 = out1["_stages"]["triples"]
+
+    pcfg2 = P.PipelineConfig(
+        relations=[("op", "obj")],
+        predicates={("op", "obj"): "calls"},  # renamed predicate
+        threshold=-2.0,
+    )
+    out2 = run(pcfg2, "r2")
+    st2 = out2["_stages"]["triples"]
+    assert st2 != st1  # config folded into the stage identity
+    t2 = _triples_set(out2["triples"])
+    assert t2 != t1 and t2  # fresh rows, not stale parquet
+    assert {p for (_, p, _, _, _) in t2} == {"calls"}
+    # upstream stages untouched by the KG-side knob change
+    sig = M.read_manifest(spark, f"{base}/curation", "signals").toPandas()
+    assert set(sig["run_id"]) == {"r1"}
+    ing = M.read_manifest(spark, f"{base}/kg", "ingest").toPandas()
+    assert set(ing["run_id"]) == {"r1"}
+    men = M.read_manifest(
+        spark, f"{base}/kg", out2["_stages"]["mentions"]
+    ).toPandas()
+    assert set(men["run_id"]) == {"r1"}
+
+    # switching back resumes the ORIGINAL stage: r1's manifest, r1's rows
+    out3 = run(_pcfg(), "r3")
+    assert out3["_stages"]["triples"] == st1
+    m = M.read_manifest(spark, f"{base}/kg", st1).toPandas()
+    assert set(m["run_id"]) == {"r1"}
+    assert _triples_set(out3["triples"]) == t1

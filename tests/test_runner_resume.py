@@ -44,7 +44,7 @@ def test_full_run_then_resume_noop(spark, world, tmp_path):
         spark, corpus, dictionary, embeddings, base, n_buckets=8, run_id="r2"
     )
     assert _triples_set(out2["triples"]) == t1
-    for stage in ("ingest", "mentions"):
+    for stage in (out1["_stages"]["ingest"], out1["_stages"]["mentions"]):
         m = M.read_manifest(spark, base, stage).toPandas()
         assert (m["run_id"] == "r1").all(), stage
     assert runner.verify_lineage(spark, corpus, base, 8)
@@ -90,16 +90,17 @@ def test_crash_in_tail_resumes(spark, world, tmp_path):
     )
     t1 = _triples_set(out1["triples"])
     # torn tail: manifest gone, data half-written
-    shutil.rmtree(f"{base}/triples/_manifest")
-    shutil.rmtree(f"{base}/triples/data")
+    tr_stage = out1["_stages"]["triples"]
+    shutil.rmtree(f"{base}/{tr_stage}/_manifest")
+    shutil.rmtree(f"{base}/{tr_stage}/data")
     out2 = runner.run_checkpointed(
         spark, corpus, dictionary, embeddings, base, n_buckets=8, run_id="r2"
     )
     assert _triples_set(out2["triples"]) == t1
-    for stage in ("ingest", "mentions"):
+    for stage in (out1["_stages"]["ingest"], out1["_stages"]["mentions"]):
         m = M.read_manifest(spark, base, stage).toPandas()
         assert (m["run_id"] == "r1").all(), stage
-    m = M.read_manifest(spark, base, "triples").toPandas()
+    m = M.read_manifest(spark, base, tr_stage).toPandas()
     assert (m["run_id"] == "r2").all()
 
 
@@ -131,3 +132,33 @@ def test_checkpointed_matches_lazy_pipeline(spark, world, tmp_path):
     )
     lazy = P.build_triples(spark, corpus, dictionary, embeddings)
     assert _triples_set(ck["triples"]) == _triples_set(lazy["triples"])
+
+
+def test_dictionary_change_recomputes_mentions(spark, world, tmp_path):
+    """A changed DICTIONARY over the same working dir re-keys the
+    mentions stage (its rows are a function of the dictionary, which
+    the docs-stage input fingerprint cannot see) and flows through to
+    fresh triples; the untouched ingest stage resumes."""
+    dictionary, corpus, embeddings = world
+    base = str(tmp_path / "ckdict")
+    out1 = runner.run_checkpointed(
+        spark, corpus, dictionary, embeddings, base, n_buckets=8, run_id="r1"
+    )
+    t1 = _triples_set(out1["triples"])
+    smaller = dictionary[:-1]  # drop one entry -> different surface set
+    out2 = runner.run_checkpointed(
+        spark, corpus, smaller, embeddings, base, n_buckets=8, run_id="r2"
+    )
+    assert out2["_stages"]["mentions"] != out1["_stages"]["mentions"]
+    m = M.read_manifest(
+        spark, base, out2["_stages"]["mentions"]
+    ).toPandas()
+    assert (m["run_id"] == "r2").all()
+    ing = M.read_manifest(spark, base, "ingest").toPandas()
+    assert (ing["run_id"] == "r1").all()
+    clean = runner.run_checkpointed(
+        spark, corpus, smaller, embeddings, str(tmp_path / "cleandict"),
+        n_buckets=8, run_id="rc",
+    )
+    assert _triples_set(out2["triples"]) == _triples_set(clean["triples"])
+    assert _triples_set(out2["triples"]) != t1
