@@ -866,6 +866,34 @@ def mm_image_dims(spark, sf_dir):
     )
 
 
+@register_extra(
+    "mm_png_dims",
+    """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       'png' AS format,
+       CAST(8 + doc_id % 9 AS INT) AS width,
+       CAST(6 + doc_id % 5 AS INT) AS height,
+       3 AS n_channels
+FROM documents
+""",
+)
+def mm_png_dims(spark, sf_dir):
+    """Real COMPRESSED-codec decode (stdlib-zlib PNG inflate + NumPy
+    scanline unfiltering, operators/multimodal.py::_decode_png) over
+    every document: dimensions recovered from actual DEFLATE streams
+    whose rows cycle through all five PNG filters must equal the
+    synthesis formula the oracle recomputes arithmetically. Like
+    mm_image_dims this is a genuine parse check — the Spark side only
+    ever sees compressed bytes."""
+    from .operators import multimodal as MM
+
+    docs = _load(spark, sf_dir, "documents")
+    media = MM.synth_media_png(docs)
+    return MM.decode_image_features(media).select(
+        "media_id", "format", "width", "height", "n_channels"
+    )
+
+
 @register(
     "text_repetition",
     """

@@ -8,15 +8,19 @@ need no external library — decoded with struct/NumPy only:
   dimensions, channels, mean intensity, and an 8x8 grayscale thumbnail
   embedding (``array<float>``) that feeds the similarity operators
   (``operators/similarity.py``) like any other embedding column.
+* PNG — a REAL compressed-codec decoder built on stdlib ``zlib``
+  inflate + NumPy unfiltering: 8-bit gray/RGB/palette/gray+alpha/RGBA,
+  all five scanline filters (None/Sub/Up/Average/Paeth). Interlaced
+  (Adam7) and 16-bit-depth images are rejected by header field.
 * PCM16 WAV audio — sample rate, channels, duration, RMS amplitude.
 * video: modeled as a frame-indexed expansion plan (native explode)
   over per-frame payloads, each frame an image decode.
 
-Compressed codecs (JPEG/PNG/FLAC/MP4...) are detected by magic number
-and rejected with ``NotImplementedError`` naming the format — the ONLY
-stubbed branch, because their decoders aren't in this environment; the
-dispatch, schema, partitioning, and Arrow batch shape are identical,
-so adding PIL/ffmpeg is one branch per codec.
+Lossy/entropy codecs (JPEG/GIF-LZW/FLAC/MP4...) are detected by magic
+number and rejected with ``NotImplementedError`` naming the format —
+the ONLY stubbed branch, because their decoders aren't in this
+environment; the dispatch, schema, partitioning, and Arrow batch shape
+are identical, so adding PIL/ffmpeg is one branch per codec.
 
 Everything runs in ``mapInPandas`` iterators: no per-row Python crosses
 the JVM boundary, payload bytes stay in Arrow buffers, and the decode
@@ -73,7 +77,6 @@ AUDIO_FEATURES = T.StructType(
 
 _COMPRESSED_MAGICS = [
     (b"\xff\xd8\xff", "jpeg"),
-    (b"\x89PNG", "png"),
     (b"GIF8", "gif"),
     (b"fLaC", "flac"),
     (b"\x00\x00\x00\x18ftyp", "mp4"),
@@ -91,13 +94,15 @@ def _reject_compressed(raw: bytes) -> None:
 
 
 def decode_image(raw: bytes) -> tuple[str, np.ndarray]:
-    """(format, HxWxC uint8 array) for PPM (P6), PGM (P5), and
-    uncompressed 24/32-bit BMP payloads."""
+    """(format, HxWxC uint8 array) for PPM (P6), PGM (P5),
+    uncompressed 24/32-bit BMP, and 8-bit PNG payloads."""
     _reject_compressed(raw)
     if raw[:2] in (b"P6", b"P5"):
         return _decode_pnm(raw)
     if raw[:2] == b"BM":
         return _decode_bmp(raw)
+    if raw[:8] == _PNG_SIG:
+        return _decode_png(raw)
     raise ValueError(f"unrecognized image container: {raw[:8]!r}")
 
 
@@ -149,6 +154,177 @@ def _decode_bmp(raw: bytes) -> tuple[str, np.ndarray]:
     if nch == 4:
         img = img[:, :, 1:]  # drop alpha (stored first after reverse)
     return "bmp", np.ascontiguousarray(img)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> stored channels per pixel (before palette expansion /
+# alpha drop); depth 8 only, so one byte per channel
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _decode_png(raw: bytes) -> tuple[str, np.ndarray]:
+    """Real PNG decode with stdlib zlib + NumPy: walk chunks, inflate
+    the IDAT stream, undo per-scanline filters, expand the color type.
+
+    Scope (rejected by header field, never silently misdecoded):
+    bit depth 8 only, no Adam7 interlace. Alpha is dropped after
+    reconstruction (RGBA -> RGB, gray+alpha -> gray), matching the BMP
+    32-bpp convention above. Chunk CRCs are not verified — zlib's
+    inflate + adler32 already fail on corrupted pixel data, and
+    features here are advisory signals, not archival validation.
+
+    Cost note: filters None/Sub/Up reconstruct vectorized (Sub is a
+    per-lane prefix sum mod 256); Average/Paeth are inherently
+    sequential in x and run as per-byte loops — fine for the thumbnail/
+    stats features this feeds, and still partition-parallel across
+    payloads like every other decoder in this module."""
+    import zlib
+
+    w = h = depth = ctype = interlace = None
+    plte: np.ndarray | None = None
+    idat: list[bytes] = []
+    i = 8
+    while i + 8 <= len(raw):
+        ln, typ = struct.unpack_from(">I4s", raw, i)
+        body = raw[i + 8 : i + 8 + ln]
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif typ == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        i += 12 + ln  # len + type + body + crc
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth}; only 8 here")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG")
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"PNG color type {ctype}")
+    nch = _PNG_CHANNELS[ctype]
+    stride = w * nch
+    dec = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if dec.size != h * (stride + 1):
+        raise ValueError("PNG pixel stream size mismatch")
+    scan = dec.reshape(h, stride + 1)
+
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(scan[y, 0])
+        cur = scan[y, 1:]
+        if f == 0:
+            row = cur.copy()
+        elif f == 1:  # Sub: per-lane prefix sum mod 256
+            row = cur.copy()
+            for lane in range(nch):
+                row[lane::nch] = np.cumsum(
+                    cur[lane::nch], dtype=np.int64
+                ) & 0xFF
+        elif f == 2:  # Up: uint8 addition wraps mod 256 natively
+            row = cur + prev
+        elif f == 3:  # Average
+            row = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(row[x - nch]) if x >= nch else 0
+                row[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            row = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(row[x - nch]) if x >= nch else 0
+                b = int(prev[x])
+                c = int(prev[x - nch]) if x >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {f}")
+        out[y] = row
+        prev = row
+
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("paletted PNG without PLTE")
+        img = plte[out.reshape(h, w)]
+    elif ctype == 0:
+        img = out.reshape(h, w, 1)
+    elif ctype == 2:
+        img = out.reshape(h, w, 3)
+    elif ctype == 4:
+        img = out.reshape(h, w, 2)[:, :, :1]
+    else:  # 6
+        img = out.reshape(h, w, 4)[:, :, :3]
+    return "png", np.ascontiguousarray(img)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal PNG encoder for fixtures/tests: 8-bit, color type from
+    the channel count (1 -> gray, 2 -> gray+alpha, 3 -> RGB,
+    4 -> RGBA), scanline filter cycling 0..4 by row so a decode
+    roundtrip exercises EVERY filter reconstruction path."""
+    import zlib
+
+    h, w, nch = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    stride = w * nch
+    flat = img.reshape(h, stride).astype(np.int32)
+    lines = bytearray()
+    for y in range(h):
+        f = y % 5
+        cur = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(stride, dtype=np.int32)
+        left = np.concatenate([np.zeros(nch, dtype=np.int32), cur[:-nch]])
+        ul = np.concatenate([np.zeros(nch, dtype=np.int32), prev[:-nch]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - ((left + prev) >> 1)
+        else:  # Paeth — vectorized predictor (encoder may vectorize:
+            # it reads RECONSTRUCTED neighbors, which it already has)
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            enc = cur - pred
+        lines.append(f)
+        lines.extend((enc & 0xFF).astype(np.uint8).tobytes())
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_png(seed: int) -> bytes:
+    """Deterministic little RGB PNG: same dimension formula as
+    synth_ppm (so the arithmetic oracle restatement is shared), pixels
+    from the seeded RNG, rows cycling through all five filters."""
+    w, h = 8 + (seed % 9), 6 + (seed % 5)
+    rng = np.random.RandomState((seed ^ 0x5EED) & 0x7FFFFFFF)
+    px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return encode_png(px)
 
 
 def decode_wav(raw: bytes) -> tuple[int, int, np.ndarray]:
@@ -305,6 +481,25 @@ def synth_media(docs: DataFrame) -> DataFrame:
                 else:
                     payload = hashlib.sha256(str(did).encode()).digest() * ((did % 7) + 4)
                     out.append((str(did), "video", payload, "application/octet-stream"))
+            yield pd.DataFrame(out, columns=["media_id", "modality", "payload", "mime"])
+
+    return docs.select(F.col("doc_id").cast("long").alias("doc_id")).mapInPandas(
+        run, MEDIA
+    )
+
+
+def synth_media_png(docs: DataFrame) -> DataFrame:
+    """Deterministic media table where EVERY doc is a compressed PNG
+    payload (synth_png) — the fixture behind the mm_png_dims oracle:
+    the Spark side must inflate + unfilter real zlib streams to
+    recover dimensions the oracle recomputes arithmetically."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                (str(int(d)), "image", synth_png(int(d)), "image/png")
+                for d in pdf["doc_id"].values
+            ]
             yield pd.DataFrame(out, columns=["media_id", "modality", "payload", "mime"])
 
     return docs.select(F.col("doc_id").cast("long").alias("doc_id")).mapInPandas(

@@ -796,3 +796,108 @@ def test_incremental_curated_triples_bounded_state_variant(spark, tmp_path):
         )["triples"].where("n_docs >= 3").collect()
     }
     assert got == want  # clones within the horizon were deduped
+
+
+def test_png_roundtrip_all_filters_and_color_types():
+    """decode(encode) recovers the exact pixels; the encoder cycles
+    scanline filters 0..4 by row so every reconstruction path
+    (None/Sub/Up/Average/Paeth) is exercised. Alpha channels drop to
+    the same convention as 32-bpp BMP."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for shape, want_ch in [((11, 9, 3), 3), ((6, 8, 1), 1),
+                           ((7, 5, 4), 3), ((9, 4, 2), 1)]:
+        px = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        fmt, img = MM.decode_image(MM.encode_png(px))
+        assert fmt == "png"
+        assert img.shape == (shape[0], shape[1], want_ch)
+        np.testing.assert_array_equal(img, px[:, :, :want_ch])
+
+
+def test_png_hand_computed_unfilter():
+    """Fixed byte sequence decoded against pixels derived BY HAND from
+    the PNG spec (not from this codebase): 3x3 gray, rows filtered
+    Paeth / Average / Up, wrap-around included."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    lines = (
+        b"\x04" + bytes([10, 20, 30])      # Paeth
+        + b"\x03" + bytes([5, 5, 5])       # Average
+        + b"\x02" + bytes([200, 240, 250]) # Up (wraps mod 256)
+    )
+
+    def chunk(t, b):
+        return st.pack(">I", len(b)) + t + b + st.pack(
+            ">I", zlib.crc32(t + b) & 0xFFFFFFFF
+        )
+
+    raw = (
+        MM._PNG_SIG
+        + chunk(b"IHDR", st.pack(">IIBBBBB", 3, 3, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(lines))
+        + chunk(b"IEND", b"")
+    )
+    fmt, img = MM.decode_image(raw)
+    expected = np.array(
+        [[10, 30, 60], [10, 25, 47], [210, 9, 41]], dtype=np.uint8
+    ).reshape(3, 3, 1)
+    np.testing.assert_array_equal(img, expected)
+
+
+def test_png_palette_and_rejections():
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+
+    def chunk(t, b):
+        return st.pack(">I", len(b)) + t + b + st.pack(
+            ">I", zlib.crc32(t + b) & 0xFFFFFFFF
+        )
+
+    pal = rng.randint(0, 256, size=(5, 3), dtype=np.uint8)
+    idx = rng.randint(0, 5, size=(4, 6), dtype=np.uint8)
+    lines = b"".join(b"\x00" + idx[y].tobytes() for y in range(4))
+    raw = (
+        MM._PNG_SIG
+        + chunk(b"IHDR", st.pack(">IIBBBBB", 6, 4, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(lines))
+        + chunk(b"IEND", b"")
+    )
+    fmt, img = MM.decode_image(raw)
+    np.testing.assert_array_equal(img, pal[idx])
+
+    # interlace and 16-bit depth are rejected by header field
+    for depth, interlace in [(8, 1), (16, 0)]:
+        bad = (
+            MM._PNG_SIG
+            + chunk(b"IHDR", st.pack(">IIBBBBB", 6, 4, depth, 2, 0, 0, interlace))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 80))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError):
+            MM.decode_image(bad)
+
+
+def test_png_features_through_spark(spark):
+    """synth_media_png -> decode_image_features over real Spark: dims
+    follow the synthesis formula (the mm_png_dims oracle's claim) and
+    the thumbnail embedding behaves like any other."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = MM.synth_media_png(docs.limit(40))
+    feats = MM.decode_image_features(media).toPandas()
+    assert len(feats) == 40
+    assert (feats["format"] == "png").all()
+    for r in feats.itertuples():
+        seed = int(r.media_id)
+        assert (r.width, r.height, r.n_channels) == (
+            8 + seed % 9, 6 + seed % 5, 3,
+        )
+        assert len(r.thumbnail) == 64
