@@ -894,6 +894,33 @@ def mm_png_dims(spark, sf_dir):
     )
 
 
+@register_extra(
+    "mm_gif_dims",
+    """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       'gif' AS format,
+       CAST(8 + doc_id % 9 AS INT) AS width,
+       CAST(6 + doc_id % 5 AS INT) AS height,
+       3 AS n_channels
+FROM documents
+""",
+)
+def mm_gif_dims(spark, sf_dir):
+    """Real GIF-LZW decode (operators/multimodal.py::_decode_gif —
+    variable-width codes, interlaced rows, decoy-global/real-local
+    color tables alternating by seed) over every document: dimensions
+    recovered from actual LZW streams must equal the synthesis formula
+    the oracle recomputes arithmetically. Genuine parse check — the
+    Spark side only ever sees compressed bytes."""
+    from .operators import multimodal as MM
+
+    docs = _load(spark, sf_dir, "documents")
+    media = MM.synth_media_gif(docs)
+    return MM.decode_image_features(media).select(
+        "media_id", "format", "width", "height", "n_channels"
+    )
+
+
 @register(
     "text_repetition",
     """

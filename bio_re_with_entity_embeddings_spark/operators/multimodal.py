@@ -12,11 +12,15 @@ need no external library — decoded with struct/NumPy only:
   inflate + NumPy unfiltering: 8-bit gray/RGB/palette/gray+alpha/RGBA,
   all five scanline filters (None/Sub/Up/Average/Paeth). Interlaced
   (Adam7) and 16-bit-depth images are rejected by header field.
+* GIF — a REAL from-scratch LZW decoder (GIF87a/89a): variable-width
+  codes with giflib-compatible width bumps, clear/EOI handling, the
+  cScSc special case, global AND local color tables, 4-pass row
+  interlace, extension-block skipping. First image frame decoded.
 * PCM16 WAV audio — sample rate, channels, duration, RMS amplitude.
 * video: modeled as a frame-indexed expansion plan (native explode)
   over per-frame payloads, each frame an image decode.
 
-Lossy/entropy codecs (JPEG/GIF-LZW/FLAC/MP4...) are detected by magic
+Lossy/entropy codecs (JPEG/FLAC/MP4...) are detected by magic
 number and rejected with ``NotImplementedError`` naming the format —
 the ONLY stubbed branch, because their decoders aren't in this
 environment; the dispatch, schema, partitioning, and Arrow batch shape
@@ -77,7 +81,6 @@ AUDIO_FEATURES = T.StructType(
 
 _COMPRESSED_MAGICS = [
     (b"\xff\xd8\xff", "jpeg"),
-    (b"GIF8", "gif"),
     (b"fLaC", "flac"),
     (b"\x00\x00\x00\x18ftyp", "mp4"),
     (b"\x00\x00\x00\x20ftyp", "mp4"),
@@ -95,7 +98,7 @@ def _reject_compressed(raw: bytes) -> None:
 
 def decode_image(raw: bytes) -> tuple[str, np.ndarray]:
     """(format, HxWxC uint8 array) for PPM (P6), PGM (P5),
-    uncompressed 24/32-bit BMP, and 8-bit PNG payloads."""
+    uncompressed 24/32-bit BMP, 8-bit PNG, and GIF payloads."""
     _reject_compressed(raw)
     if raw[:2] in (b"P6", b"P5"):
         return _decode_pnm(raw)
@@ -103,6 +106,8 @@ def decode_image(raw: bytes) -> tuple[str, np.ndarray]:
         return _decode_bmp(raw)
     if raw[:8] == _PNG_SIG:
         return _decode_png(raw)
+    if raw[:4] == b"GIF8":
+        return _decode_gif(raw)
     raise ValueError(f"unrecognized image container: {raw[:8]!r}")
 
 
@@ -327,6 +332,226 @@ def synth_png(seed: int) -> bytes:
     return encode_png(px)
 
 
+def _gif_interlace_rows(h: int) -> np.ndarray:
+    """Display-row order of GIF 4-pass interlaced storage: stored row j
+    is display row order[j] (passes start/step 0/8, 4/8, 2/4, 1/2)."""
+    return np.concatenate(
+        [np.arange(s, h, t) for s, t in ((0, 8), (4, 8), (2, 4), (1, 2))]
+    )
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, n_pixels: int) -> np.ndarray:
+    """GIF-flavor LZW: variable-width codes read LSB-first starting at
+    mcs+1 bits. The width bump runs AFTER each dictionary append, when
+    the table size reaches 2^width — the decoder's table is one entry
+    behind the encoder's, and this bookkeeping (giflib's RunningCode
+    counter) keeps both sides' widths in lockstep. ``code == len(table)``
+    is the standard cScSc self-reference case. The table freezes at
+    4096 entries until an explicit clear code."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = mcs + 1
+    acc = nbits = pos = 0
+    prev: bytes | None = None
+    out = bytearray()
+    while len(out) < n_pixels:
+        while nbits < code_size and pos < len(data):
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        if nbits < code_size:
+            raise ValueError("GIF LZW stream truncated")
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            raise ValueError("GIF pixel stream ended early")
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("corrupt GIF LZW stream")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        out += entry
+        prev = entry
+    return np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8)
+
+
+def _gif_lzw_encode(indices: np.ndarray, mcs: int) -> bytes:
+    """Inverse of ``_gif_lzw_decode``: a REAL growing-dictionary LZW
+    encoder (prefix map keyed by (prefix-code, symbol)), clear emitted
+    up front and whenever the table fills at 4096; width bumps after
+    the append, mirroring the decoder."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nbits = 0
+    code_size = mcs + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[tuple[int, int], int] = {}
+    next_slot = clear + 2
+    emit(clear)
+    w: int | None = None  # current prefix as its CODE
+    for k in indices.tolist():
+        if w is None:
+            w = k
+            continue
+        got = table.get((w, k))
+        if got is not None:
+            w = got
+            continue
+        emit(w)
+        table[(w, k)] = next_slot
+        if next_slot == (1 << code_size) and code_size < 12:
+            code_size += 1
+        next_slot += 1
+        if next_slot == 4096:
+            emit(clear)
+            table = {}
+            next_slot = clear + 2
+            code_size = mcs + 1
+        w = k
+    if w is not None:
+        emit(w)
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _decode_gif(raw: bytes) -> tuple[str, np.ndarray]:
+    """Real GIF87a/89a decode, stdlib + NumPy only: logical screen
+    descriptor, global color table, extension blocks skipped by their
+    sub-block framing, first image descriptor decoded (local color
+    table preferred when present, 4-pass interlace undone), palette
+    expanded to HxWx3. Animated GIFs yield their first frame — the
+    frame_sample_plan models multi-frame expansion."""
+    if raw[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    _sw, _sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", raw, 6)
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 1 << ((packed & 0x07) + 1)
+        gct = np.frombuffer(raw[i : i + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        i += 3 * n
+    while i < len(raw):
+        block = raw[i]
+        if block == 0x21:  # extension: label byte + framed sub-blocks
+            i += 2
+            while raw[i] != 0:
+                i += 1 + raw[i]
+            i += 1
+        elif block == 0x2C:
+            _l, _t, w, h, ip = struct.unpack_from("<HHHHB", raw, i + 1)
+            i += 10
+            pal = gct
+            if ip & 0x80:
+                n = 1 << ((ip & 0x07) + 1)
+                pal = np.frombuffer(
+                    raw[i : i + 3 * n], dtype=np.uint8
+                ).reshape(-1, 3)
+                i += 3 * n
+            if pal is None:
+                raise ValueError("GIF image without a color table")
+            mcs = raw[i]
+            i += 1
+            data = bytearray()
+            while raw[i] != 0:
+                ln = raw[i]
+                data += raw[i + 1 : i + 1 + ln]
+                i += 1 + ln
+            idx = _gif_lzw_decode(bytes(data), mcs, w * h).reshape(h, w)
+            if ip & 0x40:
+                out = np.empty_like(idx)
+                out[_gif_interlace_rows(h)] = idx
+                idx = out
+            return "gif", np.ascontiguousarray(pal[idx])
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image block")
+
+
+def encode_gif(
+    img: np.ndarray, interlace: bool = False, local_palette: bool = False
+) -> bytes:
+    """Minimal GIF89a encoder for fixtures/tests (real LZW, real
+    dictionary growth): palette from the image's distinct colors
+    (<= 256), optional 4-pass interlace, and with ``local_palette`` the
+    true palette moves to the image's LOCAL color table while a decoy
+    (inverted) GLOBAL table is emitted — a decode that ignores the LCT
+    cannot roundtrip. A graphic-control extension is always included so
+    decoders must skip extension framing."""
+    h, w, nch = img.shape
+    if nch == 1:
+        img = np.repeat(img, 3, axis=2)
+    palette, inverse = np.unique(img.reshape(-1, 3), axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("GIF encoder: more than 256 distinct colors")
+    bits = max(1, int(len(palette) - 1).bit_length())
+    pal = np.zeros((1 << bits, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    idx = inverse.reshape(-1).astype(np.uint8).reshape(h, w)
+    if interlace:
+        idx = idx[_gif_interlace_rows(h)]
+    mcs = max(2, bits)
+    lzw = _gif_lzw_encode(idx.reshape(-1), mcs)
+    buf = bytearray(b"GIF89a")
+    buf += struct.pack("<HHBBB", w, h, 0x80 | 0x70 | (bits - 1), 0, 0)
+    buf += (255 - pal).tobytes() if local_palette else pal.tobytes()
+    buf += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE (skipped on decode)
+    ip = (0x40 if interlace else 0) | (0x80 | (bits - 1) if local_palette else 0)
+    buf += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, ip)
+    if local_palette:
+        buf += pal.tobytes()
+    buf.append(mcs)
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        buf.append(len(chunk))
+        buf += chunk
+    buf += b"\x00\x3b"
+    return bytes(buf)
+
+
+def synth_gif(seed: int) -> bytes:
+    """Deterministic little GIF: same dimension formula as synth_ppm /
+    synth_png (shared arithmetic oracle), pixels drawn from a seeded
+    32-color palette; interlace and local-color-table paths alternate
+    by seed so the oracle fixture exercises both."""
+    w, h = 8 + (seed % 9), 6 + (seed % 5)
+    rng = np.random.RandomState((seed ^ 0x61F) & 0x7FFFFFFF)
+    pal = rng.randint(0, 256, size=(32, 3), dtype=np.uint8)
+    px = pal[rng.randint(0, 32, size=(h, w))]
+    return encode_gif(
+        px, interlace=bool(seed % 2), local_palette=bool(seed % 3 == 0)
+    )
+
+
 def decode_wav(raw: bytes) -> tuple[int, int, np.ndarray]:
     """(sample_rate, n_channels, samples float64 in [-1, 1]) for
     PCM16 RIFF/WAVE payloads."""
@@ -498,6 +723,26 @@ def synth_media_png(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             out = [
                 (str(int(d)), "image", synth_png(int(d)), "image/png")
+                for d in pdf["doc_id"].values
+            ]
+            yield pd.DataFrame(out, columns=["media_id", "modality", "payload", "mime"])
+
+    return docs.select(F.col("doc_id").cast("long").alias("doc_id")).mapInPandas(
+        run, MEDIA
+    )
+
+
+def synth_media_gif(docs: DataFrame) -> DataFrame:
+    """Deterministic media table where EVERY doc is a GIF payload
+    (synth_gif) — the fixture behind the mm_gif_dims oracle: the Spark
+    side must run the full LZW decode (variable-width codes, interlace,
+    local color tables) to recover dimensions the oracle recomputes
+    arithmetically."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                (str(int(d)), "image", synth_gif(int(d)), "image/gif")
                 for d in pdf["doc_id"].values
             ]
             yield pd.DataFrame(out, columns=["media_id", "modality", "payload", "mime"])

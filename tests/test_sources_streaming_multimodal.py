@@ -886,6 +886,122 @@ def test_png_palette_and_rejections():
             MM.decode_image(bad)
 
 
+def test_gif_roundtrip_paths():
+    """decode(encode) recovers exact pixels across the container
+    variants: sequential, 4-pass interlaced, decoy-global/real-local
+    color table, grayscale input, 2-color minimum palette, uniform."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    pal = rng.randint(0, 256, size=(32, 3), dtype=np.uint8)
+    img = pal[rng.randint(0, 32, size=(13, 17))]
+    for interlace in (False, True):
+        for local in (False, True):
+            fmt, dec = MM.decode_image(
+                MM.encode_gif(img, interlace=interlace, local_palette=local)
+            )
+            assert fmt == "gif"
+            np.testing.assert_array_equal(dec, img)
+    gray = rng.randint(0, 256, size=(9, 11, 1), dtype=np.uint8)
+    _, dec = MM.decode_image(MM.encode_gif(gray))
+    np.testing.assert_array_equal(dec, np.repeat(gray, 3, axis=2))
+    two = np.repeat(
+        np.where(rng.rand(7, 7, 1) > 0.5, 255, 0).astype(np.uint8), 3, axis=2
+    )
+    _, dec = MM.decode_image(MM.encode_gif(two))
+    np.testing.assert_array_equal(dec, two)
+    one = np.full((5, 6, 3), 7, dtype=np.uint8)
+    _, dec = MM.decode_image(MM.encode_gif(one, interlace=True))
+    np.testing.assert_array_equal(dec, one)
+
+
+def test_gif_hand_computed_lzw():
+    """Fixed byte sequence decoded against codes derived BY HAND from
+    the GIF89a spec (not from this codebase's encoder): mcs=2, code
+    stream [CLEAR, 1, 6, 1, EOI] packed LSB-first into 0x8C 0x53.
+    Code 6 == next table slot is the cScSc self-reference case, so the
+    hand fixture pins exactly the subtle branch."""
+    import struct as st
+
+    import numpy as np
+
+    pal = np.array(
+        [[0, 0, 0], [10, 20, 30], [40, 50, 60], [70, 80, 90]], dtype=np.uint8
+    )
+    raw = (
+        b"GIF89a"
+        + st.pack("<HHBBB", 2, 2, 0x80 | 0x70 | 1, 0, 0)
+        + pal.tobytes()
+        + b"\x2c" + st.pack("<HHHHB", 0, 0, 2, 2, 0)
+        + bytes([2])          # LZW min code size
+        + bytes([2, 0x8C, 0x53, 0])  # one sub-block + terminator
+        + b"\x3b"
+    )
+    fmt, img = MM.decode_image(raw)
+    assert fmt == "gif"
+    np.testing.assert_array_equal(img, np.tile(pal[1], (2, 2, 1)))
+
+
+def test_gif_width_growth_and_table_full():
+    """A 15,600-pixel noisy 200+-color image drives the LZW table
+    through every width bump to 12 bits and past 4096 entries, forcing
+    the encoder's mid-stream clear and the decoder's frozen-table wait;
+    pixels still roundtrip exactly (interlaced, too)."""
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    pal = np.unique(rng.randint(0, 256, size=(256, 3), dtype=np.uint8), axis=0)
+    img = pal[rng.randint(0, len(pal), size=(120, 130))]
+    for interlace in (False, True):
+        fmt, dec = MM.decode_image(MM.encode_gif(img, interlace=interlace))
+        np.testing.assert_array_equal(dec, img)
+
+
+def test_gif_extensions_87a_and_errors():
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    pal = rng.randint(0, 256, size=(8, 3), dtype=np.uint8)
+    img = pal[rng.randint(0, 8, size=(6, 7))]
+    raw = MM.encode_gif(img)
+    # splice an extra comment extension before the GCE the encoder
+    # already writes: both must be skipped by sub-block framing
+    gce = raw.index(b"\x21\xf9")
+    spliced = raw[:gce] + b"\x21\xfe\x03abc\x00" + raw[gce:]
+    _, dec = MM.decode_image(spliced)
+    np.testing.assert_array_equal(dec, img)
+    # GIF87a header variant decodes the same
+    _, dec = MM.decode_image(b"GIF87a" + raw[6:])
+    np.testing.assert_array_equal(dec, img)
+    # missing image block and truncated LZW stream raise, not misdecode
+    with pytest.raises(ValueError):
+        MM.decode_image(raw[: gce + 8] + b"\x3b")
+    with pytest.raises(ValueError):
+        MM._gif_lzw_decode(b"\x00", 2, 100)
+    # >256 distinct colors cannot be paletted
+    big = rng.randint(0, 256, size=(18, 18, 3), dtype=np.uint8)
+    assert len(np.unique(big.reshape(-1, 3), axis=0)) > 256
+    with pytest.raises(ValueError):
+        MM.encode_gif(big)
+
+
+def test_gif_features_through_spark(spark):
+    """synth_media_gif -> decode_image_features over real Spark: dims
+    follow the synthesis formula (the mm_gif_dims oracle's claim);
+    seeds alternate interlace and local-color-table paths."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = MM.synth_media_gif(docs.limit(40))
+    feats = MM.decode_image_features(media).toPandas()
+    assert len(feats) == 40
+    assert (feats["format"] == "gif").all()
+    for r in feats.itertuples():
+        seed = int(r.media_id)
+        assert (r.width, r.height, r.n_channels) == (
+            8 + seed % 9, 6 + seed % 5, 3,
+        )
+        assert len(r.thumbnail) == 64
+
+
 def test_png_features_through_spark(spark):
     """synth_media_png -> decode_image_features over real Spark: dims
     follow the synthesis formula (the mm_png_dims oracle's claim) and
