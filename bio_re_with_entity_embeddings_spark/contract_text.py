@@ -921,6 +921,32 @@ def mm_gif_dims(spark, sf_dir):
     )
 
 
+@register_extra(
+    "mm_jpeg_dims",
+    """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       'jpeg' AS format,
+       CAST(8 + doc_id % 9 AS INT) AS width,
+       CAST(6 + doc_id % 5 AS INT) AS height,
+       3 AS n_channels
+FROM documents
+""",
+)
+def mm_jpeg_dims(spark, sf_dir):
+    """Real baseline-JPEG decode (operators/jpeg.py::decode_jpeg —
+    Huffman tables read from the stream, 4:4:4/4:2:0 MCU interleave
+    and restart intervals alternating by seed) over every document:
+    dimensions recovered from actual entropy-coded scans must equal
+    the synthesis formula the oracle recomputes arithmetically."""
+    from .operators import multimodal as MM
+
+    docs = _load(spark, sf_dir, "documents")
+    media = MM.synth_media_jpeg(docs)
+    return MM.decode_image_features(media).select(
+        "media_id", "format", "width", "height", "n_channels"
+    )
+
+
 @register(
     "text_repetition",
     """

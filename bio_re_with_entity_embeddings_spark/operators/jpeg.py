@@ -1,0 +1,511 @@
+"""Baseline JPEG (ITU-T T.81 / JFIF) codec on stdlib + NumPy only.
+
+The decoder is REAL and general over baseline sequential files: marker
+walk (APPn/COM skipped by length), 8-bit DQT tables, SOF0/SOF1 frame
+headers with arbitrary per-component sampling factors (4:4:4, 4:2:0,
+4:2:2, ...), DHT canonical Huffman tables read FROM THE FILE, DRI
+restart intervals, interleaved-MCU entropy decode (DC prediction +
+category/extend, AC run-length with ZRL and EOB), 0xFF00 byte
+unstuffing, dequantize -> un-zigzag -> vectorized einsum IDCT per
+component, nearest-neighbor chroma upsampling and BT.601 YCbCr->RGB.
+Progressive (SOF2) and the arithmetic/hierarchical/lossless frame
+types are rejected by their marker with ``NotImplementedError`` —
+scoped, never silently misdecoded.
+
+The encoder exists for fixtures/tests (JPEG is lossy, so roundtrips
+assert tolerance, not equality): forward DCT + Annex-K-style
+quality-scaled quantization tables, 4:4:4 or 4:2:0 sampling, optional
+restart intervals, and self-describing FLAT canonical Huffman tables
+(every DC category at 4 bits, every AC run/size symbol at 8 bits —
+a valid incomplete code, emitted in DHT and therefore exercising the
+decoder's general table reader rather than a baked-in Annex K copy).
+
+Reference semantics parity: the reference pipeline has no multimodal
+surface at all; this module extends the engine's binary-column decode
+family (operators/multimodal.py) to the dominant real-world image
+codec so a 100-TB multimodal corpus needs no extra library for
+dims/intensity/thumbnail features.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag index -> natural (row-major) linear index, generated from the
+# diagonal walk of T.81 figure A.6 (even diagonals run bottom-left to
+# top-right).
+_ZZ = np.array(
+    [
+        (r * 8 + s - r)
+        for s in range(15)
+        for r in (
+            range(min(s, 7), max(0, s - 7) - 1, -1)
+            if s % 2 == 0
+            else range(max(0, s - 7), min(s, 7) + 1)
+        )
+    ],
+    dtype=np.int64,
+)
+
+# orthonormal DCT-II basis: C[u, x] = c(u) cos((2x+1) u pi / 16)
+_C = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+# Annex K base quantization tables (natural order)
+_QLUM = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.float64,
+)
+_QCHR = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.float64,
+)
+
+
+def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
+    s = 5000 / quality if quality < 50 else 200 - 2 * quality
+    return np.clip(np.floor((base * s + 50) / 100), 1, 255)
+
+
+# --- Huffman ---------------------------------------------------------------
+
+
+def _build_decode_table(bits: list[int], vals: bytes) -> dict:
+    """(length, code) -> symbol from the canonical (BITS, HUFFVAL)
+    spec encoding (T.81 C.2)."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+# flat fixture tables: DC categories 0..11 at 4 bits, AC symbols at 8
+_DC_SYMS = list(range(12))
+_AC_SYMS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_AC_BITS = [0] * 7 + [len(_AC_SYMS)] + [0] * 8
+_DC_ENC = {sym: (i, 4) for i, sym in enumerate(_DC_SYMS)}
+_AC_ENC = {sym: (i, 8) for i, sym in enumerate(_AC_SYMS)}
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            b = self.data[self.pos]
+            if b == 0xFF:
+                if self.data[self.pos + 1] != 0x00:
+                    raise ValueError("marker inside entropy-coded segment")
+                self.pos += 2
+            else:
+                self.pos += 1
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def expect_restart(self) -> None:
+        self.n = 0  # discard pad bits
+        if not (
+            self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
+
+def _decode_sym(r: _BitReader, table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _receive_extend(r: _BitReader, size: int) -> int:
+    if size == 0:
+        return 0
+    v = 0
+    for _ in range(size):
+        v = (v << 1) | r.read_bit()
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+# --- decoder ----------------------------------------------------------------
+
+
+def decode_jpeg(raw: bytes) -> np.ndarray:
+    """HxWx3 (or HxWx1 for grayscale files) uint8 from a baseline
+    sequential JPEG."""
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    restart = 0
+    frame = None
+    i = 2
+    while i < len(raw):
+        if raw[i] != 0xFF:
+            raise ValueError("marker sync lost")
+        m = raw[i + 1]
+        if m == 0xD8 or 0xD0 <= m <= 0xD7:  # SOI / stray RST
+            i += 2
+            continue
+        if m == 0xD9:  # EOI
+            break
+        ln = struct.unpack_from(">H", raw, i + 2)[0]
+        seg = raw[i + 4 : i + 2 + ln]
+        if m == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization table")
+                tbl = np.zeros(64)
+                tbl[_ZZ] = np.frombuffer(seg[j + 1 : j + 65], dtype=np.uint8)
+                qtables[tq] = tbl
+                j += 65
+        elif m == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                bits = list(seg[j + 1 : j + 17])
+                nv = sum(bits)
+                htables[(tc, th)] = _build_decode_table(
+                    bits, seg[j + 17 : j + 17 + nv]
+                )
+                j += 17 + nv
+        elif m in (0xC0, 0xC1):  # baseline / extended sequential
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = (h, w, comps)
+        elif m == 0xC2:
+            raise NotImplementedError("progressive JPEG (SOF2)")
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"JPEG frame type 0x{m:02x}")
+        elif m == 0xDD:  # DRI
+            restart = struct.unpack_from(">H", seg, 0)[0]
+        elif m == 0xDA:  # SOS: entropy-coded scan follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                sel[cid] = (tt >> 4, tt & 15)
+            return _decode_scan(
+                raw, i + 2 + ln, frame, sel, qtables, htables, restart
+            )
+        i += 2 + ln
+    raise ValueError("JPEG contains no scan")
+
+
+def _decode_scan(raw, pos, frame, sel, qtables, htables, restart):
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mx = -(-w // (8 * hmax))
+    my = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mx * c["h"]
+        c["bh"] = my * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64))
+        c["pred"] = 0
+    r = _BitReader(raw, pos)
+    since = 0
+    for myi in range(my):
+        for mxi in range(mx):
+            if restart and since == restart:
+                r.expect_restart()
+                since = 0
+                for c in comps:
+                    c["pred"] = 0
+            since += 1
+            for c in comps:
+                dct, act = sel[c["id"]]
+                dc_tbl = htables[(0, dct)]
+                ac_tbl = htables[(1, act)]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = np.zeros(64)
+                        t = _decode_sym(r, dc_tbl)
+                        c["pred"] += _receive_extend(r, t)
+                        blk[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_sym(r, ac_tbl)
+                            rr, ss = rs >> 4, rs & 15
+                            if ss == 0:
+                                if rr == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += rr
+                            blk[_ZZ[k]] = _receive_extend(r, ss)
+                            k += 1
+                        row = myi * c["v"] + by
+                        col = mxi * c["h"] + bx
+                        c["coef"][row * c["bw"] + col] = blk
+
+    planes = []
+    for c in comps:
+        q = qtables[c["tq"]]
+        f = (c["coef"] * q).reshape(-1, 8, 8)
+        px = np.einsum("ux,nuv,vy->nxy", _C, f, _C) + 128.0
+        px = np.clip(np.rint(px), 0, 255).astype(np.uint8)
+        plane = (
+            px.reshape(c["bh"], c["bw"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c["bh"] * 8, c["bw"] * 8)
+        )
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return planes[0][:, :, None]
+    y, cb, cr = (p.astype(np.float64) for p in planes)
+    rch = y + 1.402 * (cr - 128)
+    gch = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    bch = y + 1.772 * (cb - 128)
+    return np.clip(
+        np.rint(np.stack([rch, gch, bch], axis=2)), 0, 255
+    ).astype(np.uint8)
+
+
+# --- encoder (fixtures/tests) ----------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def pad(self) -> None:
+        while self.n:
+            self.write(1, 1)
+
+
+def _encode_block(wtr: _BitWriter, coef: np.ndarray, pred: int) -> int:
+    zz = coef[_ZZ].astype(np.int64)
+    diff = int(zz[0]) - pred
+    size = int(abs(diff)).bit_length()
+    code, ln = _DC_ENC[size]
+    wtr.write(code, ln)
+    if size:
+        wtr.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, l = _AC_ENC[0xF0]
+            wtr.write(c, l)
+            run -= 16
+        size = int(abs(v)).bit_length()
+        c, l = _AC_ENC[(run << 4) | size]
+        wtr.write(c, l)
+        wtr.write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if run:
+        c, l = _AC_ENC[0x00]
+        wtr.write(c, l)
+    return int(zz[0])
+
+
+def _plane_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(n_blocks_y * n_blocks_x, 64) quantized DCT coefficients of an
+    edge-padded plane."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    p = np.pad(plane.astype(np.float64), ((0, ph - h), (0, pw - w)), "edge")
+    blocks = (
+        p.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    ) - 128.0
+    f = np.einsum("ux,nxy,vy->nuv", _C, blocks, _C)
+    return np.rint(f.reshape(-1, 64) / q).astype(np.int64)
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 92,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF bytes for an HxWx{1,3} uint8 array. Grayscale
+    input emits a 1-component file; color emits YCbCr at 4:4:4 or
+    4:2:0. Huffman tables are the module's flat canonical fixtures,
+    written into DHT (self-describing stream)."""
+    h, w, nch = img.shape
+    qlum = _quality_scale(_QLUM, quality)
+    qchr = _quality_scale(_QCHR, quality)
+    if nch == 1:
+        planes = [img[:, :, 0].astype(np.float64)]
+        samp = [(1, 1)]
+        qsel = [0]
+    elif nch == 3:
+        rgb = img.astype(np.float64)
+        rch, gch, bch = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * rch + 0.587 * gch + 0.114 * bch
+        cb = -0.168736 * rch - 0.331264 * gch + 0.5 * bch + 128
+        cr = 0.5 * rch - 0.418688 * gch - 0.081312 * bch + 128
+        if subsampling == "4:4:4":
+            planes, samp = [y, cb, cr], [(1, 1), (1, 1), (1, 1)]
+        elif subsampling == "4:2:0":
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+            sub = []
+            for p in (cb, cr):
+                pp = np.pad(p, ((0, ph - h), (0, pw - w)), "edge")
+                sub.append(
+                    pp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+                )
+            planes, samp = [y, *sub], [(2, 2), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"unsupported subsampling {subsampling!r}")
+        qsel = [0, 1, 1]
+    else:
+        raise ValueError("encode_jpeg wants HxWx1 or HxWx3")
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mx = -(-w // (8 * hmax))
+    my = -(-h // (8 * vmax))
+    comp_blocks = []
+    for p, (sh, sv), qs in zip(planes, samp, qsel):
+        q = qlum if qs == 0 else qchr
+        # pad the plane so its block grid is exactly (my*sv, mx*sh)
+        th, tw = my * sv * 8, mx * sh * 8
+        pp = np.pad(
+            p,
+            ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+            "edge",
+        )
+        comp_blocks.append((_plane_blocks(pp, q), mx * sh))
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, q in ((0, qlum),) + (((1, qchr),) if nch == 3 else ()):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq)
+        out += q[_ZZ].astype(np.uint8).tobytes()
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * len(planes), 8, h, w, len(planes))
+    for ci, ((sh, sv), qs) in enumerate(zip(samp, qsel)):
+        out += bytes([ci + 1, (sh << 4) | sv, qs])
+    for tc, bits, syms in ((0, _DC_BITS, _DC_SYMS), (1, _AC_BITS, _AC_SYMS)):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(syms), tc << 4)
+        out += bytes(bits) + bytes(syms)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(planes), len(planes))
+    for ci in range(len(planes)):
+        out += bytes([ci + 1, 0])
+    out += b"\x00\x3f\x00"
+
+    wtr = _BitWriter()
+    preds = [0] * len(planes)
+    since = 0
+    rst = 0
+    for myi in range(my):
+        for mxi in range(mx):
+            if restart_interval and since == restart_interval:
+                wtr.pad()
+                wtr.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                since = 0
+                preds = [0] * len(planes)
+            since += 1
+            for ci, ((sh, sv), (blocks, bw)) in enumerate(
+                zip(samp, comp_blocks)
+            ):
+                for by in range(sv):
+                    for bx in range(sh):
+                        row = myi * sv + by
+                        col = mxi * sh + bx
+                        preds[ci] = _encode_block(
+                            wtr, blocks[row * bw + col], preds[ci]
+                        )
+    wtr.pad()
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def synth_jpeg(seed: int) -> bytes:
+    """Deterministic little JPEG: same dimension formula as synth_ppm /
+    synth_png / synth_gif (shared arithmetic oracle); a smooth gradient
+    plus seeded low-frequency bumps (JPEG-friendly content), sampling
+    and restart paths alternating by seed."""
+    w, h = 8 + (seed % 9), 6 + (seed % 5)
+    rng = np.random.RandomState((seed ^ 0x3A6) & 0x7FFFFFFF)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (yy * 7 + xx * 11) % 256
+    img = np.stack(
+        [(base + rng.randint(0, 40)) % 256 for _ in range(3)], axis=2
+    ).astype(np.uint8)
+    return encode_jpeg(
+        img,
+        quality=90,
+        subsampling="4:2:0" if seed % 2 else "4:4:4",
+        restart_interval=2 if seed % 3 == 0 else 0,
+    )

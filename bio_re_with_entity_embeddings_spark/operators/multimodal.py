@@ -16,11 +16,15 @@ need no external library — decoded with struct/NumPy only:
   codes with giflib-compatible width bumps, clear/EOI handling, the
   cScSc special case, global AND local color tables, 4-pass row
   interlace, extension-block skipping. First image frame decoded.
+* JPEG — a REAL baseline decoder (``operators/jpeg.py``): file-driven
+  Huffman tables, interleaved MCUs with arbitrary sampling factors,
+  restart intervals, vectorized IDCT, chroma upsampling, YCbCr->RGB.
+  Progressive (SOF2) rejected by marker.
 * PCM16 WAV audio — sample rate, channels, duration, RMS amplitude.
 * video: modeled as a frame-indexed expansion plan (native explode)
   over per-frame payloads, each frame an image decode.
 
-Lossy/entropy codecs (JPEG/FLAC/MP4...) are detected by magic
+Remaining entropy codecs (FLAC/MP4) are detected by magic
 number and rejected with ``NotImplementedError`` naming the format —
 the ONLY stubbed branch, because their decoders aren't in this
 environment; the dispatch, schema, partitioning, and Arrow batch shape
@@ -80,7 +84,6 @@ AUDIO_FEATURES = T.StructType(
 )
 
 _COMPRESSED_MAGICS = [
-    (b"\xff\xd8\xff", "jpeg"),
     (b"fLaC", "flac"),
     (b"\x00\x00\x00\x18ftyp", "mp4"),
     (b"\x00\x00\x00\x20ftyp", "mp4"),
@@ -108,6 +111,10 @@ def decode_image(raw: bytes) -> tuple[str, np.ndarray]:
         return _decode_png(raw)
     if raw[:4] == b"GIF8":
         return _decode_gif(raw)
+    if raw[:3] == b"\xff\xd8\xff":
+        from .jpeg import decode_jpeg
+
+        return "jpeg", decode_jpeg(raw)
     raise ValueError(f"unrecognized image container: {raw[:8]!r}")
 
 
@@ -743,6 +750,28 @@ def synth_media_gif(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             out = [
                 (str(int(d)), "image", synth_gif(int(d)), "image/gif")
+                for d in pdf["doc_id"].values
+            ]
+            yield pd.DataFrame(out, columns=["media_id", "modality", "payload", "mime"])
+
+    return docs.select(F.col("doc_id").cast("long").alias("doc_id")).mapInPandas(
+        run, MEDIA
+    )
+
+
+def synth_media_jpeg(docs: DataFrame) -> DataFrame:
+    """Deterministic media table where EVERY doc is a baseline JPEG
+    payload (operators/jpeg.py::synth_jpeg) — the fixture behind the
+    mm_jpeg_dims oracle: the Spark side must run the full baseline
+    decode (file-driven Huffman tables, 4:4:4/4:2:0 MCUs, restart
+    intervals alternating by seed) to recover dimensions the oracle
+    recomputes arithmetically."""
+    from .jpeg import synth_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                (str(int(d)), "image", synth_jpeg(int(d)), "image/jpeg")
                 for d in pdf["doc_id"].values
             ]
             yield pd.DataFrame(out, columns=["media_id", "modality", "payload", "mime"])

@@ -1002,6 +1002,108 @@ def test_gif_features_through_spark(spark):
         assert len(r.thumbnail) == 64
 
 
+def test_jpeg_uniform_exact_and_tolerance():
+    """Quality 100 means all-ones quantization tables, so a uniform
+    image is DC-only and roundtrips EXACTLY; smooth gradients at q95
+    stay within tight error bounds across 4:4:4, 4:2:0, restart
+    intervals, grayscale, and odd (non-multiple-of-16) dimensions."""
+    import numpy as np
+
+    from bio_re_with_entity_embeddings_spark.operators import jpeg as J
+
+    one = np.full((10, 14, 3), 77, dtype=np.uint8)
+    dec = J.decode_jpeg(J.encode_jpeg(one, quality=100))
+    np.testing.assert_array_equal(dec, one)
+
+    yy, xx = np.mgrid[0:23, 0:29]
+    img = np.stack(
+        [(yy * 3 + xx * 2) % 200 + 20, (yy * 2) % 180 + 30, (xx * 4) % 160 + 40],
+        axis=2,
+    ).astype(np.uint8)
+    for sub in ("4:4:4", "4:2:0"):
+        for ri in (0, 2):
+            dec = J.decode_jpeg(
+                J.encode_jpeg(img, quality=95, subsampling=sub, restart_interval=ri)
+            )
+            err = np.abs(dec.astype(int) - img.astype(int))
+            assert err.mean() < 3 and err.max() < 32, (sub, ri, err.max())
+    gray = ((yy * 5 + xx * 3) % 256).astype(np.uint8)[:, :, None]
+    dec = J.decode_jpeg(J.encode_jpeg(gray, quality=95))
+    assert dec.shape == gray.shape
+    assert np.abs(dec.astype(int) - gray.astype(int)).max() <= 2
+
+
+def test_jpeg_hand_built_stream():
+    """A JPEG assembled BY HAND from the T.81 spec, independent of this
+    codebase's encoder: custom single-code Huffman tables (one 1-bit DC
+    code for category 0, one 1-bit AC code for EOB), all-ones DQT, one
+    8x8 grayscale MCU whose scan is the hand-packed bits 0b00 padded
+    with ones (0x3F). DC diff 0 on an all-ones table decodes to a
+    uniform 128 block."""
+    import numpy as np
+
+    from bio_re_with_entity_embeddings_spark.operators import jpeg as J
+
+    raw = (
+        b"\xff\xd8"
+        + b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + b"\x01" * 64
+        + b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08" + (8).to_bytes(2, "big")
+        + (8).to_bytes(2, "big") + b"\x01" + bytes([1, 0x11, 0])
+        + b"\xff\xc4" + (20).to_bytes(2, "big") + b"\x00"
+        + bytes([1] + [0] * 15) + b"\x00"
+        + b"\xff\xc4" + (20).to_bytes(2, "big") + b"\x10"
+        + bytes([1] + [0] * 15) + b"\x00"
+        + b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01" + bytes([1, 0x00])
+        + b"\x00\x3f\x00"
+        + b"\x3f"
+        + b"\xff\xd9"
+    )
+    img = J.decode_jpeg(raw)
+    np.testing.assert_array_equal(img, np.full((8, 8, 1), 128, dtype=np.uint8))
+
+
+def test_jpeg_rejections_and_dispatch():
+    import struct as st
+
+    import numpy as np
+
+    from bio_re_with_entity_embeddings_spark.operators import jpeg as J
+
+    # progressive (SOF2) and 16-bit DQT are rejected by marker/field
+    sof2 = b"\xff\xd8\xff\xc2" + st.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes(
+        [1, 0x11, 0]
+    ) + b"\xff\xd9"
+    with pytest.raises(NotImplementedError):
+        J.decode_jpeg(sof2)
+    dqt16 = b"\xff\xd8\xff\xdb" + st.pack(">HB", 131, 0x10) + b"\x00" * 128 + b"\xff\xd9"
+    with pytest.raises(NotImplementedError):
+        J.decode_jpeg(dqt16)
+    with pytest.raises(ValueError):
+        J.decode_jpeg(b"\x89PNG")
+    # decode_image dispatches by SOI magic and returns the format tag
+    one = np.full((6, 9, 3), 200, dtype=np.uint8)
+    fmt, img = MM.decode_image(J.encode_jpeg(one, quality=100))
+    assert fmt == "jpeg"
+    np.testing.assert_array_equal(img, one)
+
+
+def test_jpeg_features_through_spark(spark):
+    """synth_media_jpeg -> decode_image_features over real Spark: dims
+    follow the synthesis formula (the mm_jpeg_dims oracle's claim);
+    seeds alternate 4:4:4 / 4:2:0 and restart intervals."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = MM.synth_media_jpeg(docs.limit(40))
+    feats = MM.decode_image_features(media).toPandas()
+    assert len(feats) == 40
+    assert (feats["format"] == "jpeg").all()
+    for r in feats.itertuples():
+        seed = int(r.media_id)
+        assert (r.width, r.height, r.n_channels) == (
+            8 + seed % 9, 6 + seed % 5, 3,
+        )
+        assert len(r.thumbnail) == 64
+
+
 def test_png_features_through_spark(spark):
     """synth_media_png -> decode_image_features over real Spark: dims
     follow the synthesis formula (the mm_png_dims oracle's claim) and
