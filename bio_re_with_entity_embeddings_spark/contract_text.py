@@ -947,6 +947,34 @@ def mm_jpeg_dims(spark, sf_dir):
     )
 
 
+@register_extra(
+    "mm_flac_audio",
+    """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END AS INT) AS n_channels,
+       CAST(1600 AS BIGINT) AS n_samples,
+       CAST(0.2 AS DOUBLE) AS duration_s
+FROM documents
+""",
+)
+def mm_flac_audio(spark, sf_dir):
+    """Real FLAC decode (operators/flac.py — Rice-coded FIXED-predictor
+    frames, mono/stereo/mid-side alternating by seed, CRC-8/16
+    verified) over every document: rate/channels/sample-count/duration
+    recovered from actual entropy-coded frames must equal the synthesis
+    formula the oracle recomputes arithmetically. A row only exists if
+    the full frame decode (including CRCs) succeeded; sample-exactness
+    vs the WAV twin fixture is pinned in the unit suite."""
+    from .operators import multimodal as MM
+
+    docs = _load(spark, sf_dir, "documents")
+    media = MM.synth_media_flac(docs)
+    return MM.decode_audio_features(media).select(
+        "media_id", "sample_rate", "n_channels", "n_samples", "duration_s"
+    )
+
+
 @register(
     "text_repetition",
     """

@@ -21,6 +21,9 @@ need no external library — decoded with struct/NumPy only:
   restart intervals, vectorized IDCT, chroma upsampling, YCbCr->RGB.
   Progressive (SOF2) rejected by marker.
 * PCM16 WAV audio — sample rate, channels, duration, RMS amplitude.
+* FLAC — a REAL lossless decoder (``operators/flac.py``): all subframe
+  types (CONSTANT/VERBATIM/FIXED/LPC), Rice residual partitions,
+  stereo decorrelation, CRC-8/CRC-16 verification.
 * video: modeled as a frame-indexed expansion plan (native explode)
   over per-frame payloads, each frame an image decode.
 
@@ -84,7 +87,6 @@ AUDIO_FEATURES = T.StructType(
 )
 
 _COMPRESSED_MAGICS = [
-    (b"fLaC", "flac"),
     (b"\x00\x00\x00\x18ftyp", "mp4"),
     (b"\x00\x00\x00\x20ftyp", "mp4"),
 ]
@@ -95,7 +97,8 @@ def _reject_compressed(raw: bytes) -> None:
         if raw.startswith(magic):
             raise NotImplementedError(
                 f"{name} decode needs a codec library (not in this env); "
-                "uncompressed PPM/PGM/BMP/WAV are decoded natively"
+                "PPM/PGM/BMP/PNG/GIF/JPEG images and WAV/FLAC audio are "
+                "decoded natively"
             )
 
 
@@ -587,6 +590,16 @@ def decode_wav(raw: bytes) -> tuple[int, int, np.ndarray]:
     raise ValueError("WAV data chunk not found")
 
 
+def decode_audio(raw: bytes) -> tuple[int, int, np.ndarray]:
+    """(sample_rate, n_channels, interleaved float64 in [-1, 1]) for
+    PCM16 WAV or native FLAC payloads, dispatched by magic."""
+    if raw[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        return decode_flac(raw)
+    return decode_wav(raw)
+
+
 def _thumbnail(img: np.ndarray, side: int = 8) -> np.ndarray:
     """8x8 grayscale thumbnail embedding via block averaging (area
     interpolation) — the classic perceptual-hash feature; returned as
@@ -641,14 +654,14 @@ def decode_image_features(media: DataFrame) -> DataFrame:
 
 
 def decode_audio_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched WAV decode -> AUDIO_FEATURES rows."""
+    """Arrow-batched WAV/FLAC decode -> AUDIO_FEATURES rows."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for media_id, payload in zip(pdf["media_id"].values, pdf["payload"].values):
                 raw = bytes(payload)
-                rate, nch, samples = decode_wav(raw)
+                rate, nch, samples = decode_audio(raw)
                 n = len(samples) // max(nch, 1)
                 rms = float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0
                 out.append(
@@ -772,6 +785,28 @@ def synth_media_jpeg(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             out = [
                 (str(int(d)), "image", synth_jpeg(int(d)), "image/jpeg")
+                for d in pdf["doc_id"].values
+            ]
+            yield pd.DataFrame(out, columns=["media_id", "modality", "payload", "mime"])
+
+    return docs.select(F.col("doc_id").cast("long").alias("doc_id")).mapInPandas(
+        run, MEDIA
+    )
+
+
+def synth_media_flac(docs: DataFrame) -> DataFrame:
+    """Deterministic media table where EVERY doc is a native-FLAC
+    payload (operators/flac.py::synth_flac — the SAME sine formula as
+    synth_wav, mono/stereo and mid/side alternating by seed) — the
+    fixture behind the mm_flac_audio oracle: the Spark side must
+    entropy-decode real Rice-coded frames (and pass their CRCs) to
+    produce any row at all."""
+    from .flac import synth_flac
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                (str(int(d)), "audio", synth_flac(int(d)), "audio/flac")
                 for d in pdf["doc_id"].values
             ]
             yield pd.DataFrame(out, columns=["media_id", "modality", "payload", "mime"])

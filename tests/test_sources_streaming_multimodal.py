@@ -1104,6 +1104,81 @@ def test_jpeg_features_through_spark(spark):
         assert len(r.thumbnail) == 64
 
 
+def test_flac_lossless_roundtrips():
+    """FLAC is lossless, so decode(encode) is BIT-EXACT: mono sine
+    (FIXED order-2 + Rice path), stereo independent, stereo mid/side,
+    constant blocks, white noise (VERBATIM fallback), and a sample
+    count that leaves a short final block."""
+    import numpy as np
+
+    from bio_re_with_entity_embeddings_spark.operators import flac as FL
+
+    rng = np.random.RandomState(5)
+    t = np.arange(1601)
+    mono = (np.sin(2 * np.pi * 150 * t / 8000) * 12000).astype(np.int64)
+    rate, ch, dec = FL.decode_flac(FL.encode_flac(mono, rate=8000))
+    assert (rate, ch) == (8000, 1)
+    np.testing.assert_array_equal(np.rint(dec * 32768).astype(np.int64), mono)
+    # compression is real, not verbatim framing
+    assert len(FL.encode_flac(mono)) < 2 * len(mono) * 0.7
+
+    st = np.stack([mono, (mono * 3) // 4], axis=1)
+    for ms in (False, True):
+        rate, ch, dec = FL.decode_flac(FL.encode_flac(st, rate=44100, mid_side=ms))
+        assert (rate, ch) == (44100, 2)
+        np.testing.assert_array_equal(
+            np.rint(dec * 32768).astype(np.int64).reshape(-1, 2), st
+        )
+
+    const = np.full(500, -1234, dtype=np.int64)
+    _, _, dec = FL.decode_flac(FL.encode_flac(const))
+    np.testing.assert_array_equal(np.rint(dec * 32768).astype(np.int64), const)
+    noise = rng.randint(-32768, 32768, size=700).astype(np.int64)
+    _, _, dec = FL.decode_flac(FL.encode_flac(noise))
+    np.testing.assert_array_equal(np.rint(dec * 32768).astype(np.int64), noise)
+
+
+def test_flac_crc_and_twin_parity():
+    """Any flipped bit inside a frame fails a CRC instead of
+    misdecoding; and the FLAC synthesis twin decodes to EXACTLY the
+    PCM of multimodal.synth_wav for the same seed (same formula), so
+    downstream RMS/duration features agree across the two codecs."""
+    import numpy as np
+
+    from bio_re_with_entity_embeddings_spark.operators import flac as FL
+
+    t = np.arange(1600)
+    mono = (np.sin(2 * np.pi * 150 * t / 8000) * 12000).astype(np.int64)
+    raw = bytearray(FL.encode_flac(mono))
+    raw[60] ^= 0x40
+    with pytest.raises(ValueError):
+        FL.decode_flac(bytes(raw))
+
+    for seed in (1, 7, 33):  # odd seeds -> mono, matching synth_wav
+        rate_f, ch_f, s_f = FL.decode_flac(FL.synth_flac(seed))
+        rate_w, ch_w, s_w = MM.decode_wav(MM.synth_wav(seed))
+        assert (rate_f, ch_f) == (rate_w, ch_w) == (8000, 1)
+        np.testing.assert_array_equal(s_f, s_w)
+
+
+def test_flac_features_through_spark(spark):
+    """synth_media_flac -> decode_audio_features over real Spark:
+    rate/channels/samples/duration follow the synthesis formula (the
+    mm_flac_audio oracle's claim) and RMS is positive (frames really
+    decoded)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = MM.synth_media_flac(docs.limit(30))
+    feats = MM.decode_audio_features(media).toPandas()
+    assert len(feats) == 30
+    for r in feats.itertuples():
+        seed = int(r.media_id)
+        assert r.sample_rate == 8000
+        assert r.n_channels == (1 if seed % 2 else 2)
+        assert r.n_samples == 1600
+        assert abs(r.duration_s - 0.2) < 1e-12
+        assert r.rms > 0.1
+
+
 def test_png_features_through_spark(spark):
     """synth_media_png -> decode_image_features over real Spark: dims
     follow the synthesis formula (the mm_png_dims oracle's claim) and
