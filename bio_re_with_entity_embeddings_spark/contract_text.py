@@ -975,6 +975,40 @@ def mm_flac_audio(spark, sf_dir):
     )
 
 
+@register_extra(
+    "mm_mp4_meta",
+    """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       'isom' AS brand,
+       round((24 + (doc_id % 7) * 12) * 25.0 / 600.0, 6) AS duration_s,
+       'vide' AS kind,
+       CAST(8 + doc_id % 9 AS INT) AS width,
+       CAST(6 + doc_id % 5 AS INT) AS height,
+       CAST(24 + (doc_id % 7) * 12 AS BIGINT) AS n_frames
+FROM documents
+""",
+)
+def mm_mp4_meta(spark, sf_dir):
+    """Real ISO-BMFF container walk (operators/mp4.py — v0/v1 movie
+    and track headers, 64-bit largesize boxes, skip boxes, 16.16
+    fixed-point dims, stts frame counts) over every document: track
+    metadata recovered from actual box structures must equal the
+    synthesis formula the oracle recomputes arithmetically."""
+    from .operators import multimodal as MM
+
+    docs = _load(spark, sf_dir, "documents")
+    media = MM.synth_media_mp4(docs)
+    return MM.decode_video_meta(media).select(
+        "media_id",
+        "brand",
+        F.round("duration_s", 6).alias("duration_s"),
+        "kind",
+        "width",
+        "height",
+        "n_frames",
+    )
+
+
 @register(
     "text_repetition",
     """

@@ -73,6 +73,21 @@ IMAGE_FEATURES = T.StructType(
     ]
 )
 
+VIDEO_META = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("brand", T.StringType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("track_id", T.IntegerType(), True),
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("payload_sha", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
 AUDIO_FEATURES = T.StructType(
     [
         T.StructField("media_id", T.StringType(), False),
@@ -682,6 +697,64 @@ def decode_audio_features(media: DataFrame) -> DataFrame:
     return media.where(F.col("modality") == "audio").select(
         "media_id", "payload"
     ).mapInPandas(run, AUDIO_FEATURES)
+
+
+def decode_video_meta(media: DataFrame) -> DataFrame:
+    """Arrow-batched ISO-BMFF box walk (operators/mp4.py) -> one
+    VIDEO_META row per track: brand, movie duration, track dims from
+    tkhd 16.16 fixed-point, frame counts from stts. Real container
+    parsing; only the sample-payload codecs stay out of scope (the
+    n_frames column feeds frame_sample_plan-style expansion)."""
+    from .mp4 import mp4_metadata
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"].values, pdf["payload"].values):
+                raw = bytes(payload)
+                meta = mp4_metadata(raw)
+                sha = hashlib.sha256(raw).hexdigest()
+                for t in meta["tracks"]:
+                    out.append(
+                        (
+                            media_id, meta["brand"], meta["duration_s"],
+                            t["track_id"], t["kind"], t["width"], t["height"],
+                            t["n_samples"], sha, len(raw),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "brand", "duration_s", "track_id", "kind",
+                    "width", "height", "n_frames", "payload_sha", "n_bytes",
+                ],
+            )
+
+    return media.where(F.col("modality") == "video").select(
+        "media_id", "payload"
+    ).mapInPandas(run, VIDEO_META)
+
+
+def synth_media_mp4(docs: DataFrame) -> DataFrame:
+    """Deterministic media table where EVERY doc is a minimal-valid
+    MP4 container (operators/mp4.py::synth_mp4) — the fixture behind
+    the mm_mp4_meta oracle: the Spark side must walk real box
+    structures (v0/v1 headers, 64-bit largesize, skip boxes) to
+    recover dims/duration/frame counts the oracle recomputes
+    arithmetically."""
+    from .mp4 import synth_mp4
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                (str(int(d)), "video", synth_mp4(int(d)), "video/mp4")
+                for d in pdf["doc_id"].values
+            ]
+            yield pd.DataFrame(out, columns=["media_id", "modality", "payload", "mime"])
+
+    return docs.select(F.col("doc_id").cast("long").alias("doc_id")).mapInPandas(
+        run, MEDIA
+    )
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:

@@ -1179,6 +1179,60 @@ def test_flac_features_through_spark(spark):
         assert r.rms > 0.1
 
 
+def test_mp4_container_walk():
+    """Real ISO-BMFF parsing: v0/v1 headers, 64-bit largesize, skip
+    boxes, 16.16 dims, two-entry stts sums; malformed sizes and
+    non-MP4 payloads raise instead of misparsing."""
+    import struct as st
+
+    from bio_re_with_entity_embeddings_spark.operators import mp4 as M4
+
+    for seed in range(15):
+        m = M4.mp4_metadata(M4.synth_mp4(seed))
+        t = m["tracks"][0]
+        assert m["brand"] == "isom"
+        nf = 24 + (seed % 7) * 12
+        assert abs(m["duration_s"] - nf * 25 / 600) < 1e-12
+        assert (t["track_id"], t["kind"], t["width"], t["height"], t["n_samples"]) == (
+            1, "vide", 8 + seed % 9, 6 + seed % 5, nf,
+        )
+    with pytest.raises(ValueError):
+        M4.mp4_metadata(b"\x00\x00\x00\x08abcd")
+    bad = M4.synth_mp4(0)
+    idx = bad.index(b"moov") - 4
+    with pytest.raises(ValueError):
+        M4.mp4_metadata(bad[:idx] + st.pack(">I", 1 << 30) + bad[idx + 4 :])
+
+
+def test_mp4_meta_through_spark(spark):
+    """synth_media_mp4 -> decode_video_meta over real Spark: track
+    metadata follows the synthesis formula (the mm_mp4_meta oracle's
+    claim); n_frames feeds frame expansion."""
+    from pyspark.sql import functions as SF
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = MM.synth_media_mp4(docs.limit(25))
+    meta = MM.decode_video_meta(media)
+    rows = meta.toPandas()
+    assert len(rows) == 25
+    for r in rows.itertuples():
+        seed = int(r.media_id)
+        assert (r.kind, r.width, r.height, r.n_frames) == (
+            "vide", 8 + seed % 9, 6 + seed % 5, 24 + (seed % 7) * 12,
+        )
+    # the real frame counts drive a native frame expansion
+    frames = meta.select(
+        "media_id",
+        SF.explode(
+            SF.sequence(SF.lit(0), SF.col("n_frames") - 1, SF.lit(10))
+        ).alias("frame_idx"),
+    )
+    got = frames.groupBy("media_id").count().toPandas()
+    for r in got.itertuples():
+        seed = int(r.media_id)
+        assert r.count == -(-(24 + (seed % 7) * 12) // 10)
+
+
 def test_png_features_through_spark(spark):
     """synth_media_png -> decode_image_features over real Spark: dims
     follow the synthesis formula (the mm_png_dims oracle's claim) and
