@@ -233,13 +233,20 @@ def decode_flac(raw: bytes) -> tuple[int, int, np.ndarray]:
             block = r.read(16) + 1
         else:
             block = 256 << (bs_code - 8)
+        if sr_code == 15:
+            raise ValueError("invalid FLAC sample rate code 15")
         if sr_code == 12:
-            r.read(8)
-        elif sr_code in (13, 14):
-            r.read(16)
-        rate = si_rate if sr_code in (0, 15) else (
-            _RATES[sr_code] if sr_code < 12 else si_rate
-        )
+            frame_rate = r.read(8) * 1000
+        elif sr_code == 13:
+            frame_rate = r.read(16)
+        elif sr_code == 14:
+            frame_rate = r.read(16) * 10
+        elif sr_code == 0:
+            frame_rate = si_rate
+        else:
+            frame_rate = _RATES[sr_code]
+        if frame_rate != si_rate:
+            raise ValueError("FLAC frame sample rate != STREAMINFO")
         bps = si_bps if ss_code == 0 else _SAMPLE_SIZES.get(ss_code)
         if bps is None:
             raise ValueError(f"reserved FLAC sample size code {ss_code}")

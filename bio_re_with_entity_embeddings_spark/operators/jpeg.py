@@ -191,7 +191,10 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
         if raw[i] != 0xFF:
             raise ValueError("marker sync lost")
         m = raw[i + 1]
-        if m == 0xD8 or 0xD0 <= m <= 0xD7:  # SOI / stray RST
+        if m == 0xFF:  # optional fill byte before a marker (B.1.1.2)
+            i += 1
+            continue
+        if m == 0xD8 or m == 0x01 or 0xD0 <= m <= 0xD7:  # SOI/TEM/stray RST
             i += 2
             continue
         if m == 0xD9:  # EOI
