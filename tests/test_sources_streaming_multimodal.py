@@ -1161,6 +1161,63 @@ def test_flac_crc_and_twin_parity():
         np.testing.assert_array_equal(s_f, s_w)
 
 
+def test_flac_lpc_and_wasted_bits_hand_frame():
+    """The fixture encoder never emits LPC subframes or wasted-bits
+    fields, so pin those decoder branches with a frame hand-assembled
+    from the spec: order-1 LPC (coef 3, shift 2, precision 5) over a
+    15-bit signal with 1 wasted bit; expectation computed independently
+    with plain Python arithmetic."""
+    import numpy as np
+
+    from bio_re_with_entity_embeddings_spark.operators import flac as FL
+
+    # STREAMINFO header for mono/16-bit/8 samples via the encoder...
+    head = FL.encode_flac(np.zeros(8, dtype=np.int64), rate=8000)[:42]
+    # ...then a hand-built frame replaces the encoder's own.
+    w = FL._BitW()
+    w.write(0x3FFE, 14)
+    w.write(0, 2)        # reserved + fixed-blocksize strategy
+    w.write(6, 4)        # block size: 8-bit value follows
+    w.write(0, 4)        # sample rate: STREAMINFO
+    w.write(0, 4)        # mono
+    w.write(4, 3)        # 16-bit samples
+    w.write(0, 1)
+    w.write(0, 8)        # frame number 0 (UTF-8)
+    w.write(7, 8)        # block size 8 - 1
+    w.pad()
+    w.write(FL._crc8(bytes(w.out)), 8)
+    w.write(0, 1)        # subframe pad bit
+    w.write(32, 6)       # LPC, order 1
+    w.write(1, 1)        # wasted-bits flag...
+    w.write(1, 1)        # ...unary 0 -> 1 wasted bit, effective bps 15
+    w.write(100, 15)     # warmup sample (shifted-right domain)
+    w.write(4, 4)        # precision 5 (-1 coded)
+    w.write(2, 5)        # shift 2
+    w.write(3, 5)        # coefficient +3
+    w.write(0, 2)        # residual method 0 (4-bit Rice)
+    w.write(0, 4)        # partition order 0
+    w.write(2, 4)        # rice parameter 2
+    residuals = [5, -3, 0, 7, -1, 2, -6]
+    for v in residuals:
+        u = (v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1
+        w.write(1, (u >> 2) + 1)
+        w.write(u & 3, 2)
+    w.pad()
+    w.write(FL._crc16(bytes(w.out)), 16)
+    raw = head + bytes(w.out)
+
+    expected = [100]
+    for r in residuals:
+        expected.append(((3 * expected[-1]) >> 2) + r)
+    expected = [v << 1 for v in expected]  # wasted bit restored
+
+    rate, ch, dec = FL.decode_flac(raw)
+    assert (rate, ch) == (8000, 1)
+    np.testing.assert_array_equal(
+        np.rint(dec * 32768).astype(np.int64), np.array(expected)
+    )
+
+
 def test_flac_features_through_spark(spark):
     """synth_media_flac -> decode_audio_features over real Spark:
     rate/channels/samples/duration follow the synthesis formula (the
