@@ -292,6 +292,8 @@ def _decode_scan(raw, pos, frame, sel, qtables, htables, restart):
                                     continue
                                 break  # EOB
                             k += rr
+                            if k > 63:
+                                raise ValueError("JPEG AC index overrun")
                             blk[_ZZ[k]] = _receive_extend(r, ss)
                             k += 1
                         row = myi * c["v"] + by
