@@ -189,3 +189,54 @@ def test_winnow_text_shared_substring_guarantee(prefix, suffix, shared):
     assert len(a) <= len(norm.encode()) - k + 1
     assert winnow_text("hi", k, w) is None
     assert winnow_text(None, k, w) is None
+
+
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=1, max_size=500),
+    st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_flac_roundtrip_property(pcm, stereo):
+    """FLAC encode/decode is the identity on ANY int16 PCM (lossless
+    for arbitrary content, not just the sine fixtures): extreme values,
+    constant runs, single samples, short final blocks, mid/side."""
+    import numpy as np
+
+    from bio_re_with_entity_embeddings_spark.operators import flac as FL
+
+    vals = np.array(pcm, dtype=np.int64)
+    if stereo:
+        vals = np.stack([vals, vals[::-1]], axis=1)
+    rate, ch, dec = FL.decode_flac(FL.encode_flac(vals, rate=8000))
+    assert ch == (2 if stereo else 1)
+    got = np.rint(dec * 32768).astype(np.int64)
+    if stereo:
+        got = got.reshape(-1, 2)
+    np.testing.assert_array_equal(got, vals)
+
+
+@given(
+    st.integers(2, 40),   # width
+    st.integers(2, 40),   # height
+    st.integers(2, 200),  # palette size
+    st.integers(0, 2**31 - 1),
+    st.booleans(),
+    st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_roundtrip_property(w, h, npal, seed, interlace, local):
+    """GIF encode/decode is the identity on ANY <=256-color image:
+    arbitrary dims (interlace pass boundaries), palette sizes crossing
+    every LZW width, both color-table placements."""
+    import numpy as np
+
+    from bio_re_with_entity_embeddings_spark.operators import multimodal as MM
+
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, size=(npal, 3), dtype=np.uint8)
+    img = pal[rng.randint(0, npal, size=(h, w))]
+    fmt, dec = MM.decode_image(
+        MM.encode_gif(img, interlace=interlace, local_palette=local)
+    )
+    assert fmt == "gif"
+    np.testing.assert_array_equal(dec, img)
