@@ -165,6 +165,31 @@ def cmd_extract_vectors(args) -> int:
     return 0
 
 
+def cmd_media_features(args) -> int:
+    """Multimodal feature extraction (operators/multimodal.py): one
+    pass over a media table (media_id, modality, payload, mime) writes
+    per-modality feature tables — image dims/intensity/thumbnails
+    (PPM/PGM/BMP/PNG/GIF/JPEG), audio rate/duration/RMS (WAV/FLAC),
+    video track metadata (MP4 box walk). Decodes run partition-
+    parallel in Arrow batches; a payload a decoder cannot handle fails
+    the job loudly rather than emitting a silent null row."""
+    from .operators import multimodal as MM
+
+    spark = _spark(args)
+    media = spark.read.parquet(args.input)
+    MM.decode_image_features(media).write.mode("overwrite").parquet(
+        f"{args.output_dir}/image_features"
+    )
+    MM.decode_audio_features(media).write.mode("overwrite").parquet(
+        f"{args.output_dir}/audio_features"
+    )
+    MM.decode_video_meta(media).write.mode("overwrite").parquet(
+        f"{args.output_dir}/video_meta"
+    )
+    print(f"media features -> {args.output_dir}", file=sys.stderr)
+    return 0
+
+
 def cmd_curate(args) -> int:
     """The composed LLM-corpus curation chain (plans/curation.py):
     quality gate -> exact dedup -> minhash keepers -> decontamination
@@ -317,6 +342,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--tag_col", default="entity_id")
     sp.add_argument("--vec_col", default="embedding")
     sp.set_defaults(fn=cmd_extract_vectors)
+
+    sp = sub.add_parser("media-features")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output_dir", required=True)
+    sp.set_defaults(fn=cmd_media_features)
 
     sp = sub.add_parser("curate")
     sp.add_argument("--input", required=True,

@@ -178,3 +178,31 @@ def test_cli_train_embeddings_config_file(spark, tmp_path):
     out = spark.read.parquet(emb_path)
     assert out.count() == 2
     assert len(out.first()["embedding"]) == 8  # vector_size from config
+
+
+def test_cli_media_features(spark, world, tmp_path_factory):
+    """media-features writes the three per-modality feature tables
+    from one mixed media table whose payloads span every real decoder
+    (JPEG image, FLAC audio, MP4 video)."""
+    from bio_re_with_entity_embeddings_spark.operators import multimodal as MM
+
+    base = tmp_path_factory.mktemp("media")
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet").limit(18)
+    media = (
+        MM.synth_media_jpeg(docs.limit(6))
+        .unionByName(MM.synth_media_flac(docs.offset(6).limit(6)))
+        .unionByName(MM.synth_media_mp4(docs.offset(12).limit(6)))
+    )
+    media_path = str(base / "media")
+    media.write.parquet(media_path)
+    rc = cli.main([
+        "media-features", "--input", media_path,
+        "--output_dir", str(base / "features"),
+    ])
+    assert rc == 0
+    img = spark.read.parquet(str(base / "features" / "image_features"))
+    aud = spark.read.parquet(str(base / "features" / "audio_features"))
+    vid = spark.read.parquet(str(base / "features" / "video_meta"))
+    assert img.count() == 6 and (img.toPandas()["format"] == "jpeg").all()
+    assert aud.count() == 6 and (aud.toPandas()["sample_rate"] == 8000).all()
+    assert vid.count() == 6 and (vid.toPandas()["kind"] == "vide").all()
