@@ -467,31 +467,38 @@ def _gif_lzw_encode(indices: np.ndarray, mcs: int) -> bytes:
     return bytes(out)
 
 
-def _decode_gif(raw: bytes) -> tuple[str, np.ndarray]:
-    """Real GIF87a/89a decode, stdlib + NumPy only: logical screen
-    descriptor, global color table, extension blocks skipped by their
-    sub-block framing, first image descriptor decoded (local color
-    table preferred when present, 4-pass interlace undone), palette
-    expanded to HxWx3. Animated GIFs yield their first frame — the
-    frame_sample_plan models multi-frame expansion."""
+def _gif_images(raw: bytes):
+    """Walk a GIF87a/89a stream: yields one (left, top, index_array,
+    palette, transparent_idx) per image block, with graphic-control
+    transparency tracked and all other extensions skipped by their
+    sub-block framing. Returns (screen_w, screen_h) via StopIteration
+    is awkward, so the logical screen is parsed by callers from the
+    LSD directly (bytes 6..12)."""
     if raw[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
-    _sw, _sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", raw, 6)
+    packed = raw[10]
     i = 13
     gct = None
     if packed & 0x80:
         n = 1 << ((packed & 0x07) + 1)
         gct = np.frombuffer(raw[i : i + 3 * n], dtype=np.uint8).reshape(-1, 3)
         i += 3 * n
+    transparent = None
     while i < len(raw):
         block = raw[i]
         if block == 0x21:  # extension: label byte + framed sub-blocks
+            label = raw[i + 1]
             i += 2
+            if label == 0xF9 and raw[i] >= 4:  # graphic control
+                if raw[i + 1] & 0x01:
+                    transparent = raw[i + 4]
+                else:
+                    transparent = None
             while raw[i] != 0:
                 i += 1 + raw[i]
             i += 1
         elif block == 0x2C:
-            _l, _t, w, h, ip = struct.unpack_from("<HHHHB", raw, i + 1)
+            left, top, w, h, ip = struct.unpack_from("<HHHHB", raw, i + 1)
             i += 10
             pal = gct
             if ip & 0x80:
@@ -509,17 +516,53 @@ def _decode_gif(raw: bytes) -> tuple[str, np.ndarray]:
                 ln = raw[i]
                 data += raw[i + 1 : i + 1 + ln]
                 i += 1 + ln
+            i += 1  # sub-block terminator
             idx = _gif_lzw_decode(bytes(data), mcs, w * h).reshape(h, w)
             if ip & 0x40:
                 out = np.empty_like(idx)
                 out[_gif_interlace_rows(h)] = idx
                 idx = out
-            return "gif", np.ascontiguousarray(pal[idx])
+            yield left, top, idx, pal, transparent
+            transparent = None  # GCE applies to ONE following image
         elif block == 0x3B:
-            break
+            return
         else:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
+
+
+def _decode_gif(raw: bytes) -> tuple[str, np.ndarray]:
+    """Real GIF87a/89a decode, stdlib + NumPy only: logical screen
+    descriptor, global color table, extension blocks skipped by their
+    sub-block framing, first image descriptor decoded (local color
+    table preferred when present, 4-pass interlace undone), palette
+    expanded to HxWx3. For animated files ``gif_frames`` composites
+    every frame."""
+    for _left, _top, idx, pal, _tr in _gif_images(raw):
+        return "gif", np.ascontiguousarray(pal[idx])
     raise ValueError("GIF contains no image block")
+
+
+def gif_frames(raw: bytes) -> list[np.ndarray]:
+    """All frames of an (animated) GIF as full logical-screen HxWx3
+    canvases: each image block is pasted at its (left, top) offset
+    over the previous canvas, honoring graphic-control transparency
+    (transparent pixels keep the underlying canvas — the do-not-
+    dispose compositing that GIF optimizers assume)."""
+    sw, sh = struct.unpack_from("<HH", raw, 6)
+    canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+    frames = []
+    for left, top, idx, pal, transparent in _gif_images(raw):
+        h, w = idx.shape
+        region = canvas[top : top + h, left : left + w]
+        px = pal[idx]
+        if transparent is not None:
+            keep = idx == transparent
+            px = np.where(keep[:, :, None], region, px)
+        canvas[top : top + h, left : left + w] = px
+        frames.append(canvas.copy())
+    if not frames:
+        raise ValueError("GIF contains no image block")
+    return frames
 
 
 def encode_gif(

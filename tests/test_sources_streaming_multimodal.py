@@ -1002,6 +1002,51 @@ def test_gif_features_through_spark(spark):
         assert len(r.thumbnail) == 64
 
 
+def test_gif_animated_frames_offsets_transparency():
+    """gif_frames composites every image block onto the logical
+    screen: a second frame spliced at an (left, top) offset with a
+    transparent color keeps the underlying first-frame pixels exactly
+    where the transparency mask says so (do-not-dispose semantics)."""
+    import struct as st
+
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    pal = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    f1 = pal[rng.randint(0, 16, size=(14, 20))]
+    g1 = MM.encode_gif(f1)
+
+    x = np.array([9, 9, 9], dtype=np.uint8)   # transparent color
+    y = np.array([200, 10, 30], dtype=np.uint8)
+    patch = np.where(
+        (np.arange(30).reshape(5, 6) % 3 == 0)[:, :, None], x, y
+    ).astype(np.uint8)
+    # local_palette: the splice drops g2's header (and with it the
+    # global table), so frame 2 must carry its palette as an LCT
+    g2 = MM.encode_gif(patch, local_palette=True)
+    colors = np.unique(patch.reshape(-1, 3), axis=0)
+    t_idx = int(np.where((colors == x).all(axis=1))[0][0])
+
+    seg = bytearray(g2[g2.index(b"\x21\xf9") : -1])  # GCE..image, no trailer
+    seg[3] |= 0x01          # transparency flag
+    seg[6] = t_idx          # transparent index
+    desc = seg.index(0x2C)
+    seg[desc + 1 : desc + 5] = st.pack("<HH", 3, 2)  # left=3, top=2
+    two = g1[:-1] + bytes(seg) + b"\x3b"
+
+    frames = MM.gif_frames(two)
+    assert len(frames) == 2
+    np.testing.assert_array_equal(frames[0], f1)
+    expected = f1.copy()
+    region = expected[2:7, 3:9]
+    mask = (patch == x).all(axis=2)
+    expected[2:7, 3:9] = np.where(mask[:, :, None], region, patch)
+    np.testing.assert_array_equal(frames[1], expected)
+    # single-frame decode still returns the FIRST frame
+    _, first = MM.decode_image(two)
+    np.testing.assert_array_equal(first, f1)
+
+
 def test_jpeg_uniform_exact_and_tolerance():
     """Quality 100 means all-ones quantization tables, so a uniform
     image is DC-only and roundtrips EXACTLY; smooth gradients at q95
