@@ -1,24 +1,31 @@
 """Baseline JPEG (ITU-T T.81 / JFIF) codec on stdlib + NumPy only.
 
-The decoder is REAL and general over baseline sequential files: marker
-walk (APPn/COM skipped by length), 8-bit DQT tables, SOF0/SOF1 frame
-headers with arbitrary per-component sampling factors (4:4:4, 4:2:0,
-4:2:2, ...), DHT canonical Huffman tables read FROM THE FILE, DRI
-restart intervals, interleaved-MCU entropy decode (DC prediction +
-category/extend, AC run-length with ZRL and EOB), 0xFF00 byte
-unstuffing, dequantize -> un-zigzag -> vectorized einsum IDCT per
-component, nearest-neighbor chroma upsampling and BT.601 YCbCr->RGB.
-Progressive (SOF2) and the arithmetic/hierarchical/lossless frame
-types are rejected by their marker with ``NotImplementedError`` —
-scoped, never silently misdecoded.
+The decoder is REAL and general over baseline, extended-sequential,
+and progressive spectral-selection files: marker walk (APPn/COM
+skipped by length), 8-bit DQT tables, SOF0/1/2 frame headers with
+arbitrary per-component sampling factors (4:4:4, 4:2:0, 4:2:2, ...),
+DHT canonical Huffman tables read FROM THE FILE, DRI restart
+intervals, interleaved-MCU and non-interleaved (single-component)
+entropy decode (DC prediction + category/extend, AC run-length with
+ZRL/EOB, progressive EOBn block runs), 0xFF00 byte unstuffing, every
+scan accumulating into one coefficient store, then dequantize ->
+un-zigzag -> vectorized einsum IDCT per component, nearest-neighbor
+chroma upsampling and BT.601 YCbCr->RGB. Progressive SUCCESSIVE
+APPROXIMATION (Ah/Al != 0) and the arithmetic/hierarchical/lossless
+frame types are rejected by their header fields with
+``NotImplementedError`` — scoped, never silently misdecoded.
 
-The encoder exists for fixtures/tests (JPEG is lossy, so roundtrips
-assert tolerance, not equality): forward DCT + Annex-K-style
+The encoders exist for fixtures/tests (JPEG is lossy, so sequential
+roundtrips assert tolerance): forward DCT + Annex-K-style
 quality-scaled quantization tables, 4:4:4 or 4:2:0 sampling, optional
 restart intervals, and self-describing FLAT canonical Huffman tables
-(every DC category at 4 bits, every AC run/size symbol at 8 bits —
-a valid incomplete code, emitted in DHT and therefore exercising the
-decoder's general table reader rather than a baked-in Annex K copy).
+(every DC category at 4 bits, every AC run/size/EOBn symbol at 8
+bits — a valid incomplete code, emitted in DHT and therefore
+exercising the decoder's general table reader rather than a baked-in
+Annex K copy). ``encode_jpeg_progressive`` emits the SAME quantized
+coefficients as the sequential encoder across a DC scan + per-band AC
+scans with accumulated EOB runs, so progressive-vs-baseline decode
+equality is exact and pinned in tests.
 
 Reference semantics parity: the reference pipeline has no multimodal
 surface at all; this module extends the engine's binary-column decode
@@ -114,10 +121,13 @@ def _build_decode_table(bits: list[int], vals: bytes) -> dict:
 
 
 # flat fixture tables: DC categories 0..11 at 4 bits, AC symbols at 8
+# (run/size pairs, ZRL, EOB, and the progressive EOBn run symbols)
 _DC_SYMS = list(range(12))
-_AC_SYMS = [0x00, 0xF0] + [
-    (r << 4) | s for r in range(16) for s in range(1, 11)
-]
+_AC_SYMS = (
+    [0x00, 0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [r << 4 for r in range(1, 15)]
+)
 _DC_BITS = [0, 0, 0, 12] + [0] * 12
 _AC_BITS = [0] * 7 + [len(_AC_SYMS)] + [0] * 8
 _DC_ENC = {sym: (i, 4) for i, sym in enumerate(_DC_SYMS)}
@@ -178,14 +188,19 @@ def _receive_extend(r: _BitReader, size: int) -> int:
 
 
 def decode_jpeg(raw: bytes) -> np.ndarray:
-    """HxWx3 (or HxWx1 for grayscale files) uint8 from a baseline
-    sequential JPEG."""
+    """HxWx3 (or HxWx1 for grayscale files) uint8 from a baseline,
+    extended-sequential, or progressive (spectral-selection) JPEG.
+    Every scan accumulates into one persistent per-component
+    coefficient store; reconstruction (dequantize -> IDCT -> upsample
+    -> color) runs once at EOI. Progressive successive approximation
+    (Ah/Al != 0) is rejected by the scan-header field."""
     if raw[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     restart = 0
     frame = None
+    scanned = False
     i = 2
     while i < len(raw):
         if raw[i] != 0xFF:
@@ -221,7 +236,7 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
                     bits, seg[j + 17 : j + 17 + nv]
                 )
                 j += 17 + nv
-        elif m in (0xC0, 0xC1):  # baseline / extended sequential
+        elif m in (0xC0, 0xC1, 0xC2):  # baseline / ext. sequential / prog.
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
@@ -229,9 +244,7 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = (h, w, comps)
-        elif m == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2)")
+            frame = _init_frame(h, w, comps, progressive=(m == 0xC2))
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"JPEG frame type 0x{m:02x}")
         elif m == 0xDD:  # DRI
@@ -239,20 +252,16 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
         elif m == 0xDA:  # SOS: entropy-coded scan follows
             if frame is None:
                 raise ValueError("SOS before SOF")
-            ns = seg[0]
-            sel = {}
-            for c in range(ns):
-                cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                sel[cid] = (tt >> 4, tt & 15)
-            return _decode_scan(
-                raw, i + 2 + ln, frame, sel, qtables, htables, restart
-            )
+            i = _decode_scan(raw, i + 2 + ln, seg, frame, htables, restart)
+            scanned = True
+            continue
         i += 2 + ln
-    raise ValueError("JPEG contains no scan")
+    if frame is None or not scanned:
+        raise ValueError("JPEG contains no scan")
+    return _reconstruct(frame, qtables)
 
 
-def _decode_scan(raw, pos, frame, sel, qtables, htables, restart):
-    h, w, comps = frame
+def _init_frame(h, w, comps, progressive):
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mx = -(-w // (8 * hmax))
@@ -260,12 +269,85 @@ def _decode_scan(raw, pos, frame, sel, qtables, htables, restart):
     for c in comps:
         c["bw"] = mx * c["h"]
         c["bh"] = my * c["v"]
+        # non-interleaved (single-component) scans cover the grid of
+        # the component's OWN sample dims, not the MCU-rounded grid
+        cw = -(-(w * c["h"]) // hmax)
+        ch_ = -(-(h * c["v"]) // vmax)
+        c["nbw"] = -(-cw // 8)
+        c["nbh"] = -(-ch_ // 8)
         c["coef"] = np.zeros((c["bh"] * c["bw"], 64))
-        c["pred"] = 0
+    return {
+        "h": h, "w": w, "comps": comps, "hmax": hmax, "vmax": vmax,
+        "mx": mx, "my": my, "progressive": progressive,
+    }
+
+
+def _receive(r: _BitReader, n: int) -> int:
+    v = 0
+    for _ in range(n):
+        v = (v << 1) | r.read_bit()
+    return v
+
+
+def _decode_scan(raw, pos, seg, frame, htables, restart):
+    """Decode one entropy-coded scan into frame['comps'][*]['coef'];
+    returns the byte position just past the scan data."""
+    ns = seg[0]
+    sel = {}
+    order = []
+    for c in range(ns):
+        cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+        sel[cid] = (tt >> 4, tt & 15)
+        order.append(cid)
+    ss_, se_, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 15
+    comps = [c for c in frame["comps"] if c["id"] in sel]
+    if frame["progressive"]:
+        if ah or al:
+            raise NotImplementedError(
+                "progressive JPEG successive approximation (Ah/Al != 0); "
+                "spectral-selection scans are decoded"
+            )
+    elif (ss_, se_) != (0, 63):
+        raise ValueError("sequential scan must cover the full band")
     r = _BitReader(raw, pos)
+    for c in comps:
+        c["pred"] = 0
+
+    def full_block(c, blk_idx, dc_tbl, ac_tbl):
+        blk = c["coef"][blk_idx]
+        t = _decode_sym(r, dc_tbl)
+        c["pred"] += _receive_extend(r, t)
+        blk[0] = c["pred"]
+        k = 1
+        while k < 64:
+            rs = _decode_sym(r, ac_tbl)
+            rr, s = rs >> 4, rs & 15
+            if s == 0:
+                if rr == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += rr
+            if k > 63:
+                raise ValueError("JPEG AC index overrun")
+            blk[_ZZ[k]] = _receive_extend(r, s)
+            k += 1
+
+    prog_dc = frame["progressive"] and ss_ == 0
+    if ns == 1 and (frame["progressive"] or len(frame["comps"]) > 1):
+        # non-interleaved: the scan walks the component's own grid
+        # (progressive DC/AC-band scans, and sequential per-component
+        # scans of multi-component frames)
+        _single_component_scan(
+            r, comps[0], sel, htables, restart, ss_, se_
+        )
+        return r.pos
+    # interleaved MCU walk: sequential full scans and progressive
+    # multi-component DC scans
     since = 0
-    for myi in range(my):
-        for mxi in range(mx):
+    for myi in range(frame["my"]):
+        for mxi in range(frame["mx"]):
             if restart and since == restart:
                 r.expect_restart()
                 since = 0
@@ -274,32 +356,78 @@ def _decode_scan(raw, pos, frame, sel, qtables, htables, restart):
             since += 1
             for c in comps:
                 dct, act = sel[c["id"]]
-                dc_tbl = htables[(0, dct)]
-                ac_tbl = htables[(1, act)]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        blk = np.zeros(64)
-                        t = _decode_sym(r, dc_tbl)
-                        c["pred"] += _receive_extend(r, t)
-                        blk[0] = c["pred"]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_sym(r, ac_tbl)
-                            rr, ss = rs >> 4, rs & 15
-                            if ss == 0:
-                                if rr == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += rr
-                            if k > 63:
-                                raise ValueError("JPEG AC index overrun")
-                            blk[_ZZ[k]] = _receive_extend(r, ss)
-                            k += 1
-                        row = myi * c["v"] + by
-                        col = mxi * c["h"] + bx
-                        c["coef"][row * c["bw"] + col] = blk
+                        bidx = (myi * c["v"] + by) * c["bw"] + (
+                            mxi * c["h"] + bx
+                        )
+                        if prog_dc:
+                            t = _decode_sym(r, htables[(0, dct)])
+                            c["pred"] += _receive_extend(r, t)
+                            c["coef"][bidx][0] = c["pred"]
+                        else:
+                            full_block(
+                                c, bidx,
+                                htables[(0, dct)], htables[(1, act)],
+                            )
+    return r.pos
 
+
+def _single_component_scan(r, c, sel, htables, restart, ss_, se_):
+    """Non-interleaved scan over one component's own block grid:
+    sequential full-band, progressive DC, or progressive AC band with
+    EOB-run decoding."""
+    dct, act = sel[c["id"]]
+    eobrun = 0
+    since = 0
+    c["pred"] = 0
+    for row in range(c["nbh"]):
+        for col in range(c["nbw"]):
+            if restart and since == restart:
+                r.expect_restart()
+                since = 0
+                c["pred"] = 0
+                eobrun = 0
+            since += 1
+            blk = c["coef"][row * c["bw"] + col]
+            if ss_ == 0 and se_ == 0:  # progressive DC
+                t = _decode_sym(r, htables[(0, dct)])
+                c["pred"] += _receive_extend(r, t)
+                blk[0] = c["pred"]
+                continue
+            if ss_ == 0:  # sequential full band, non-interleaved
+                t = _decode_sym(r, htables[(0, dct)])
+                c["pred"] += _receive_extend(r, t)
+                blk[0] = c["pred"]
+                k = 1
+            else:  # progressive AC band
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss_
+            ac_tbl = htables[(1, act)]
+            while k <= se_:
+                rs = _decode_sym(r, ac_tbl)
+                rr, s = rs >> 4, rs & 15
+                if s == 0:
+                    if rr == 15:
+                        k += 16
+                        continue
+                    if ss_ > 0:  # EOBn: run of (1<<rr)+bits blocks
+                        eobrun = (1 << rr) - 1 + (
+                            _receive(r, rr) if rr else 0
+                        )
+                    break
+                k += rr
+                if k > se_:
+                    raise ValueError("JPEG AC index overrun")
+                blk[_ZZ[k]] = _receive_extend(r, s)
+                k += 1
+
+
+def _reconstruct(frame, qtables):
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
     for c in comps:
         q = qtables[c["tq"]]
@@ -496,11 +624,130 @@ def encode_jpeg(
     return bytes(out)
 
 
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quality: int = 92,
+    bands: tuple = ((1, 5), (6, 63)),
+) -> bytes:
+    """Progressive (SOF2, spectral-selection) JFIF bytes for an
+    HxWx{1,3} uint8 array: one interleaved DC scan, then one AC scan
+    per component per band, with EOB runs accumulated across blocks.
+    Same quantized coefficients as the 4:4:4 sequential encoder, so
+    ``decode_jpeg`` must reproduce the baseline decode EXACTLY."""
+    h, w, nch = img.shape
+    qlum = _quality_scale(_QLUM, quality)
+    qchr = _quality_scale(_QCHR, quality)
+    if nch == 1:
+        planes, qsel = [img[:, :, 0].astype(np.float64)], [0]
+    elif nch == 3:
+        rgb = img.astype(np.float64)
+        rch, gch, bch = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        planes = [
+            0.299 * rch + 0.587 * gch + 0.114 * bch,
+            -0.168736 * rch - 0.331264 * gch + 0.5 * bch + 128,
+            0.5 * rch - 0.418688 * gch - 0.081312 * bch + 128,
+        ]
+        qsel = [0, 1, 1]
+    else:
+        raise ValueError("encode_jpeg_progressive wants HxWx1 or HxWx3")
+    mx, my = -(-w // 8), -(-h // 8)
+    comp_blocks = [
+        _plane_blocks(p, qlum if qs == 0 else qchr)
+        for p, qs in zip(planes, qsel)
+    ]
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, q in ((0, qlum),) + (((1, qchr),) if nch == 3 else ()):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq)
+        out += q[_ZZ].astype(np.uint8).tobytes()
+    out += b"\xff\xc2" + struct.pack(
+        ">HBHHB", 8 + 3 * len(planes), 8, h, w, len(planes)
+    )
+    for ci, qs in enumerate(qsel):
+        out += bytes([ci + 1, 0x11, qs])
+    for tc, bits, syms in ((0, _DC_BITS, _DC_SYMS), (1, _AC_BITS, _AC_SYMS)):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(syms), tc << 4)
+        out += bytes(bits) + bytes(syms)
+
+    def sos(comp_ids, ss, se):
+        hdr = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids))
+        for cid in comp_ids:
+            hdr += bytes([cid, 0])
+        return hdr + bytes([ss, se, 0])
+
+    # scan 1: interleaved DC
+    out += sos(list(range(1, len(planes) + 1)), 0, 0)
+    wtr = _BitWriter()
+    preds = [0] * len(planes)
+    for b in range(mx * my):
+        for ci, blocks in enumerate(comp_blocks):
+            zz = blocks[b][_ZZ].astype(np.int64)
+            diff = int(zz[0]) - preds[ci]
+            preds[ci] = int(zz[0])
+            size = int(abs(diff)).bit_length()
+            code, ln = _DC_ENC[size]
+            wtr.write(code, ln)
+            if size:
+                wtr.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    wtr.pad()
+    out += wtr.out
+
+    # AC band scans, one component each, EOB runs across blocks
+    for ci, blocks in enumerate(comp_blocks):
+        for ss, se in bands:
+            out += sos([ci + 1], ss, se)
+            wtr = _BitWriter()
+            eobrun = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun:
+                    rbits = eobrun.bit_length() - 1
+                    code, ln = _AC_ENC[rbits << 4]
+                    wtr.write(code, ln)
+                    if rbits:
+                        wtr.write(eobrun - (1 << rbits), rbits)
+                    eobrun = 0
+
+            for b in range(mx * my):
+                zz = blocks[b][_ZZ].astype(np.int64)
+                nz = [k for k in range(ss, se + 1) if zz[k] != 0]
+                if not nz:
+                    eobrun += 1
+                    if eobrun == 32767:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for k in range(ss, nz[-1] + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = _AC_ENC[0xF0]
+                        wtr.write(code, ln)
+                        run -= 16
+                    size = int(abs(v)).bit_length()
+                    code, ln = _AC_ENC[(run << 4) | size]
+                    wtr.write(code, ln)
+                    wtr.write(v if v >= 0 else v + (1 << size) - 1, size)
+                    run = 0
+                if nz[-1] < se:
+                    eobrun += 1
+            flush_eob()
+            wtr.pad()
+            out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def synth_jpeg(seed: int) -> bytes:
     """Deterministic little JPEG: same dimension formula as synth_ppm /
     synth_png / synth_gif (shared arithmetic oracle); a smooth gradient
-    plus seeded low-frequency bumps (JPEG-friendly content), sampling
-    and restart paths alternating by seed."""
+    plus seeded low-frequency bumps (JPEG-friendly content), sampling,
+    restart, and progressive-vs-sequential paths alternating by seed."""
     w, h = 8 + (seed % 9), 6 + (seed % 5)
     rng = np.random.RandomState((seed ^ 0x3A6) & 0x7FFFFFFF)
     yy, xx = np.mgrid[0:h, 0:w]
@@ -508,6 +755,8 @@ def synth_jpeg(seed: int) -> bytes:
     img = np.stack(
         [(base + rng.randint(0, 40)) % 256 for _ in range(3)], axis=2
     ).astype(np.uint8)
+    if seed % 5 == 0:
+        return encode_jpeg_progressive(img, quality=90)
     return encode_jpeg(
         img,
         quality=90,

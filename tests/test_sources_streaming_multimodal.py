@@ -1107,6 +1107,36 @@ def test_jpeg_hand_built_stream():
     np.testing.assert_array_equal(img, np.full((8, 8, 1), 128, dtype=np.uint8))
 
 
+def test_jpeg_progressive_exact_vs_baseline():
+    """Progressive transmission reorders the SAME quantized
+    coefficients, so spectral-selection decode must equal the baseline
+    decode BIT FOR BIT: gradient color, grayscale, an EOB-run-heavy
+    smooth image at low quality (long accumulated runs), and noise
+    (every band busy, ZRL paths)."""
+    import numpy as np
+
+    from bio_re_with_entity_embeddings_spark.operators import jpeg as J
+
+    yy, xx = np.mgrid[0:23, 0:29]
+    img = np.stack(
+        [(yy * 3 + xx * 2) % 200 + 20, (yy * 2) % 180 + 30, (xx * 4) % 160 + 40],
+        axis=2,
+    ).astype(np.uint8)
+    rng = np.random.RandomState(3)
+    smooth = np.full((64, 64, 3), 130, dtype=np.uint8)
+    smooth[:, :32] = 90
+    cases = [
+        (img, 85), (img, 95),
+        (((yy * 5 + xx * 3) % 256).astype(np.uint8)[:, :, None], 90),
+        (smooth, 30),
+        (rng.randint(0, 256, (40, 33, 3), dtype=np.uint8), 95),
+    ]
+    for px, q in cases:
+        base = J.decode_jpeg(J.encode_jpeg(px, quality=q, subsampling="4:4:4"))
+        prog = J.decode_jpeg(J.encode_jpeg_progressive(px, quality=q))
+        np.testing.assert_array_equal(base, prog)
+
+
 def test_jpeg_rejections_and_dispatch():
     import struct as st
 
@@ -1114,12 +1144,20 @@ def test_jpeg_rejections_and_dispatch():
 
     from bio_re_with_entity_embeddings_spark.operators import jpeg as J
 
-    # progressive (SOF2) and 16-bit DQT are rejected by marker/field
-    sof2 = b"\xff\xd8\xff\xc2" + st.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes(
+    yy, xx = np.mgrid[0:16, 0:16]
+    img = np.stack([yy * 8, xx * 8, yy + xx], axis=2).astype(np.uint8)
+    # successive approximation is rejected by the scan-header field
+    raw = bytearray(J.encode_jpeg_progressive(img))
+    pos = raw.index(b"\xff\xda", raw.index(b"\xff\xda") + 2)
+    raw[pos + 9] = 0x10  # Ah=1 on an AC scan
+    with pytest.raises(NotImplementedError):
+        J.decode_jpeg(bytes(raw))
+    # lossless frame type and 16-bit DQT are rejected by marker/field
+    sof3 = b"\xff\xd8\xff\xc3" + st.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes(
         [1, 0x11, 0]
     ) + b"\xff\xd9"
     with pytest.raises(NotImplementedError):
-        J.decode_jpeg(sof2)
+        J.decode_jpeg(sof3)
     dqt16 = b"\xff\xd8\xff\xdb" + st.pack(">HB", 131, 0x10) + b"\x00" * 128 + b"\xff\xd9"
     with pytest.raises(NotImplementedError):
         J.decode_jpeg(dqt16)
@@ -1127,9 +1165,9 @@ def test_jpeg_rejections_and_dispatch():
         J.decode_jpeg(b"\x89PNG")
     # decode_image dispatches by SOI magic and returns the format tag
     one = np.full((6, 9, 3), 200, dtype=np.uint8)
-    fmt, img = MM.decode_image(J.encode_jpeg(one, quality=100))
+    fmt, img2 = MM.decode_image(J.encode_jpeg(one, quality=100))
     assert fmt == "jpeg"
-    np.testing.assert_array_equal(img, one)
+    np.testing.assert_array_equal(img2, one)
 
 
 def test_jpeg_features_through_spark(spark):
