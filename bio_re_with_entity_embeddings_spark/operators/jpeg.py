@@ -1,19 +1,22 @@
 """Baseline JPEG (ITU-T T.81 / JFIF) codec on stdlib + NumPy only.
 
 The decoder is REAL and general over baseline, extended-sequential,
-and progressive spectral-selection files: marker walk (APPn/COM
-skipped by length), 8-bit DQT tables, SOF0/1/2 frame headers with
-arbitrary per-component sampling factors (4:4:4, 4:2:0, 4:2:2, ...),
-DHT canonical Huffman tables read FROM THE FILE, DRI restart
-intervals, interleaved-MCU and non-interleaved (single-component)
-entropy decode (DC prediction + category/extend, AC run-length with
-ZRL/EOB, progressive EOBn block runs), 0xFF00 byte unstuffing, every
-scan accumulating into one coefficient store, then dequantize ->
-un-zigzag -> vectorized einsum IDCT per component, nearest-neighbor
-chroma upsampling and BT.601 YCbCr->RGB. Progressive SUCCESSIVE
-APPROXIMATION (Ah/Al != 0) and the arithmetic/hierarchical/lossless
-frame types are rejected by their header fields with
-``NotImplementedError`` — scoped, never silently misdecoded.
+and FULL progressive files: marker walk (APPn/COM skipped by length),
+8-bit DQT tables, SOF0/1/2 frame headers with arbitrary per-component
+sampling factors (4:4:4, 4:2:0, 4:2:2, ...), DHT canonical Huffman
+tables read FROM THE FILE, DRI restart intervals, interleaved-MCU and
+non-interleaved (single-component) entropy decode (DC prediction +
+category/extend, AC run-length with ZRL/EOB, progressive EOBn block
+runs), spectral selection AND successive approximation (shifted-
+domain DC/AC first passes, DC bit refinement, the T.81 G.1.2.3 AC
+refinement dataflow with correction bits interleaved into symbol
+advances and EOB runs — the libjpeg default progressive script),
+0xFF00 byte unstuffing, every scan accumulating into one coefficient
+store, then dequantize -> un-zigzag -> vectorized einsum IDCT per
+component, nearest-neighbor chroma upsampling and BT.601 YCbCr->RGB.
+The arithmetic/hierarchical/lossless frame types are rejected by
+their markers with ``NotImplementedError`` — scoped, never silently
+misdecoded.
 
 The encoders exist for fixtures/tests (JPEG is lossy, so sequential
 roundtrips assert tolerance): forward DCT + Annex-K-style
@@ -275,7 +278,8 @@ def _init_frame(h, w, comps, progressive):
         ch_ = -(-(h * c["v"]) // vmax)
         c["nbw"] = -(-cw // 8)
         c["nbh"] = -(-ch_ // 8)
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 64))
+        # integer store: successive-approximation refinement is bitwise
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
     return {
         "h": h, "w": w, "comps": comps, "hmax": hmax, "vmax": vmax,
         "mx": mx, "my": my, "progressive": progressive,
@@ -302,14 +306,11 @@ def _decode_scan(raw, pos, seg, frame, htables, restart):
     ss_, se_, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
     ah, al = ahal >> 4, ahal & 15
     comps = [c for c in frame["comps"] if c["id"] in sel]
-    if frame["progressive"]:
+    if not frame["progressive"]:
+        if (ss_, se_) != (0, 63):
+            raise ValueError("sequential scan must cover the full band")
         if ah or al:
-            raise NotImplementedError(
-                "progressive JPEG successive approximation (Ah/Al != 0); "
-                "spectral-selection scans are decoded"
-            )
-    elif (ss_, se_) != (0, 63):
-        raise ValueError("sequential scan must cover the full band")
+            raise ValueError("sequential scan with Ah/Al set")
     r = _BitReader(raw, pos)
     for c in comps:
         c["pred"] = 0
@@ -340,11 +341,11 @@ def _decode_scan(raw, pos, seg, frame, htables, restart):
         # (progressive DC/AC-band scans, and sequential per-component
         # scans of multi-component frames)
         _single_component_scan(
-            r, comps[0], sel, htables, restart, ss_, se_
+            r, comps[0], sel, htables, restart, ss_, se_, ah, al
         )
         return r.pos
     # interleaved MCU walk: sequential full scans and progressive
-    # multi-component DC scans
+    # multi-component DC scans (first pass or refinement)
     since = 0
     for myi in range(frame["my"]):
         for mxi in range(frame["mx"]):
@@ -362,9 +363,7 @@ def _decode_scan(raw, pos, seg, frame, htables, restart):
                             mxi * c["h"] + bx
                         )
                         if prog_dc:
-                            t = _decode_sym(r, htables[(0, dct)])
-                            c["pred"] += _receive_extend(r, t)
-                            c["coef"][bidx][0] = c["pred"]
+                            _dc_block(r, c, bidx, htables[(0, dct)], ah, al)
                         else:
                             full_block(
                                 c, bidx,
@@ -373,10 +372,26 @@ def _decode_scan(raw, pos, seg, frame, htables, restart):
     return r.pos
 
 
-def _single_component_scan(r, c, sel, htables, restart, ss_, se_):
+def _dc_block(r, c, bidx, dc_tbl, ah, al):
+    """Progressive DC: first pass decodes the shifted-domain diff;
+    refinement ORs in one magnitude bit (two's-complement arithmetic
+    shifts make both exact for negatives, T.81 G.1.2.1)."""
+    if ah:
+        if r.read_bit():
+            c["coef"][bidx][0] |= 1 << al
+    else:
+        t = _decode_sym(r, dc_tbl)
+        c["pred"] += _receive_extend(r, t)
+        c["coef"][bidx][0] = c["pred"] << al
+
+
+def _single_component_scan(r, c, sel, htables, restart, ss_, se_, ah, al):
     """Non-interleaved scan over one component's own block grid:
-    sequential full-band, progressive DC, or progressive AC band with
-    EOB-run decoding."""
+    sequential full-band, progressive DC, progressive AC first pass
+    (values arrive in the Al-shifted domain, EOBn block runs), or
+    progressive AC successive-approximation refinement (T.81 G.1.2.3:
+    one new-coefficient symbol stream interleaved with correction
+    bits for every already-nonzero coefficient passed over)."""
     dct, act = sel[c["id"]]
     eobrun = 0
     since = 0
@@ -391,16 +406,19 @@ def _single_component_scan(r, c, sel, htables, restart, ss_, se_):
             since += 1
             blk = c["coef"][row * c["bw"] + col]
             if ss_ == 0 and se_ == 0:  # progressive DC
-                t = _decode_sym(r, htables[(0, dct)])
-                c["pred"] += _receive_extend(r, t)
-                blk[0] = c["pred"]
+                _dc_block(r, c, row * c["bw"] + col, htables[(0, dct)], ah, al)
                 continue
             if ss_ == 0:  # sequential full band, non-interleaved
                 t = _decode_sym(r, htables[(0, dct)])
                 c["pred"] += _receive_extend(r, t)
                 blk[0] = c["pred"]
                 k = 1
-            else:  # progressive AC band
+            elif ah:  # AC refinement
+                eobrun = _ac_refine_block(
+                    r, blk, htables[(1, act)], ss_, se_, al, eobrun
+                )
+                continue
+            else:  # progressive AC first pass
                 if eobrun:
                     eobrun -= 1
                     continue
@@ -421,8 +439,62 @@ def _single_component_scan(r, c, sel, htables, restart, ss_, se_):
                 k += rr
                 if k > se_:
                     raise ValueError("JPEG AC index overrun")
-                blk[_ZZ[k]] = _receive_extend(r, s)
+                blk[_ZZ[k]] = _receive_extend(r, s) << al
                 k += 1
+
+
+def _ac_refine_block(r, blk, ac_tbl, ss_, se_, al, eobrun):
+    """One block of an AC successive-approximation refinement scan;
+    returns the updated EOB-run counter. Already-nonzero coefficients
+    receive a correction bit as the position pointer passes them; runs
+    and new ±1<<Al coefficients count zero-HISTORY positions only."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(k):
+        if r.read_bit() and not (int(blk[_ZZ[k]]) & p1):
+            blk[_ZZ[k]] += p1 if blk[_ZZ[k]] >= 0 else m1
+
+    k = ss_
+    if eobrun == 0:
+        while k <= se_:
+            rs = _decode_sym(r, ac_tbl)
+            rr, s = rs >> 4, rs & 15
+            newval = 0
+            if s:
+                if s != 1:
+                    raise ValueError("AC refinement size must be 1")
+                newval = p1 if r.read_bit() else m1
+            elif rr != 15:
+                eobrun = (1 << rr) - 1 + (_receive(r, rr) if rr else 0)
+                break  # remaining positions handled below
+            # advance: skip rr zero-history positions (16 for ZRL),
+            # refining every nonzero coefficient passed over
+            while k <= se_:
+                if blk[_ZZ[k]] != 0:
+                    correct(k)
+                else:
+                    rr -= 1
+                    if rr < 0:
+                        break
+                k += 1
+            if newval:
+                if k > se_:
+                    raise ValueError("JPEG AC refinement overrun")
+                blk[_ZZ[k]] = newval
+            k += 1
+        else:
+            return eobrun  # band exhausted without an EOBn
+        # fall through: EOBn read mid-block — refine the rest
+        for kk in range(k, se_ + 1):
+            if blk[_ZZ[kk]] != 0:
+                correct(kk)
+        return eobrun
+    # block entirely inside an EOB run: every nonzero coefficient in
+    # the band still receives its correction bit
+    for kk in range(ss_, se_ + 1):
+        if blk[_ZZ[kk]] != 0:
+            correct(kk)
+    return eobrun - 1
 
 
 def _reconstruct(frame, qtables):
@@ -628,11 +700,16 @@ def encode_jpeg_progressive(
     img: np.ndarray,
     quality: int = 92,
     bands: tuple = ((1, 5), (6, 63)),
+    successive: bool = False,
 ) -> bytes:
-    """Progressive (SOF2, spectral-selection) JFIF bytes for an
-    HxWx{1,3} uint8 array: one interleaved DC scan, then one AC scan
-    per component per band, with EOB runs accumulated across blocks.
-    Same quantized coefficients as the 4:4:4 sequential encoder, so
+    """Progressive (SOF2) JFIF bytes for an HxWx{1,3} uint8 array:
+    one interleaved DC scan, then one AC scan per component per band,
+    with EOB runs accumulated across blocks. With ``successive`` the
+    script is the libjpeg-style two-level successive approximation —
+    DC first at Al=1 + DC refinement, AC band first passes at Al=1 +
+    AC refinement scans (new ±1 coefficients interleaved with
+    correction bits, T.81 G.1.2.3). Either way the stream carries the
+    SAME quantized coefficients as the 4:4:4 sequential encoder, so
     ``decode_jpeg`` must reproduce the baseline decode EXACTLY."""
     h, w, nch = img.shape
     qlum = _quality_scale(_QLUM, quality)
@@ -670,21 +747,22 @@ def encode_jpeg_progressive(
         out += b"\xff\xc4" + struct.pack(">HB", 19 + len(syms), tc << 4)
         out += bytes(bits) + bytes(syms)
 
-    def sos(comp_ids, ss, se):
+    def sos(comp_ids, ss, se, ahal=0):
         hdr = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids))
         for cid in comp_ids:
             hdr += bytes([cid, 0])
-        return hdr + bytes([ss, se, 0])
+        return hdr + bytes([ss, se, ahal])
 
-    # scan 1: interleaved DC
-    out += sos(list(range(1, len(planes) + 1)), 0, 0)
+    al1 = 1 if successive else 0
+    # scan 1: interleaved DC (shifted domain when successive)
+    out += sos(list(range(1, len(planes) + 1)), 0, 0, al1)
     wtr = _BitWriter()
     preds = [0] * len(planes)
     for b in range(mx * my):
         for ci, blocks in enumerate(comp_blocks):
-            zz = blocks[b][_ZZ].astype(np.int64)
-            diff = int(zz[0]) - preds[ci]
-            preds[ci] = int(zz[0])
+            dc = int(blocks[b][0]) >> al1  # arithmetic shift, two's compl.
+            diff = dc - preds[ci]
+            preds[ci] = dc
             size = int(abs(diff)).bit_length()
             code, ln = _DC_ENC[size]
             wtr.write(code, ln)
@@ -692,55 +770,146 @@ def encode_jpeg_progressive(
                 wtr.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
     wtr.pad()
     out += wtr.out
+    if successive:  # DC refinement: the held-back magnitude bit
+        out += sos(list(range(1, len(planes) + 1)), 0, 0, 0x10)
+        wtr = _BitWriter()
+        for b in range(mx * my):
+            for blocks in comp_blocks:
+                wtr.write(int(blocks[b][0]) & 1, 1)
+        wtr.pad()
+        out += wtr.out
 
-    # AC band scans, one component each, EOB runs across blocks
+    # AC band first passes, one component each, EOB runs across blocks
     for ci, blocks in enumerate(comp_blocks):
         for ss, se in bands:
-            out += sos([ci + 1], ss, se)
-            wtr = _BitWriter()
-            eobrun = 0
-
-            def flush_eob():
-                nonlocal eobrun
-                if eobrun:
-                    rbits = eobrun.bit_length() - 1
-                    code, ln = _AC_ENC[rbits << 4]
-                    wtr.write(code, ln)
-                    if rbits:
-                        wtr.write(eobrun - (1 << rbits), rbits)
-                    eobrun = 0
-
-            for b in range(mx * my):
-                zz = blocks[b][_ZZ].astype(np.int64)
-                nz = [k for k in range(ss, se + 1) if zz[k] != 0]
-                if not nz:
-                    eobrun += 1
-                    if eobrun == 32767:
-                        flush_eob()
-                    continue
-                flush_eob()
-                run = 0
-                for k in range(ss, nz[-1] + 1):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = _AC_ENC[0xF0]
-                        wtr.write(code, ln)
-                        run -= 16
-                    size = int(abs(v)).bit_length()
-                    code, ln = _AC_ENC[(run << 4) | size]
-                    wtr.write(code, ln)
-                    wtr.write(v if v >= 0 else v + (1 << size) - 1, size)
-                    run = 0
-                if nz[-1] < se:
-                    eobrun += 1
-            flush_eob()
-            wtr.pad()
-            out += wtr.out
+            out += sos([ci + 1], ss, se, al1)
+            out += _ac_first_scan(blocks, mx * my, ss, se, al1)
+    if successive:  # AC refinement scans
+        for ci, blocks in enumerate(comp_blocks):
+            for ss, se in bands:
+                out += sos([ci + 1], ss, se, 0x10)
+                out += _ac_refine_scan(blocks, mx * my, ss, se, 0)
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def _ac_first_scan(blocks, nblocks, ss, se, al) -> bytes:
+    """Entropy bytes of one AC band scan: run/size symbols over the
+    Al-shifted (truncate-toward-zero) values, EOB runs accumulated."""
+    wtr = _BitWriter()
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            rbits = eobrun.bit_length() - 1
+            code, ln = _AC_ENC[rbits << 4]
+            wtr.write(code, ln)
+            if rbits:
+                wtr.write(eobrun - (1 << rbits), rbits)
+            eobrun = 0
+
+    for b in range(nblocks):
+        zz = blocks[b][_ZZ].astype(np.int64)
+        vals = [
+            (abs(int(v)) >> al) * (1 if v >= 0 else -1)
+            for v in zz[ss : se + 1]
+        ]
+        nz = [j for j, v in enumerate(vals) if v != 0]
+        if not nz:
+            eobrun += 1
+            if eobrun == 32767:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        for j in range(nz[-1] + 1):
+            v = vals[j]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = _AC_ENC[0xF0]
+                wtr.write(code, ln)
+                run -= 16
+            size = int(abs(v)).bit_length()
+            code, ln = _AC_ENC[(run << 4) | size]
+            wtr.write(code, ln)
+            wtr.write(v if v >= 0 else v + (1 << size) - 1, size)
+            run = 0
+        if nz[-1] + ss < se:
+            eobrun += 1
+    flush_eob()
+    wtr.pad()
+    return bytes(wtr.out)
+
+
+def _ac_refine_scan(blocks, nblocks, ss, se, al) -> bytes:
+    """Entropy bytes of one AC successive-approximation refinement
+    scan (T.81 G.1.2.3 / the jcphuff dataflow): newly significant
+    coefficients emit (run<<4|1)+sign over zero-HISTORY positions,
+    already-significant ones buffer a correction bit that flushes
+    right after the next emitted symbol, trailing runs fold into
+    accumulated EOBn symbols."""
+    wtr = _BitWriter()
+    eobrun = 0
+    committed: list[int] = []  # bits owned by the pending EOB run (BE)
+    pend: list[int] = []       # current block since the last symbol (BR)
+
+    def drain():
+        for bit in pend:
+            wtr.write(bit, 1)
+        pend.clear()
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            rbits = eobrun.bit_length() - 1
+            code, ln = _AC_ENC[rbits << 4]
+            wtr.write(code, ln)
+            if rbits:
+                wtr.write(eobrun - (1 << rbits), rbits)
+            eobrun = 0
+            for bit in committed:
+                wtr.write(bit, 1)
+            committed.clear()
+
+    for b in range(nblocks):
+        zz = blocks[b][_ZZ].astype(np.int64)
+        absv = [abs(int(v)) >> al for v in zz[ss : se + 1]]
+        eob = -1  # index (into band) of the LAST newly significant coef
+        for j, t in enumerate(absv):
+            if t == 1:
+                eob = j
+        run = 0
+        for j, t in enumerate(absv):
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and j <= eob:
+                flush_eob()
+                code, ln = _AC_ENC[0xF0]
+                wtr.write(code, ln)
+                run -= 16
+                drain()
+            if t > 1:
+                pend.append(t & 1)
+                continue
+            flush_eob()
+            code, ln = _AC_ENC[(run << 4) | 1]
+            wtr.write(code, ln)
+            wtr.write(1 if int(zz[ss + j]) >= 0 else 0, 1)
+            drain()
+            run = 0
+        if run > 0 or pend:
+            eobrun += 1
+            committed.extend(pend)
+            pend.clear()
+            if eobrun == 32767 or len(committed) > 900:
+                flush_eob()
+    flush_eob()
+    wtr.pad()
+    return bytes(wtr.out)
 
 
 def synth_jpeg(seed: int) -> bytes:
@@ -755,6 +924,8 @@ def synth_jpeg(seed: int) -> bytes:
     img = np.stack(
         [(base + rng.randint(0, 40)) % 256 for _ in range(3)], axis=2
     ).astype(np.uint8)
+    if seed % 10 == 0:
+        return encode_jpeg_progressive(img, quality=90, successive=True)
     if seed % 5 == 0:
         return encode_jpeg_progressive(img, quality=90)
     return encode_jpeg(

@@ -1135,6 +1135,13 @@ def test_jpeg_progressive_exact_vs_baseline():
         base = J.decode_jpeg(J.encode_jpeg(px, quality=q, subsampling="4:4:4"))
         prog = J.decode_jpeg(J.encode_jpeg_progressive(px, quality=q))
         np.testing.assert_array_equal(base, prog)
+        # full successive approximation (the libjpeg default script):
+        # shifted first passes + DC bit refinement + the G.1.2.3 AC
+        # refinement dataflow must land on the SAME coefficients
+        sa = J.decode_jpeg(
+            J.encode_jpeg_progressive(px, quality=q, successive=True)
+        )
+        np.testing.assert_array_equal(base, sa)
 
 
 def test_jpeg_rejections_and_dispatch():
@@ -1144,14 +1151,6 @@ def test_jpeg_rejections_and_dispatch():
 
     from bio_re_with_entity_embeddings_spark.operators import jpeg as J
 
-    yy, xx = np.mgrid[0:16, 0:16]
-    img = np.stack([yy * 8, xx * 8, yy + xx], axis=2).astype(np.uint8)
-    # successive approximation is rejected by the scan-header field
-    raw = bytearray(J.encode_jpeg_progressive(img))
-    pos = raw.index(b"\xff\xda", raw.index(b"\xff\xda") + 2)
-    raw[pos + 9] = 0x10  # Ah=1 on an AC scan
-    with pytest.raises(NotImplementedError):
-        J.decode_jpeg(bytes(raw))
     # lossless frame type and 16-bit DQT are rejected by marker/field
     sof3 = b"\xff\xd8\xff\xc3" + st.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes(
         [1, 0x11, 0]
