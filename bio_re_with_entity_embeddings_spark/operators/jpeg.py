@@ -701,6 +701,7 @@ def encode_jpeg_progressive(
     quality: int = 92,
     bands: tuple = ((1, 5), (6, 63)),
     successive: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive (SOF2) JFIF bytes for an HxWx{1,3} uint8 array:
     one interleaved DC scan, then one AC scan per component per band,
@@ -753,12 +754,21 @@ def encode_jpeg_progressive(
             hdr += bytes([cid, 0])
         return hdr + bytes([ss, se, ahal])
 
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     al1 = 1 if successive else 0
+    ri = restart_interval
     # scan 1: interleaved DC (shifted domain when successive)
     out += sos(list(range(1, len(planes) + 1)), 0, 0, al1)
     wtr = _BitWriter()
     preds = [0] * len(planes)
+    rst = 0
     for b in range(mx * my):
+        if ri and b and b % ri == 0:
+            wtr.pad()
+            wtr.out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) & 7
+            preds = [0] * len(planes)
         for ci, blocks in enumerate(comp_blocks):
             dc = int(blocks[b][0]) >> al1  # arithmetic shift, two's compl.
             diff = dc - preds[ci]
@@ -773,7 +783,12 @@ def encode_jpeg_progressive(
     if successive:  # DC refinement: the held-back magnitude bit
         out += sos(list(range(1, len(planes) + 1)), 0, 0, 0x10)
         wtr = _BitWriter()
+        rst = 0
         for b in range(mx * my):
+            if ri and b and b % ri == 0:
+                wtr.pad()
+                wtr.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
             for blocks in comp_blocks:
                 wtr.write(int(blocks[b][0]) & 1, 1)
         wtr.pad()
@@ -783,21 +798,23 @@ def encode_jpeg_progressive(
     for ci, blocks in enumerate(comp_blocks):
         for ss, se in bands:
             out += sos([ci + 1], ss, se, al1)
-            out += _ac_first_scan(blocks, mx * my, ss, se, al1)
+            out += _ac_first_scan(blocks, mx * my, ss, se, al1, ri)
     if successive:  # AC refinement scans
         for ci, blocks in enumerate(comp_blocks):
             for ss, se in bands:
                 out += sos([ci + 1], ss, se, 0x10)
-                out += _ac_refine_scan(blocks, mx * my, ss, se, 0)
+                out += _ac_refine_scan(blocks, mx * my, ss, se, 0, ri)
     out += b"\xff\xd9"
     return bytes(out)
 
 
-def _ac_first_scan(blocks, nblocks, ss, se, al) -> bytes:
+def _ac_first_scan(blocks, nblocks, ss, se, al, ri=0) -> bytes:
     """Entropy bytes of one AC band scan: run/size symbols over the
-    Al-shifted (truncate-toward-zero) values, EOB runs accumulated."""
+    Al-shifted (truncate-toward-zero) values, EOB runs accumulated;
+    optional restart markers every ``ri`` blocks."""
     wtr = _BitWriter()
     eobrun = 0
+    rst = 0
 
     def flush_eob():
         nonlocal eobrun
@@ -810,6 +827,11 @@ def _ac_first_scan(blocks, nblocks, ss, se, al) -> bytes:
             eobrun = 0
 
     for b in range(nblocks):
+        if ri and b and b % ri == 0:
+            flush_eob()
+            wtr.pad()
+            wtr.out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) & 7
         zz = blocks[b][_ZZ].astype(np.int64)
         vals = [
             (abs(int(v)) >> al) * (1 if v >= 0 else -1)
@@ -844,7 +866,7 @@ def _ac_first_scan(blocks, nblocks, ss, se, al) -> bytes:
     return bytes(wtr.out)
 
 
-def _ac_refine_scan(blocks, nblocks, ss, se, al) -> bytes:
+def _ac_refine_scan(blocks, nblocks, ss, se, al, ri=0) -> bytes:
     """Entropy bytes of one AC successive-approximation refinement
     scan (T.81 G.1.2.3 / the jcphuff dataflow): newly significant
     coefficients emit (run<<4|1)+sign over zero-HISTORY positions,
@@ -874,7 +896,13 @@ def _ac_refine_scan(blocks, nblocks, ss, se, al) -> bytes:
                 wtr.write(bit, 1)
             committed.clear()
 
+    rst = 0
     for b in range(nblocks):
+        if ri and b and b % ri == 0:
+            flush_eob()
+            wtr.pad()
+            wtr.out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) & 7
         zz = blocks[b][_ZZ].astype(np.int64)
         absv = [abs(int(v)) >> al for v in zz[ss : se + 1]]
         eob = -1  # index (into band) of the LAST newly significant coef

@@ -1142,6 +1142,17 @@ def test_jpeg_progressive_exact_vs_baseline():
             J.encode_jpeg_progressive(px, quality=q, successive=True)
         )
         np.testing.assert_array_equal(base, sa)
+    # restart markers inside non-interleaved progressive scans (reset
+    # DC pred, EOB runs, and correction buffers at every interval)
+    for sa in (False, True):
+        got = J.decode_jpeg(
+            J.encode_jpeg_progressive(
+                img, quality=85, successive=sa, restart_interval=2
+            )
+        )
+        np.testing.assert_array_equal(
+            got, J.decode_jpeg(J.encode_jpeg(img, quality=85, subsampling="4:4:4"))
+        )
 
 
 def test_jpeg_rejections_and_dispatch():
