@@ -9,9 +9,10 @@ need no external library — decoded with struct/NumPy only:
   embedding (``array<float>``) that feeds the similarity operators
   (``operators/similarity.py``) like any other embedding column.
 * PNG — a REAL compressed-codec decoder built on stdlib ``zlib``
-  inflate + NumPy unfiltering: 8-bit gray/RGB/palette/gray+alpha/RGBA,
-  all five scanline filters (None/Sub/Up/Average/Paeth). Interlaced
-  (Adam7) and 16-bit-depth images are rejected by header field.
+  inflate + NumPy unfiltering: 8- and 16-bit
+  gray/RGB/palette/gray+alpha/RGBA, all five scanline filters
+  (None/Sub/Up/Average/Paeth), Adam7 interlace. Sub-byte packed
+  depths are rejected by header field.
 * GIF — a REAL from-scratch LZW decoder (GIF87a/89a): variable-width
   codes with giflib-compatible width bumps, clear/EOI handling, the
   cScSc special case, global AND local color tables, 4-pass row
@@ -188,16 +189,65 @@ def _decode_bmp(raw: bytes) -> tuple[str, np.ndarray]:
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # color type -> stored channels per pixel (before palette expansion /
-# alpha drop); depth 8 only, so one byte per channel
+# alpha drop)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 pass origins/steps: (x0, y0, dx, dy)
+_PNG_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(scan: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo per-scanline filters over one (sub-)image: ``scan`` is
+    (h, stride+1) filter-byte-prefixed rows, ``bpp`` the FILTER offset
+    in bytes (channels x bytes-per-sample — PNG filters operate on
+    bytes, not samples, at any depth)."""
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(scan[y, 0])
+        cur = scan[y, 1:]
+        if f == 0:
+            row = cur.copy()
+        elif f == 1:  # Sub: per-lane prefix sum mod 256
+            row = cur.copy()
+            for lane in range(bpp):
+                row[lane::bpp] = np.cumsum(
+                    cur[lane::bpp], dtype=np.int64
+                ) & 0xFF
+        elif f == 2:  # Up: uint8 addition wraps mod 256 natively
+            row = cur + prev
+        elif f == 3:  # Average
+            row = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(row[x - bpp]) if x >= bpp else 0
+                row[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            row = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {f}")
+        out[y] = row
+        prev = row
+    return out
 
 
 def _decode_png(raw: bytes) -> tuple[str, np.ndarray]:
     """Real PNG decode with stdlib zlib + NumPy: walk chunks, inflate
     the IDAT stream, undo per-scanline filters, expand the color type.
-
-    Scope (rejected by header field, never silently misdecoded):
-    bit depth 8 only, no Adam7 interlace. Alpha is dropped after
+    Bit depths 8 AND 16 (16-bit samples downscale to their high byte —
+    the standard decode-for-features behavior) and Adam7 INTERLACE
+    (seven independently-filtered sub-images scattered onto the
+    canvas). Sub-byte depths (1/2/4-bit packed) are rejected by header
+    field, never silently misdecoded. Alpha is dropped after
     reconstruction (RGBA -> RGB, gray+alpha -> gray), matching the BMP
     32-bpp convention above. Chunk CRCs are not verified — zlib's
     inflate + adler32 already fail on corrupted pixel data, and
@@ -230,87 +280,70 @@ def _decode_png(raw: bytes) -> tuple[str, np.ndarray]:
         i += 12 + ln  # len + type + body + crc
     if w is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth}; only 8 here")
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG")
+    if depth not in (8, 16) or (ctype == 3 and depth != 8):
+        raise NotImplementedError(f"PNG bit depth {depth}")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace}")
     if ctype not in _PNG_CHANNELS:
         raise ValueError(f"PNG color type {ctype}")
     nch = _PNG_CHANNELS[ctype]
-    stride = w * nch
+    sampb = depth // 8
+    bpp = nch * sampb
     dec = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    if dec.size != h * (stride + 1):
-        raise ValueError("PNG pixel stream size mismatch")
-    scan = dec.reshape(h, stride + 1)
-
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        f = int(scan[y, 0])
-        cur = scan[y, 1:]
-        if f == 0:
-            row = cur.copy()
-        elif f == 1:  # Sub: per-lane prefix sum mod 256
-            row = cur.copy()
-            for lane in range(nch):
-                row[lane::nch] = np.cumsum(
-                    cur[lane::nch], dtype=np.int64
-                ) & 0xFF
-        elif f == 2:  # Up: uint8 addition wraps mod 256 natively
-            row = cur + prev
-        elif f == 3:  # Average
-            row = np.empty(stride, dtype=np.uint8)
-            for x in range(stride):
-                left = int(row[x - nch]) if x >= nch else 0
-                row[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            row = np.empty(stride, dtype=np.uint8)
-            for x in range(stride):
-                a = int(row[x - nch]) if x >= nch else 0
-                b = int(prev[x])
-                c = int(prev[x - nch]) if x >= nch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                row[x] = (int(cur[x]) + pred) & 0xFF
-        else:
-            raise ValueError(f"PNG filter type {f}")
-        out[y] = row
-        prev = row
+    if interlace:
+        pix = np.zeros((h, w, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = -(-(w - x0) // dx) if w > x0 else 0
+            ph = -(-(h - y0) // dy) if h > y0 else 0
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = pw * bpp
+            n = ph * (stride + 1)
+            sub = dec[off : off + n]
+            if sub.size != n:
+                raise ValueError("PNG interlaced stream truncated")
+            off += n
+            rows = _png_unfilter(sub.reshape(ph, stride + 1), ph, stride, bpp)
+            pix[y0::dy, x0::dx] = rows.reshape(ph, pw, bpp)
+        if off != dec.size:
+            raise ValueError("PNG pixel stream size mismatch")
+        out = pix.reshape(h, w * bpp)
+    else:
+        stride = w * bpp
+        if dec.size != h * (stride + 1):
+            raise ValueError("PNG pixel stream size mismatch")
+        out = _png_unfilter(dec.reshape(h, stride + 1), h, stride, bpp)
+    # (h, w, nch) samples; for 16-bit keep the big-endian high byte
+    vals = out.reshape(h, w, nch, sampb)[:, :, :, 0]
 
     if ctype == 3:
         if plte is None:
             raise ValueError("paletted PNG without PLTE")
-        img = plte[out.reshape(h, w)]
+        img = plte[vals[:, :, 0]]
     elif ctype == 0:
-        img = out.reshape(h, w, 1)
+        img = vals
     elif ctype == 2:
-        img = out.reshape(h, w, 3)
+        img = vals
     elif ctype == 4:
-        img = out.reshape(h, w, 2)[:, :, :1]
+        img = vals[:, :, :1]
     else:  # 6
-        img = out.reshape(h, w, 4)[:, :, :3]
+        img = vals[:, :, :3]
     return "png", np.ascontiguousarray(img)
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """Minimal PNG encoder for fixtures/tests: 8-bit, color type from
-    the channel count (1 -> gray, 2 -> gray+alpha, 3 -> RGB,
-    4 -> RGBA), scanline filter cycling 0..4 by row so a decode
-    roundtrip exercises EVERY filter reconstruction path."""
-    import zlib
-
-    h, w, nch = img.shape
-    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
-    stride = w * nch
-    flat = img.reshape(h, stride).astype(np.int32)
+def _png_filter_rows(flat: np.ndarray, bpp: int) -> bytearray:
+    """Filter (n, stride) int32 byte rows with the filter cycling
+    0..4 by row, so decode roundtrips exercise EVERY reconstruction
+    path; ``bpp`` is the byte offset PNG filters use."""
+    n, stride = flat.shape
     lines = bytearray()
-    for y in range(h):
+    for y in range(n):
         f = y % 5
         cur = flat[y]
         prev = flat[y - 1] if y > 0 else np.zeros(stride, dtype=np.int32)
-        left = np.concatenate([np.zeros(nch, dtype=np.int32), cur[:-nch]])
-        ul = np.concatenate([np.zeros(nch, dtype=np.int32), prev[:-nch]])
+        left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
         if f == 0:
             enc = cur
         elif f == 1:
@@ -329,6 +362,37 @@ def encode_png(img: np.ndarray) -> bytes:
             enc = cur - pred
         lines.append(f)
         lines.extend((enc & 0xFF).astype(np.uint8).tobytes())
+    return lines
+
+
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
+    """Minimal PNG encoder for fixtures/tests: color type from the
+    channel count (1 -> gray, 2 -> gray+alpha, 3 -> RGB, 4 -> RGBA),
+    bit depth 16 when the input is uint16 (big-endian samples), and
+    optional Adam7 interlace (each pass filtered independently)."""
+    import zlib
+
+    h, w, nch = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    depth = 16 if img.dtype == np.uint16 else 8
+    bpp = nch * (depth // 8)
+
+    def rows_bytes(sub: np.ndarray) -> np.ndarray:
+        sh, sw = sub.shape[:2]
+        if depth == 16:
+            by = sub.astype(">u2").view(np.uint8)
+        else:
+            by = sub
+        return by.reshape(sh, sw * bpp).astype(np.int32)
+
+    if interlace:
+        lines = bytearray()
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                lines += _png_filter_rows(rows_bytes(sub), bpp)
+    else:
+        lines = _png_filter_rows(rows_bytes(img), bpp)
 
     def chunk(typ: bytes, body: bytes) -> bytes:
         return (
@@ -338,7 +402,7 @@ def encode_png(img: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, int(interlace))
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)

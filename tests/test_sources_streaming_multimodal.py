@@ -874,16 +874,43 @@ def test_png_palette_and_rejections():
     fmt, img = MM.decode_image(raw)
     np.testing.assert_array_equal(img, pal[idx])
 
-    # interlace and 16-bit depth are rejected by header field
-    for depth, interlace in [(8, 1), (16, 0)]:
-        bad = (
-            MM._PNG_SIG
-            + chunk(b"IHDR", st.pack(">IIBBBBB", 6, 4, depth, 2, 0, 0, interlace))
-            + chunk(b"IDAT", zlib.compress(b"\x00" * 80))
-            + chunk(b"IEND", b"")
-        )
-        with pytest.raises(NotImplementedError):
-            MM.decode_image(bad)
+    # sub-byte packed depths are rejected by header field; truncated
+    # interlaced streams fail loudly
+    bad = (
+        MM._PNG_SIG
+        + chunk(b"IHDR", st.pack(">IIBBBBB", 6, 4, 4, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 16))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(bad)
+    short = (
+        MM._PNG_SIG
+        + chunk(b"IHDR", st.pack(">IIBBBBB", 6, 4, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 30))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        MM.decode_image(short)
+
+
+def test_png_interlace_and_16bit_roundtrips():
+    """Adam7 interlace (seven independently filtered sub-images,
+    empty passes at tiny dims) and 16-bit depth (big-endian samples
+    downscaled to the high byte) roundtrip for every color type."""
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    for shape, want in [((11, 9, 3), 3), ((6, 8, 1), 1),
+                        ((7, 5, 4), 3), ((9, 4, 2), 1), ((1, 1, 3), 3)]:
+        px = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        fmt, img = MM.decode_image(MM.encode_png(px, interlace=True))
+        assert fmt == "png" and img.shape == (shape[0], shape[1], want)
+        np.testing.assert_array_equal(img, px[:, :, :want])
+    px16 = rng.randint(0, 256, size=(10, 13, 3)).astype(np.uint16) * 257
+    for il in (False, True):
+        _, img = MM.decode_image(MM.encode_png(px16, interlace=il))
+        np.testing.assert_array_equal(img, (px16 >> 8).astype(np.uint8))
 
 
 def test_gif_roundtrip_paths():
