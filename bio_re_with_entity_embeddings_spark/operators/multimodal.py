@@ -280,42 +280,63 @@ def _decode_png(raw: bytes) -> tuple[str, np.ndarray]:
         i += 12 + ln  # len + type + body + crc
     if w is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
-    if depth not in (8, 16) or (ctype == 3 and depth != 8):
-        raise NotImplementedError(f"PNG bit depth {depth}")
+    if depth not in (1, 2, 4, 8, 16) or (
+        depth < 8 and ctype not in (0, 3)
+    ) or (ctype == 3 and depth == 16):
+        raise NotImplementedError(f"PNG bit depth {depth} for color type {ctype}")
     if interlace not in (0, 1):
         raise ValueError(f"PNG interlace method {interlace}")
     if ctype not in _PNG_CHANNELS:
         raise ValueError(f"PNG color type {ctype}")
     nch = _PNG_CHANNELS[ctype]
-    sampb = depth // 8
-    bpp = nch * sampb
+    # PNG filters offset by max(1, bytes-per-pixel); sub-byte rows
+    # unpack AFTER unfiltering (spec: packed rows padded to the byte)
+    bpp = max(1, nch * depth // 8)
+
+    def row_bytes(pw: int) -> int:
+        return -(-(pw * nch * depth) // 8)
+
+    def samples(rows: np.ndarray, pw: int) -> np.ndarray:
+        """(ph, row_bytes) filtered-out bytes -> (ph, pw, nch) uint8."""
+        ph = rows.shape[0]
+        if depth == 16:
+            return rows.reshape(ph, pw, nch, 2)[:, :, :, 0]
+        if depth == 8:
+            return rows.reshape(ph, pw, nch)
+        bits = np.unpackbits(rows, axis=1)[:, : pw * depth]
+        v = bits.reshape(ph, pw, depth)
+        packed = np.zeros((ph, pw), dtype=np.uint8)
+        for b in range(depth):
+            packed = (packed << 1) | v[:, :, b]
+        return packed[:, :, None]
+
     dec = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     if interlace:
-        pix = np.zeros((h, w, bpp), dtype=np.uint8)
+        vals = np.zeros((h, w, nch), dtype=np.uint8)
         off = 0
         for x0, y0, dx, dy in _PNG_ADAM7:
             pw = -(-(w - x0) // dx) if w > x0 else 0
             ph = -(-(h - y0) // dy) if h > y0 else 0
             if pw <= 0 or ph <= 0:
                 continue
-            stride = pw * bpp
+            stride = row_bytes(pw)
             n = ph * (stride + 1)
             sub = dec[off : off + n]
             if sub.size != n:
                 raise ValueError("PNG interlaced stream truncated")
             off += n
             rows = _png_unfilter(sub.reshape(ph, stride + 1), ph, stride, bpp)
-            pix[y0::dy, x0::dx] = rows.reshape(ph, pw, bpp)
+            vals[y0::dy, x0::dx] = samples(rows, pw)
         if off != dec.size:
             raise ValueError("PNG pixel stream size mismatch")
-        out = pix.reshape(h, w * bpp)
     else:
-        stride = w * bpp
+        stride = row_bytes(w)
         if dec.size != h * (stride + 1):
             raise ValueError("PNG pixel stream size mismatch")
         out = _png_unfilter(dec.reshape(h, stride + 1), h, stride, bpp)
-    # (h, w, nch) samples; for 16-bit keep the big-endian high byte
-    vals = out.reshape(h, w, nch, sampb)[:, :, :, 0]
+        vals = samples(out, w)
+    if depth < 8 and ctype == 0:  # gray sub-byte: scale to full range
+        vals = vals * np.uint8(255 // ((1 << depth) - 1))
 
     if ctype == 3:
         if plte is None:
@@ -365,25 +386,37 @@ def _png_filter_rows(flat: np.ndarray, bpp: int) -> bytearray:
     return lines
 
 
-def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
+def encode_png(
+    img: np.ndarray, interlace: bool = False, depth: int | None = None
+) -> bytes:
     """Minimal PNG encoder for fixtures/tests: color type from the
     channel count (1 -> gray, 2 -> gray+alpha, 3 -> RGB, 4 -> RGBA),
-    bit depth 16 when the input is uint16 (big-endian samples), and
-    optional Adam7 interlace (each pass filtered independently)."""
+    bit depth 16 when the input is uint16 (big-endian samples),
+    explicit ``depth`` in (1, 2, 4) for packed sub-byte grayscale,
+    and optional Adam7 interlace (each pass filtered independently)."""
     import zlib
 
     h, w, nch = img.shape
     ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
-    depth = 16 if img.dtype == np.uint16 else 8
-    bpp = nch * (depth // 8)
+    if depth is None:
+        depth = 16 if img.dtype == np.uint16 else 8
+    if depth < 8 and (nch != 1 or int(img.max(initial=0)) >= (1 << depth)):
+        raise ValueError("sub-byte PNG depth wants 1-channel small values")
+    bpp = max(1, nch * depth // 8)
 
     def rows_bytes(sub: np.ndarray) -> np.ndarray:
         sh, sw = sub.shape[:2]
         if depth == 16:
-            by = sub.astype(">u2").view(np.uint8)
-        else:
-            by = sub
-        return by.reshape(sh, sw * bpp).astype(np.int32)
+            by = sub.astype(">u2").view(np.uint8).reshape(sh, sw * bpp)
+        elif depth == 8:
+            by = sub.reshape(sh, sw * nch)
+        else:  # pack depth-bit samples MSB-first, zero-padded to bytes
+            bits = (
+                (sub[:, :, 0:1].astype(np.uint8)[:, :, None]
+                 >> np.arange(depth - 1, -1, -1, dtype=np.uint8)) & 1
+            ).reshape(sh, sw * depth)
+            by = np.packbits(bits, axis=1)
+        return by.astype(np.int32)
 
     if interlace:
         lines = bytearray()

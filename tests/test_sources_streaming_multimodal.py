@@ -874,11 +874,11 @@ def test_png_palette_and_rejections():
     fmt, img = MM.decode_image(raw)
     np.testing.assert_array_equal(img, pal[idx])
 
-    # sub-byte packed depths are rejected by header field; truncated
-    # interlaced streams fail loudly
+    # invalid depth/color-type combos are rejected by header field;
+    # truncated interlaced streams fail loudly
     bad = (
         MM._PNG_SIG
-        + chunk(b"IHDR", st.pack(">IIBBBBB", 6, 4, 4, 0, 0, 0, 0))
+        + chunk(b"IHDR", st.pack(">IIBBBBB", 6, 4, 4, 2, 0, 0, 0))
         + chunk(b"IDAT", zlib.compress(b"\x00" * 16))
         + chunk(b"IEND", b"")
     )
@@ -911,6 +911,50 @@ def test_png_interlace_and_16bit_roundtrips():
     for il in (False, True):
         _, img = MM.decode_image(MM.encode_png(px16, interlace=il))
         np.testing.assert_array_equal(img, (px16 >> 8).astype(np.uint8))
+
+
+def test_png_sub_byte_depths():
+    """Packed 1/2/4-bit grayscale (values scale to the full 8-bit
+    range) and a hand-built 4-bit palette image: rows unpack AFTER
+    unfiltering, zero-padded to the byte, plain and interlaced."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(4)
+    for depth in (1, 2, 4):
+        scale = 255 // ((1 << depth) - 1)
+        for shape in [(9, 13, 1), (1, 1, 1), (5, 8, 1)]:
+            v = rng.randint(0, 1 << depth, size=shape).astype(np.uint8)
+            for il in (False, True):
+                fmt, img = MM.decode_image(
+                    MM.encode_png(v, interlace=il, depth=depth)
+                )
+                assert fmt == "png"
+                np.testing.assert_array_equal(img, v * np.uint8(scale))
+
+    def chunk(t, b):
+        return st.pack(">I", len(b)) + t + b + st.pack(
+            ">I", zlib.crc32(t + b) & 0xFFFFFFFF
+        )
+
+    pal = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, size=(4, 5), dtype=np.uint8)
+    rows = bytearray()
+    for y in range(4):
+        rows.append(0)
+        bits = ((idx[y][:, None] >> np.arange(3, -1, -1)) & 1).reshape(-1)
+        rows.extend(np.packbits(bits).tobytes())
+    raw = (
+        MM._PNG_SIG
+        + chunk(b"IHDR", st.pack(">IIBBBBB", 5, 4, 4, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(bytes(rows)))
+        + chunk(b"IEND", b"")
+    )
+    _, img = MM.decode_image(raw)
+    np.testing.assert_array_equal(img, pal[idx])
 
 
 def test_gif_roundtrip_paths():
