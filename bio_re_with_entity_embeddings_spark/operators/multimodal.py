@@ -170,20 +170,39 @@ def _decode_bmp(raw: bytes) -> tuple[str, np.ndarray]:
     w, h = struct.unpack_from("<ii", raw, 18)
     planes, bpp = struct.unpack_from("<HH", raw, 26)
     compression = struct.unpack_from("<I", raw, 30)[0]
-    if compression != 0 or bpp not in (24, 32):
+    if compression != 0 or bpp not in (1, 4, 8, 24, 32):
         raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
-    nch = bpp // 8
     flipped = h > 0
     h = abs(h)
-    row_bytes = (w * nch + 3) & ~3  # rows padded to 4 bytes
-    rows = np.frombuffer(
-        raw, dtype=np.uint8, count=row_bytes * h, offset=data_offset
-    ).reshape(h, row_bytes)[:, : w * nch]
-    img = rows.reshape(h, w, nch)[:, :, ::-1]  # BGR(A) -> (A)RGB
+    if bpp <= 8:  # paletted: packed indices + BGRX color table
+        n_colors = struct.unpack_from("<I", raw, 46)[0] or (1 << bpp)
+        pal = np.frombuffer(
+            raw, dtype=np.uint8, count=4 * n_colors, offset=14 + hdr_size
+        ).reshape(-1, 4)[:, [2, 1, 0]]  # BGRX -> RGB
+        row_bytes = ((w * bpp + 31) // 32) * 4
+        rows = np.frombuffer(
+            raw, dtype=np.uint8, count=row_bytes * h, offset=data_offset
+        ).reshape(h, row_bytes)
+        if bpp == 8:
+            idx = rows[:, :w]
+        else:  # MSB-first packing, left pixel in high bits
+            bits = np.unpackbits(rows, axis=1)[:, : w * bpp]
+            v = bits.reshape(h, w, bpp)
+            idx = np.zeros((h, w), dtype=np.uint8)
+            for b in range(bpp):
+                idx = (idx << 1) | v[:, :, b]
+        img = pal[idx]
+    else:
+        nch = bpp // 8
+        row_bytes = (w * nch + 3) & ~3  # rows padded to 4 bytes
+        rows = np.frombuffer(
+            raw, dtype=np.uint8, count=row_bytes * h, offset=data_offset
+        ).reshape(h, row_bytes)[:, : w * nch]
+        img = rows.reshape(h, w, nch)[:, :, ::-1]  # BGR(A) -> (A)RGB
+        if nch == 4:
+            img = img[:, :, 1:]  # drop alpha (stored first after reverse)
     if flipped:
         img = img[::-1]
-    if nch == 4:
-        img = img[:, :, 1:]  # drop alpha (stored first after reverse)
     return "bmp", np.ascontiguousarray(img)
 
 

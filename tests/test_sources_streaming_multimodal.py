@@ -957,6 +957,47 @@ def test_png_sub_byte_depths():
     np.testing.assert_array_equal(img, pal[idx])
 
 
+def test_bmp_paletted_depths():
+    """1/4/8-bit paletted BMPs: MSB-first packed indices, 4-byte row
+    padding, BGRX color table, both bottom-up and top-down row
+    orders — decoded against independently assembled files."""
+    import struct as st
+
+    import numpy as np
+
+    def build_bmp(idx, pal, bpp, flipped=True):
+        h, w = idx.shape
+        row_bytes = ((w * bpp + 31) // 32) * 4
+        rows = bytearray()
+        src = idx[::-1] if flipped else idx
+        for y in range(h):
+            if bpp == 8:
+                line = bytes(src[y])
+            else:
+                bits = (
+                    (src[y][:, None] >> np.arange(bpp - 1, -1, -1)) & 1
+                ).reshape(-1)
+                line = np.packbits(bits).tobytes()
+            rows += line + b"\x00" * (row_bytes - len(line))
+        palb = b"".join(bytes([b, g, r, 0]) for r, g, b in pal)
+        off = 14 + 40 + len(palb)
+        hdr = b"BM" + st.pack("<IHHI", off + len(rows), 0, 0, off)
+        info = st.pack(
+            "<IiiHHIIiiII", 40, w, h if flipped else -h, 1, bpp, 0,
+            len(rows), 0, 0, len(pal), 0,
+        )
+        return bytes(hdr + info + palb + rows)
+
+    rng = np.random.RandomState(6)
+    for bpp, ncol in ((1, 2), (4, 16), (8, 200)):
+        pal = rng.randint(0, 256, size=(ncol, 3), dtype=np.uint8)
+        idx = rng.randint(0, ncol, size=(7, 11)).astype(np.uint8)
+        for flipped in (True, False):
+            fmt, img = MM.decode_image(build_bmp(idx, pal, bpp, flipped))
+            assert fmt == "bmp"
+            np.testing.assert_array_equal(img, pal[idx])
+
+
 def test_gif_roundtrip_paths():
     """decode(encode) recovers exact pixels across the container
     variants: sequential, 4-pass interlaced, decoy-global/real-local
