@@ -322,7 +322,32 @@ def _write_rice(w: _BitW, residuals: list[int], param: int) -> None:
             w.write(u & ((1 << param) - 1), param)
 
 
-def _encode_subframe(w: _BitW, s: np.ndarray, bps: int) -> None:
+def _lpc_coefficients(vals: np.ndarray, order: int) -> list[int] | None:
+    """Quantized LPC coefficients via autocorrelation +
+    Levinson-Durbin (precision 15, shift 14); None when the block is
+    degenerate (zero energy / unstable recursion)."""
+    x = vals.astype(np.float64)
+    n = len(x)
+    autoc = [float(np.dot(x[: n - j], x[j:])) for j in range(order + 1)]
+    if autoc[0] <= 0:
+        return None
+    err = autoc[0]
+    lpc: list[float] = []
+    for i in range(order):
+        acc = autoc[i + 1] - sum(lpc[j] * autoc[i - j] for j in range(i))
+        if err <= 0:
+            return None
+        k = acc / err
+        lpc = [lpc[j] - k * lpc[i - 1 - j] for j in range(i)] + [k]
+        err *= 1 - k * k
+    lim = (1 << 14) - 1
+    q = [max(-lim - 1, min(lim, int(round(c * (1 << 14))))) for c in lpc]
+    return q if any(q) else None
+
+
+def _encode_subframe(
+    w: _BitW, s: np.ndarray, bps: int, lpc_order: int = 0
+) -> None:
     vals = s.astype(np.int64)
     w.write(0, 1)
     if np.all(vals == vals[0]):
@@ -330,6 +355,29 @@ def _encode_subframe(w: _BitW, s: np.ndarray, bps: int) -> None:
         w.write(0, 1)
         w.write(int(vals[0]), bps)
         return
+    if lpc_order and len(vals) > 4 * lpc_order:
+        q = _lpc_coefficients(vals, lpc_order)
+        if q is not None:
+            shift = 14
+            hist = np.stack(
+                [vals[lpc_order - 1 - j : len(vals) - 1 - j]
+                 for j in range(lpc_order)]
+            )
+            pred = (np.asarray(q) @ hist) >> shift
+            res = vals[lpc_order:] - pred
+            if int(np.abs(res).max(initial=0)) < (1 << 28):
+                mean = float(np.abs(res).mean())
+                param = min(14, max(0, int(np.ceil(np.log2(mean + 1)))))
+                w.write(31 + lpc_order, 6)  # LPC, order coded as n-1+32
+                w.write(0, 1)
+                for v in vals[:lpc_order]:
+                    w.write(int(v), bps)
+                w.write(14, 4)  # precision 15 (-1 coded)
+                w.write(shift, 5)
+                for cq in q:
+                    w.write(cq, 15)
+                _write_rice(w, [int(x) for x in res], param)
+                return
     if len(vals) > 2:
         res = vals[2:] - 2 * vals[1:-1] + vals[:-2]
         mx = int(np.abs(res).max())
@@ -354,10 +402,12 @@ def encode_flac(
     bps: int = 16,
     block_size: int = 192,
     mid_side: bool = False,
+    lpc_order: int = 0,
 ) -> bytes:
     """Native-FLAC bytes for an (n, ch) int array (or flat mono).
     Lossless: decode_flac returns the exact input PCM. ``mid_side``
-    (stereo only) exercises the decorrelated-channel path."""
+    (stereo only) exercises the decorrelated-channel path; ``lpc_order``
+    switches prediction to real Levinson-Durbin LPC subframes."""
     if samples.ndim == 1:
         samples = samples[:, None]
     n, ch = samples.shape
@@ -402,11 +452,11 @@ def encode_flac(
         w.write(_crc8(hdr), 8)
         if mid_side:
             left, right = blk[:, 0], blk[:, 1]
-            _encode_subframe(w, (left + right) >> 1, bps)
-            _encode_subframe(w, left - right, bps + 1)
+            _encode_subframe(w, (left + right) >> 1, bps, lpc_order)
+            _encode_subframe(w, left - right, bps + 1, lpc_order)
         else:
             for c in range(ch):
-                _encode_subframe(w, blk[:, c], bps)
+                _encode_subframe(w, blk[:, c], bps, lpc_order)
         w.pad()
         frame = bytes(w.out)
         w.write(_crc16(frame), 16)

@@ -1423,6 +1423,38 @@ def test_flac_lpc_and_wasted_bits_hand_frame():
     )
 
 
+def test_flac_lpc_encoder_roundtrip():
+    """Real Levinson-Durbin LPC subframes (order 8, precision 15,
+    shift 14) roundtrip bit-exactly on tonal and noisy signals, mono
+    and mid/side stereo — the LPC decode path driven by genuine
+    encoded streams, complementing the hand-built frame."""
+    import numpy as np
+
+    from bio_re_with_entity_embeddings_spark.operators import flac as FL
+
+    t = np.arange(4000)
+    tone = (
+        np.sin(2 * np.pi * 220 * t / 8000) * 14000
+        + np.sin(2 * np.pi * 441 * t / 8000) * 3000
+    ).astype(np.int64)
+    rng = np.random.RandomState(2)
+    noisy = tone + rng.randint(-50, 51, size=len(tone))
+    for sig in (tone, noisy):
+        raw = FL.encode_flac(sig, rate=8000, lpc_order=8)
+        _, _, dec = FL.decode_flac(raw)
+        np.testing.assert_array_equal(
+            np.rint(dec * 32768).astype(np.int64), sig
+        )
+        assert b"fLaC" == raw[:4] and len(raw) < 2 * len(sig)  # compresses
+    st2 = np.stack([tone, noisy], axis=1)
+    raw = FL.encode_flac(st2, rate=44100, mid_side=True, lpc_order=8)
+    _, ch, dec = FL.decode_flac(raw)
+    assert ch == 2
+    np.testing.assert_array_equal(
+        np.rint(dec * 32768).astype(np.int64).reshape(-1, 2), st2
+    )
+
+
 def test_flac_features_through_spark(spark):
     """synth_media_flac -> decode_audio_features over real Spark:
     rate/channels/samples/duration follow the synthesis formula (the
