@@ -702,37 +702,61 @@ def encode_jpeg_progressive(
     bands: tuple = ((1, 5), (6, 63)),
     successive: bool = False,
     restart_interval: int = 0,
+    subsampling: str = "4:4:4",
 ) -> bytes:
     """Progressive (SOF2) JFIF bytes for an HxWx{1,3} uint8 array:
-    one interleaved DC scan, then one AC scan per component per band,
-    with EOB runs accumulated across blocks. With ``successive`` the
-    script is the libjpeg-style two-level successive approximation —
-    DC first at Al=1 + DC refinement, AC band first passes at Al=1 +
-    AC refinement scans (new ±1 coefficients interleaved with
-    correction bits, T.81 G.1.2.3). Either way the stream carries the
-    SAME quantized coefficients as the 4:4:4 sequential encoder, so
+    one interleaved DC scan, then one non-interleaved AC scan per
+    component per band (over the component's OWN block grid, which at
+    4:2:0 differs from the MCU-rounded grid), with EOB runs
+    accumulated across blocks. With ``successive`` the script is the
+    libjpeg-style two-level successive approximation — DC first at
+    Al=1 + DC refinement, AC band first passes at Al=1 + AC refinement
+    scans (new ±1 coefficients interleaved with correction bits, T.81
+    G.1.2.3). Either way the stream carries the SAME quantized
+    coefficients as the matching sequential encoder, so
     ``decode_jpeg`` must reproduce the baseline decode EXACTLY."""
     h, w, nch = img.shape
     qlum = _quality_scale(_QLUM, quality)
     qchr = _quality_scale(_QCHR, quality)
     if nch == 1:
-        planes, qsel = [img[:, :, 0].astype(np.float64)], [0]
+        planes, samp, qsel = [img[:, :, 0].astype(np.float64)], [(1, 1)], [0]
     elif nch == 3:
         rgb = img.astype(np.float64)
         rch, gch, bch = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
-        planes = [
-            0.299 * rch + 0.587 * gch + 0.114 * bch,
-            -0.168736 * rch - 0.331264 * gch + 0.5 * bch + 128,
-            0.5 * rch - 0.418688 * gch - 0.081312 * bch + 128,
-        ]
+        y = 0.299 * rch + 0.587 * gch + 0.114 * bch
+        cb = -0.168736 * rch - 0.331264 * gch + 0.5 * bch + 128
+        cr = 0.5 * rch - 0.418688 * gch - 0.081312 * bch + 128
+        if subsampling == "4:4:4":
+            planes, samp = [y, cb, cr], [(1, 1), (1, 1), (1, 1)]
+        elif subsampling == "4:2:0":
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+            sub = []
+            for p in (cb, cr):
+                pp = np.pad(p, ((0, ph - h), (0, pw - w)), "edge")
+                sub.append(pp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3)))
+            planes, samp = [y, *sub], [(2, 2), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"unsupported subsampling {subsampling!r}")
         qsel = [0, 1, 1]
     else:
         raise ValueError("encode_jpeg_progressive wants HxWx1 or HxWx3")
-    mx, my = -(-w // 8), -(-h // 8)
-    comp_blocks = [
-        _plane_blocks(p, qlum if qs == 0 else qchr)
-        for p, qs in zip(planes, qsel)
-    ]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mx = -(-w // (8 * hmax))
+    my = -(-h // (8 * vmax))
+    comp_blocks = []
+    bws = []
+    grids = []  # non-interleaved (nbh, nbw) per component
+    for p, (sh, sv), qs in zip(planes, samp, qsel):
+        th, tw = my * sv * 8, mx * sh * 8
+        pp = np.pad(
+            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), "edge"
+        )
+        comp_blocks.append(_plane_blocks(pp, qlum if qs == 0 else qchr))
+        bws.append(mx * sh)
+        cw = -(-(w * sh) // hmax)
+        ch_ = -(-(h * sv) // vmax)
+        grids.append((-(-ch_ // 8), -(-cw // 8)))
 
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -742,11 +766,29 @@ def encode_jpeg_progressive(
     out += b"\xff\xc2" + struct.pack(
         ">HBHHB", 8 + 3 * len(planes), 8, h, w, len(planes)
     )
-    for ci, qs in enumerate(qsel):
-        out += bytes([ci + 1, 0x11, qs])
+    for ci, ((sh, sv), qs) in enumerate(zip(samp, qsel)):
+        out += bytes([ci + 1, (sh << 4) | sv, qs])
     for tc, bits, syms in ((0, _DC_BITS, _DC_SYMS), (1, _AC_BITS, _AC_SYMS)):
         out += b"\xff\xc4" + struct.pack(">HB", 19 + len(syms), tc << 4)
         out += bytes(bits) + bytes(syms)
+
+    def mcu_blocks():
+        """(ci, block_index) pairs of one MCU at a time, in the
+        interleaved order DC scans use."""
+        for myi in range(my):
+            for mxi in range(mx):
+                yield [
+                    (ci, (myi * sv + by) * bws[ci] + (mxi * sh + bx))
+                    for ci, (sh, sv) in enumerate(samp)
+                    for by in range(sv)
+                    for bx in range(sh)
+                ]
+
+    def grid_indices(ci):
+        nbh, nbw = grids[ci]
+        return [
+            row * bws[ci] + col for row in range(nbh) for col in range(nbw)
+        ]
 
     def sos(comp_ids, ss, se, ahal=0):
         hdr = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids))
@@ -763,14 +805,14 @@ def encode_jpeg_progressive(
     wtr = _BitWriter()
     preds = [0] * len(planes)
     rst = 0
-    for b in range(mx * my):
-        if ri and b and b % ri == 0:
+    for m, members in enumerate(mcu_blocks()):
+        if ri and m and m % ri == 0:
             wtr.pad()
             wtr.out += bytes([0xFF, 0xD0 + rst])
             rst = (rst + 1) & 7
             preds = [0] * len(planes)
-        for ci, blocks in enumerate(comp_blocks):
-            dc = int(blocks[b][0]) >> al1  # arithmetic shift, two's compl.
+        for ci, b in members:
+            dc = int(comp_blocks[ci][b][0]) >> al1  # arithmetic shift
             diff = dc - preds[ci]
             preds[ci] = dc
             size = int(abs(diff)).bit_length()
@@ -784,34 +826,35 @@ def encode_jpeg_progressive(
         out += sos(list(range(1, len(planes) + 1)), 0, 0, 0x10)
         wtr = _BitWriter()
         rst = 0
-        for b in range(mx * my):
-            if ri and b and b % ri == 0:
+        for m, members in enumerate(mcu_blocks()):
+            if ri and m and m % ri == 0:
                 wtr.pad()
                 wtr.out += bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) & 7
-            for blocks in comp_blocks:
-                wtr.write(int(blocks[b][0]) & 1, 1)
+            for ci, b in members:
+                wtr.write(int(comp_blocks[ci][b][0]) & 1, 1)
         wtr.pad()
         out += wtr.out
 
-    # AC band first passes, one component each, EOB runs across blocks
+    # AC band scans: non-interleaved, over the component's OWN grid
     for ci, blocks in enumerate(comp_blocks):
         for ss, se in bands:
             out += sos([ci + 1], ss, se, al1)
-            out += _ac_first_scan(blocks, mx * my, ss, se, al1, ri)
+            out += _ac_first_scan(blocks, grid_indices(ci), ss, se, al1, ri)
     if successive:  # AC refinement scans
         for ci, blocks in enumerate(comp_blocks):
             for ss, se in bands:
                 out += sos([ci + 1], ss, se, 0x10)
-                out += _ac_refine_scan(blocks, mx * my, ss, se, 0, ri)
+                out += _ac_refine_scan(blocks, grid_indices(ci), ss, se, 0, ri)
     out += b"\xff\xd9"
     return bytes(out)
 
 
-def _ac_first_scan(blocks, nblocks, ss, se, al, ri=0) -> bytes:
-    """Entropy bytes of one AC band scan: run/size symbols over the
-    Al-shifted (truncate-toward-zero) values, EOB runs accumulated;
-    optional restart markers every ``ri`` blocks."""
+def _ac_first_scan(blocks, indices, ss, se, al, ri=0) -> bytes:
+    """Entropy bytes of one AC band scan over the given block indices
+    (the component's own grid): run/size symbols over the Al-shifted
+    (truncate-toward-zero) values, EOB runs accumulated; optional
+    restart markers every ``ri`` blocks."""
     wtr = _BitWriter()
     eobrun = 0
     rst = 0
@@ -826,8 +869,8 @@ def _ac_first_scan(blocks, nblocks, ss, se, al, ri=0) -> bytes:
                 wtr.write(eobrun - (1 << rbits), rbits)
             eobrun = 0
 
-    for b in range(nblocks):
-        if ri and b and b % ri == 0:
+    for bi, b in enumerate(indices):
+        if ri and bi and bi % ri == 0:
             flush_eob()
             wtr.pad()
             wtr.out += bytes([0xFF, 0xD0 + rst])
@@ -866,7 +909,7 @@ def _ac_first_scan(blocks, nblocks, ss, se, al, ri=0) -> bytes:
     return bytes(wtr.out)
 
 
-def _ac_refine_scan(blocks, nblocks, ss, se, al, ri=0) -> bytes:
+def _ac_refine_scan(blocks, indices, ss, se, al, ri=0) -> bytes:
     """Entropy bytes of one AC successive-approximation refinement
     scan (T.81 G.1.2.3 / the jcphuff dataflow): newly significant
     coefficients emit (run<<4|1)+sign over zero-HISTORY positions,
@@ -897,8 +940,8 @@ def _ac_refine_scan(blocks, nblocks, ss, se, al, ri=0) -> bytes:
             committed.clear()
 
     rst = 0
-    for b in range(nblocks):
-        if ri and b and b % ri == 0:
+    for bi, b in enumerate(indices):
+        if ri and bi and bi % ri == 0:
             flush_eob()
             wtr.pad()
             wtr.out += bytes([0xFF, 0xD0 + rst])
@@ -953,7 +996,10 @@ def synth_jpeg(seed: int) -> bytes:
         [(base + rng.randint(0, 40)) % 256 for _ in range(3)], axis=2
     ).astype(np.uint8)
     if seed % 10 == 0:
-        return encode_jpeg_progressive(img, quality=90, successive=True)
+        return encode_jpeg_progressive(
+            img, quality=90, successive=True,
+            subsampling="4:2:0" if seed % 20 == 0 else "4:4:4",
+        )
     if seed % 5 == 0:
         return encode_jpeg_progressive(img, quality=90)
     return encode_jpeg(

@@ -1265,6 +1265,20 @@ def test_jpeg_progressive_exact_vs_baseline():
         np.testing.assert_array_equal(
             got, J.decode_jpeg(J.encode_jpeg(img, quality=85, subsampling="4:4:4"))
         )
+    # progressive 4:2:0: the non-interleaved AC grid differs from the
+    # MCU-rounded grid at odd dims (the padding blocks never reach the
+    # crop), DC scans interleave 4 Y + Cb + Cr per MCU
+    rng2 = np.random.RandomState(8)
+    for px in (img, rng2.randint(0, 256, (33, 49, 3), dtype=np.uint8)):
+        base = J.decode_jpeg(J.encode_jpeg(px, quality=88, subsampling="4:2:0"))
+        for sa in (False, True):
+            got = J.decode_jpeg(
+                J.encode_jpeg_progressive(
+                    px, quality=88, subsampling="4:2:0",
+                    successive=sa, restart_interval=2,
+                )
+            )
+            np.testing.assert_array_equal(got, base)
 
 
 def test_jpeg_rejections_and_dispatch():
