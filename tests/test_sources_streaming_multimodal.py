@@ -1281,6 +1281,60 @@ def test_jpeg_progressive_exact_vs_baseline():
             np.testing.assert_array_equal(got, base)
 
 
+def test_jpeg_hand_built_successive_approximation():
+    """A four-scan successive-approximation stream assembled BY HAND
+    from T.81 G (independent of this codebase's encoder): custom
+    two-code Huffman tables, DC first at Al=1 (diff 0), AC first at
+    Al=1 sending +1 at zigzag k=1, DC refinement bit 0, and an AC
+    refinement scan whose symbol stream interleaves a correction bit
+    for the existing coefficient with a newly significant +1 at k=2
+    and a terminating EOB. Expected pixels computed from the DCT
+    basis written out inline — not this module's matrices."""
+    import struct as st
+
+    import numpy as np
+
+    from bio_re_with_entity_embeddings_spark.operators import jpeg as J
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + st.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, b"\x00" + b"\x01" * 64)           # all-ones table
+    sof = seg(0xC2, st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    # DC table 0: one symbol (category 0) at code 00; one (cat 1) at 01
+    dht_dc = seg(0xC4, b"\x00" + bytes([0, 2] + [0] * 14) + bytes([0, 1]))
+    # AC table 0: EOB at code 00, (run0,size1) at code 01
+    dht_ac = seg(0xC4, b"\x10" + bytes([0, 2] + [0] * 14) + bytes([0x00, 0x01]))
+
+    def sos(ss, se, ahal):
+        return seg(0xDA, bytes([1, 1, 0x00, ss, se, ahal]))
+
+    raw = (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac
+        + sos(0, 0, 0x01) + b"\x3f"    # DC first, Al=1: cat 0 -> "00"+pad1s
+        + sos(1, 63, 0x01) + b"\x67"   # AC first: (0,1)+amp1, EOB -> 011 00 pad
+        + sos(0, 0, 0x10) + b"\x7f"    # DC refine: bit 0 + pad 1s
+        + sos(1, 63, 0x10) + b"\x63"   # AC refine: 01 1 0 00 + pad 1s
+        + b"\xff\xd9"
+    )
+    img = J.decode_jpeg(raw)
+    # surviving coefficients: F(0,1) = 2 (zigzag k=1), F(1,0) = 1 (k=2)
+    def c(u):
+        return np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8)
+
+    xs = np.arange(8)
+    f01 = 2 * np.outer(
+        c(0) * np.cos((2 * xs + 1) * 0 * np.pi / 16),
+        c(1) * np.cos((2 * xs + 1) * 1 * np.pi / 16),
+    )
+    f10 = 1 * np.outer(
+        c(1) * np.cos((2 * xs + 1) * 1 * np.pi / 16),
+        c(0) * np.cos((2 * xs + 1) * 0 * np.pi / 16),
+    )
+    expected = np.clip(np.rint(f01 + f10 + 128), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(img[:, :, 0], expected)
+
+
 def test_jpeg_rejections_and_dispatch():
     import struct as st
 
