@@ -244,6 +244,66 @@ def test_multimodal_thumbnail_feeds_similarity(spark):
     assert {(r.id_a, r.id_b) for r in pairs.itertuples()} == {(1, 2)}
 
 
+def test_streaming_media_decode(spark, tmp_path):
+    """The multimodal decoders compose with Structured Streaming: a
+    mixed media table (JPEG/GIF/PNG images, FLAC audio, MP4 video)
+    streamed from parquet decodes inside the micro-batch plan
+    (mapInPandas on a streaming DataFrame), and the accumulated
+    streaming rows equal the batch decode exactly."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(24)
+    media = (
+        MM.synth_media_jpeg(docs.limit(6))
+        .unionByName(MM.synth_media_gif(docs.offset(6).limit(6)))
+        .unionByName(MM.synth_media_flac(docs.offset(12).limit(6)))
+        .unionByName(MM.synth_media_mp4(docs.offset(18).limit(6)))
+    )
+    src = str(tmp_path / "media_in")
+    media.write.parquet(src)
+
+    stream = spark.readStream.schema(MM.MEDIA).parquet(src)
+    got: dict[str, list] = {"img": [], "aud": [], "vid": []}
+
+    def run(feat, key):
+        def sink(df, epoch_id):
+            got[key].extend(df.toPandas().to_dict("records"))
+
+        q = (
+            feat(stream)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / ("ckpt_" + key)))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    run(MM.decode_image_features, "img")
+    run(MM.decode_audio_features, "aud")
+    run(MM.decode_video_meta, "vid")
+
+    batch_media = spark.read.schema(MM.MEDIA).parquet(src)
+    assert len(got["img"]) == 12 and len(got["aud"]) == 6 and len(got["vid"]) == 6
+    for key, feat, idc in (
+        ("img", MM.decode_image_features, "payload_sha"),
+        ("aud", MM.decode_audio_features, "payload_sha"),
+        ("vid", MM.decode_video_meta, "payload_sha"),
+    ):
+        batch = {
+            r[idc]: r
+            for r in feat(batch_media).toPandas().to_dict("records")
+        }
+        assert len(batch) == len(got[key])
+        for row in got[key]:
+            b = batch[row[idc]]
+            for col, v in row.items():
+                if col == "thumbnail":
+                    assert list(v) == list(b[col])
+                else:
+                    assert v == b[col], (key, col)
+
+
 def test_streaming_stateful_dedup(spark, tmp_path):
     """applyInPandasWithState exact-dedup: duplicates recognized ACROSS
     micro-batches via the checkpointed state store (maxFilesPerTrigger=1
