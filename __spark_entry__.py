@@ -20,6 +20,7 @@ if _HERE not in sys.path:
 
 from bio_re_with_entity_embeddings_spark import contract  # noqa: E402
 from bio_re_with_entity_embeddings_spark import (  # noqa: E402,F401 (register side effects)
+    contract_graph,
     contract_norm,
     contract_relational,
     contract_text,
@@ -71,6 +72,9 @@ QUERY_ORDER: list[str] = [
     "sim_ann_lsh",
     "sim_ivf",
     "mm_image_dims",
+    # graph analytics over the materialized KG (operators/graph.py)
+    "graph_pagerank",
+    "graph_triangles",
     # dedup family
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -91,13 +95,11 @@ QUERY_ORDER: list[str] = [
     # normalizers + ontology
     "norm_default",
     "norm_chemical",
-    "norm_cellline",
     "norm_drug",
     "norm_disease",
     "norm_disease_doid",
     "norm_gene",
     "norm_mutation",
-    "norm_species",
     "norm_hgvs_doid",
     "obo_ontology",
     # relational inventory (non-redundant subset; the rest are in

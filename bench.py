@@ -43,6 +43,7 @@ HEADLINE_QUERIES = [
     "text_stats",
     "text_winnowing",
     "curate_decontaminate",
+    "graph_pagerank",
 ]
 
 

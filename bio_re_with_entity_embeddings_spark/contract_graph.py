@@ -1,0 +1,238 @@
+"""Graph-analytics contract queries (operators/graph.py) over the
+materialized KG — the consumer side of "graph materialize".
+
+Graph bases, both derived from the shared mention CTE so the oracle
+checks the SAME graph the Spark side builds:
+
+* the BIPARTITE doc<->entity mention graph, symmetric ('D:'-prefixed
+  doc nodes vs entity-id nodes; 'D:' keeps the node namespaces
+  disjoint) — ~1k nodes / ~14k directed edges at sf0.01: a strong
+  hash target for PageRank and degree profiles;
+* the entity CO-OCCURRENCE graph (subj-obj pairs) for triangle
+  structure, where a dense small graph exercises every wedge path.
+
+Float policy: PageRank ranks are rounded to 6 decimals on BOTH sides
+(the module's similarity-score convention) — the iteration is the
+same IEEE dataflow in both engines, differing only in summation
+order (~1e-15/round), far below the rounding grain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .contract import (
+    _SQL_PAIRS,
+    _SQL_PRELUDE,
+    _doc_mentions,
+    register,
+    register_extra,
+)
+from .operators import graph as G
+
+# ---------------------------------------------------------------------------
+# shared graph-base CTEs (appended to the mention prelude)
+# ---------------------------------------------------------------------------
+
+_SQL_BEDGES = """
+, bedges AS (
+  SELECT 'D:' || CAST(doc_id AS VARCHAR) AS src, entity_id AS dst FROM mentions
+  UNION
+  SELECT entity_id AS src, 'D:' || CAST(doc_id AS VARCHAR) AS dst FROM mentions
+)
+"""
+
+
+def _bipartite_edges(spark, sf_dir):
+    m = _doc_mentions(spark, sf_dir)
+    doc_node = F.concat(F.lit("D:"), F.col("doc_id").cast("string"))
+    fwd = m.select(doc_node.alias("src"), F.col("entity_id").alias("dst"))
+    rev = m.select(F.col("entity_id").alias("src"), doc_node.alias("dst"))
+    return fwd.unionByName(rev).distinct()
+
+
+# ---------------------------------------------------------------------------
+# PageRank: 5 fixed rounds over the symmetric bipartite graph.
+# The SQL restates the synchronous update EXACTLY (same dataflow,
+# same dangling-mass term — identically zero on a symmetric graph but
+# kept so the restatement is the algorithm, not a simplification).
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 5
+_PR_DAMPING = 0.85
+
+
+def _pagerank_sql() -> str:
+    ctes = [
+        "nodes AS (SELECT DISTINCT src AS node FROM bedges)",
+        "outd AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS od"
+        " FROM bedges GROUP BY src)",
+        "meta AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM meta) AS rank FROM nodes)",
+    ]
+    d = _PR_DAMPING
+    for i in range(1, _PR_ITERS + 1):
+        prev = f"r{i - 1}"
+        ctes.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         (1 - {d}) / (SELECT n FROM meta)
+         + {d} * (SELECT coalesce(sum(r.rank), 0) FROM {prev} r
+                  LEFT JOIN outd o ON r.node = o.node WHERE o.node IS NULL)
+               / (SELECT n FROM meta)
+         + {d} * coalesce(c.c, 0) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / o.od) AS c
+    FROM bedges e
+    JOIN {prev} r ON e.src = r.node
+    JOIN outd o ON o.node = e.src
+    GROUP BY e.dst
+  ) c ON n.node = c.node
+)"""
+        )
+    return (
+        _SQL_PRELUDE
+        + _SQL_BEDGES
+        + ", "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, round(rank, 6) AS rank FROM r{_PR_ITERS}"
+    )
+
+
+@register("graph_pagerank", _pagerank_sql())
+def graph_pagerank(spark, sf_dir):
+    """PageRank over the symmetric doc<->entity mention graph —
+    5 synchronous rounds, damping 0.85, dangling mass redistributed
+    uniformly (operators/graph.py::pagerank)."""
+    ranks = G.pagerank(
+        _bipartite_edges(spark, sf_dir),
+        iterations=_PR_ITERS,
+        damping=_PR_DAMPING,
+    )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Triangles: degree-ordered orientation over the entity co-occurrence
+# graph.  The SQL mirrors the orientation/wedge/closing dataflow.
+# ---------------------------------------------------------------------------
+
+_SQL_TRIANGLES = (
+    _SQL_PRELUDE
+    + _SQL_PAIRS
+    + """
+, und AS (
+  SELECT DISTINCT least(subj, obj) AS u, greatest(subj, obj) AS v
+  FROM pairs WHERE subj <> obj
+),
+deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND und.u < und.v)
+              THEN und.u ELSE und.v END AS a,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND und.u < und.v)
+              THEN und.v ELSE und.u END AS b
+  FROM und
+  JOIN deg du ON du.node = und.u
+  JOIN deg dv ON dv.node = und.v
+),
+tri AS (
+  SELECT w1.a AS n1, w1.b AS n2, w2.b AS n3
+  FROM oriented w1
+  JOIN oriented w2 ON w2.a = w1.a AND w1.b <> w2.b
+  JOIN oriented c ON c.a = w1.b AND c.b = w2.b
+),
+per_node AS (
+  SELECT node, count(*) AS cnt
+  FROM (SELECT n1 AS node FROM tri
+        UNION ALL SELECT n2 AS node FROM tri
+        UNION ALL SELECT n3 AS node FROM tri)
+  GROUP BY node
+)
+SELECT deg.node, CAST(coalesce(per_node.cnt, 0) AS BIGINT) AS n_triangles
+FROM deg LEFT JOIN per_node ON per_node.node = deg.node
+"""
+)
+
+
+@register("graph_triangles", _SQL_TRIANGLES)
+def graph_triangles(spark, sf_dir):
+    """Per-entity triangle counts of the co-occurrence graph
+    (operators/graph.py::triangles, degree-ordered orientation)."""
+    m = _doc_mentions(spark, sf_dir)
+    src = m.where(F.col("entity_type") == "op").select(
+        "doc_id", F.col("entity_id").alias("subj")
+    )
+    tgt = m.where(F.col("entity_type") == "obj").select(
+        "doc_id", F.col("entity_id").alias("obj")
+    )
+    pairs = src.join(tgt, "doc_id").select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return G.triangles(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Degree profile + gated two-hop: extras (the operators' plumbing is
+# already driver-evidenced through pagerank/triangles; these pin the
+# remaining public surface with local DuckDB parity).
+# ---------------------------------------------------------------------------
+
+_SQL_DEGREES = (
+    _SQL_PRELUDE
+    + """
+SELECT node,
+       CAST(sum(o) AS BIGINT) AS out_degree,
+       CAST(sum(i) AS BIGINT) AS in_degree,
+       CAST(count(*) AS BIGINT) AS degree
+FROM (
+  SELECT 'D:' || CAST(doc_id AS VARCHAR) AS node, 1 AS o, 0 AS i FROM mentions
+  UNION ALL
+  SELECT entity_id AS node, 0 AS o, 1 AS i FROM mentions
+)
+GROUP BY node
+"""
+)
+
+
+@register_extra("graph_degrees", _SQL_DEGREES)
+def graph_degrees(spark, sf_dir):
+    """Degree profile of the DIRECTED doc->entity mention graph."""
+    m = _doc_mentions(spark, sf_dir)
+    edges = m.select(
+        F.concat(F.lit("D:"), F.col("doc_id").cast("string")).alias("src"),
+        F.col("entity_id").alias("dst"),
+    )
+    return G.degrees(edges)
+
+
+_TWO_HOP_CAP = 64
+
+_SQL_TWO_HOP = (
+    _SQL_PRELUDE
+    + _SQL_BEDGES
+    + f"""
+, degg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT src AS node FROM bedges UNION ALL SELECT dst AS node FROM bedges)
+  GROUP BY node
+),
+mids AS (SELECT node FROM degg WHERE d <= {_TWO_HOP_CAP})
+SELECT DISTINCT a.src, b.dst
+FROM bedges a
+JOIN mids m ON m.node = a.dst
+JOIN bedges b ON b.src = a.dst
+WHERE a.src <> b.dst
+"""
+)
+
+
+@register_extra("graph_two_hop", _SQL_TWO_HOP)
+def graph_two_hop(spark, sf_dir):
+    """Two-hop reachability over the symmetric mention graph with the
+    hub-mid gate engaged (entity mids exceed the cap at sf0.01 and are
+    skipped; doc mids pass) — the gate IS the query here."""
+    return G.two_hop(_bipartite_edges(spark, sf_dir), max_mid_degree=_TWO_HOP_CAP)

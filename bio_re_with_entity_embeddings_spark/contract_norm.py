@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .contract import register
+from .contract import register, register_extra
 from .functions import normalizers as N
 
 # (pubmed_id, start_offset, end_offset, mention, entity_type, concept_id)
@@ -108,7 +108,10 @@ def norm_chemical(spark, sf_dir):
     return _shaped(N.extract_chemical(_ann_df(spark)))
 
 
-@register(
+# extras as of r5: N-family already driver-evidenced by 7 in-window
+# rows; these two freed window slots for the graph-analytics queries
+# (local DuckDB parity stays mandatory via tests/test_oracle_parity.py).
+@register_extra(
     "norm_cellline",
     _SQL_ANN
     + _OUT_SQL.format(
@@ -227,7 +230,7 @@ def norm_mutation(spark, sf_dir):
     return _shaped(N.extract_mutation(_ann_df(spark)))
 
 
-@register(
+@register_extra(
     "norm_species",
     _SQL_ANN
     + _OUT_SQL.format(

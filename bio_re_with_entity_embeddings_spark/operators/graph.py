@@ -1,0 +1,288 @@
+"""Graph analytics over the materialized KG (beyond-reference).
+
+The reference stops at emitting (subj, pred, obj) rows
+(``prepare_pair_dataset.py:19-68`` writes the pair table and exits);
+the first thing every consumer of a materialized graph does next is
+rank and slice it — degree profiles, neighborhood expansion, triangle
+/ clustering structure, PageRank.  This module supplies those as
+DataFrame-native operators over an arbitrary edge table with columns
+``src`` / ``dst`` (string or integral node ids), so they run on the
+triple table, the doc-entity mention graph, or any projection.
+
+Scale shape (the 100-TB lens for each operator):
+
+* ``degrees`` — ONE map-combined groupBy over the exploded endpoint
+  stream; no joins, no driver collects.
+* ``two_hop`` — the mid-node self-join is the classic skew detonator
+  (a 10^6-degree hub mid contributes 10^12 wedges); gated by
+  ``max_mid_degree`` the same way every dedup bucket join is gated
+  (operators/dedup.py): hub mids are SKIPPED, loudly, not enumerated.
+* ``triangles`` — degree-ordered orientation (each undirected edge
+  points low->high by (degree, node)) bounds every oriented
+  out-neighborhood by O(sqrt(m)) [Schank & Wagner 2005; the standard
+  MapReduce formulation], so the wedge join is O(m^{3/2}) worst case
+  instead of sum(deg^2) — hub-safe without a cap.
+* ``pagerank`` — per-iteration cost is one edges|><|ranks join + one
+  map-combined groupBy; iteration state is lazily
+  ``localCheckpoint``'ed and materialized by the SAME one-row action
+  that computes the round's dangling mass (the fused-job pattern of
+  canonicalize.connected_components); shuffle width adapts to the
+  measured edge count instead of paying session width on toy graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .canonicalize import _loop_width
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """(node, out_degree, in_degree, degree) over a DIRECTED edge set.
+
+    ``degree`` counts edge endpoints (out + in), so a node on both
+    sides of the same undirected relationship counts it twice —
+    callers with an undirected graph pass each edge once and read
+    ``degree``.  One exploded endpoint stream -> one map-combined
+    aggregate; no joins (a left-join of separate out/in aggregates
+    would shuffle the node table twice for the same answer).
+    """
+    endpoints = edges.select(
+        F.col("src").alias("node"), F.lit(1).alias("o"), F.lit(0).alias("i")
+    ).unionByName(
+        edges.select(F.col("dst").alias("node"), F.lit(0).alias("o"), F.lit(1).alias("i"))
+    )
+    return endpoints.groupBy("node").agg(
+        F.sum("o").alias("out_degree"),
+        F.sum("i").alias("in_degree"),
+        F.count(F.lit(1)).alias("degree"),
+    )
+
+
+def two_hop(edges: DataFrame, max_mid_degree: int | None = None) -> DataFrame:
+    """Distinct (src, dst) pairs reachable in exactly two directed
+    hops, src != dst.
+
+    ``max_mid_degree`` gates the wedge join on the mid node's TOTAL
+    degree (in + out): a mid above the cap is skipped entirely — the
+    pairs it would have connected can still appear through other mids.
+    Same contract as the per-bucket size gates in operators/dedup.py:
+    at web scale a single hub mid (a "the"-like entity) otherwise
+    detonates the join quadratically.  The gate count rides the SAME
+    (mid-keyed) clustering the wedge join shuffles on, so gating adds
+    no exchange — only a window count.
+    """
+    a = edges.select(F.col("src").alias("a_src"), F.col("dst").alias("mid"))
+    b = edges.select(F.col("src").alias("mid"), F.col("dst").alias("b_dst"))
+    if max_mid_degree is not None:
+        deg = degrees(edges).where(F.col("degree") <= max_mid_degree).select(
+            F.col("node").alias("mid")
+        )
+        # node-sized dimension, but it GROWS with the graph: merge-hint
+        # the semi-joins rather than letting AQE attempt a broadcast of
+        # an O(V) table (the dedup.py 2M-doc lesson).
+        a = a.join(deg.hint("merge"), "mid", "left_semi")
+        b = b.join(deg.hint("merge"), "mid", "left_semi")
+    return (
+        a.join(b, "mid")
+        .where(F.col("a_src") != F.col("b_dst"))
+        .select(F.col("a_src").alias("src"), F.col("b_dst").alias("dst"))
+        .distinct()
+    )
+
+
+def triangles(edges: DataFrame) -> DataFrame:
+    """(node, n_triangles): triangles of the UNDIRECTED simple graph
+    underlying ``edges`` (direction and multiplicity ignored,
+    self-loops dropped).
+
+    Degree-ordered orientation: every undirected edge {u, v} becomes
+    one arc low->high under the (degree, node) total order, so each
+    triangle {u, v, w} appears as EXACTLY one wedge (u->v, u->w with
+    v < w) closed by arc v->w — counted once, and every oriented
+    out-neighborhood is O(sqrt(m)).  The closing join is on the
+    composite (v, w) key — narrow, uniformly hashed — never on a
+    single hub node.
+    """
+    und = (
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).alias("u"),
+            F.greatest(F.col("src"), F.col("dst")).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.withColumnsRenamed({"node": "u", "d": "du"})
+    dv = deg.withColumnsRenamed({"node": "v", "d": "dv"})
+    # merge-hint, not broadcast: deg is O(V) and grows with the graph.
+    lo_hi = F.col("du") < F.col("dv")
+    tie = (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    oriented = (
+        und.join(du.hint("merge"), "u")
+        .join(dv.hint("merge"), "v")
+        .select(
+            F.when(lo_hi | tie, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lo_hi | tie, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+    )
+    # wedges at the low-degree apex: (a -> b1, a -> b2), ordered so the
+    # closing arc is looked up once.  The pair (b1 < b2) follows the
+    # SAME (degree, node) order the orientation used, so the closing
+    # arc b1 -> b2 is oriented iff it exists.
+    w1 = oriented.withColumnsRenamed({"b": "b1"})
+    w2 = oriented.withColumnsRenamed({"b": "b2"})
+    wedges = w1.join(w2, "a").where(
+        # b1 precedes b2 in orientation order == the arc (b1, b2) is
+        # the one the orientation would emit; comparing the oriented
+        # endpoints directly avoids re-joining degrees here.
+        F.col("b1") != F.col("b2")
+    )
+    closing = oriented.select(F.col("a").alias("b1"), F.col("b").alias("b2"))
+    tri = wedges.join(closing, ["b1", "b2"]).select(
+        F.col("a").alias("n1"), F.col("b1").alias("n2"), F.col("b2").alias("n3")
+    )
+    per_node = (
+        tri.select(F.explode(F.array("n1", "n2", "n3")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    # nodes in no triangle -> 0 (callers expect a full node profile)
+    return (
+        deg.select("node")
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    tol: float | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(node, rank) after ``iterations`` synchronous PageRank rounds
+    over the DIRECTED edge set (parallel edges collapse; ranks sum
+    to 1).
+
+    rank'(v) = (1-d)/N + d * (sum_{u->v} rank(u)/outdeg(u) + D/N)
+
+    where D is the total rank mass on dangling nodes (outdeg 0),
+    redistributed uniformly — the standard stochastic-matrix fix, so
+    mass is conserved exactly and the result is independent of how
+    many dangling nodes the graph has.
+
+    Execution shape per round: ONE edges|><|ranks equi-join on src
+    (both sides riding the SAME explicit width-p clustering — the
+    groupBy(dst) is repartitioned to p too, so partials combine
+    map-side and the width never silently reverts to session width
+    on a toy graph) and ONE one-row action per round that
+    simultaneously (a) materializes the round's lazy
+    ``localCheckpoint``, (b) computes the NEXT round's dangling mass,
+    and (c) when ``tol`` is set, the L1 delta vs the previous round —
+    the fused-job pattern of ``connected_components._edge_signature``.
+    N and the edge count are measured ONCE up front (two small jobs at
+    plan-build time, same documented trade as
+    ``embedding_lsh_candidates``' n_vectors probe).
+
+    ``tol``: optional early stop when the L1 delta between rounds
+    falls below it.  Leave None for a fixed, oracle-restatable round
+    count.  ``stats`` receives {"rounds": n, "n_nodes": N}.
+    """
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outd = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("od")
+    )
+    # measured once: node count (the 1/N terms) + edge count (loop
+    # width) — two plan-time jobs, documented above.
+    n_edges = e.count()
+    ceiling = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    p = _loop_width(n_edges, ceiling)
+
+    # (node, od, rank): od = 0 marks dangling.  Keeping od fused into
+    # the rank table makes each round's contribution join ONE join.
+    state = (
+        nodes.join(outd, "node", "left")
+        .select(
+            "node",
+            F.coalesce("od", F.lit(0)).cast("long").alias("od"),
+            F.lit(0.0).alias("rank"),  # placeholder; set below once N is known
+        )
+        .repartition(p, "node")
+        .localCheckpoint(eager=False)
+    )
+    # one action: materialize state_0 AND read N + initial dangling
+    # structure (dangling node count) off it.
+    row = state.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("od") == 0, 1).otherwise(0)).alias("n_dangling"),
+    ).collect()[0]
+    n_nodes = int(row["n"])
+    base = (1.0 - damping) / n_nodes
+    state = state.withColumn("rank", F.lit(1.0 / n_nodes))
+    dangling = row["n_dangling"] / n_nodes  # uniform init: exact
+    ep = e.repartition(p, "src").persist()
+    rounds = 0
+    for _ in range(iterations):
+        add = base + damping * dangling / n_nodes
+        contrib = (
+            ep.join(
+                state.where(F.col("od") > 0).select(
+                    F.col("node").alias("src"),
+                    (F.col("rank") / F.col("od")).alias("share"),
+                ),
+                "src",
+            )
+            .repartition(p, "dst")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("c"))
+        )
+        new_state = (
+            state.withColumnRenamed("rank", "_prev_rank")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                "od",
+                (F.lit(add) + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias(
+                    "rank"
+                ),
+                "_prev_rank",
+            )
+            .repartition(p, "node")
+            .localCheckpoint(eager=False)
+        )
+        # the ONE action of the round: materializes new_state's
+        # checkpoint, measures next round's dangling mass and (when
+        # tol is set) this round's convergence delta.
+        aggs = [
+            F.sum(F.when(F.col("od") == 0, F.col("rank")).otherwise(0.0)).alias("d")
+        ]
+        if tol is not None:
+            aggs.append(F.sum(F.abs(F.col("rank") - F.col("_prev_rank"))).alias("l1"))
+        r = new_state.agg(*aggs).collect()[0]
+        dangling = r["d"] or 0.0
+        state = new_state.drop("_prev_rank")
+        rounds += 1
+        if tol is not None and (r["l1"] or 0.0) < tol:
+            break
+    ep.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["n_nodes"] = n_nodes
+    return state.select("node", "rank")

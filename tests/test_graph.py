@@ -1,0 +1,179 @@
+"""Unit tests for operators/graph.py — graph analytics over the
+materialized KG (degrees, gated two-hop, degree-ordered triangles,
+PageRank with dangling-mass redistribution).
+
+Hand-verifiable fixtures plus a brute-force cross-check on a random
+graph: the operators must agree with a direct O(V^3)/O(V^2) NumPy
+computation of the same quantity, node for node.
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import pytest
+
+from bio_re_with_entity_embeddings_spark.operators import graph as G
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+# ---------------------------------------------------------------------------
+# degrees
+# ---------------------------------------------------------------------------
+
+
+def test_degrees_hand_graph(spark):
+    # a->b, a->c, b->c, c->a
+    df = _edges_df(spark, [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")])
+    got = {r["node"]: (r["out_degree"], r["in_degree"], r["degree"])
+           for r in G.degrees(df).collect()}
+    assert got == {"a": (2, 1, 3), "b": (1, 1, 2), "c": (1, 2, 3)}
+
+
+# ---------------------------------------------------------------------------
+# two_hop
+# ---------------------------------------------------------------------------
+
+
+def test_two_hop_basic_and_self_excluded(spark):
+    # a->b->c, c->a (cycle): two-hop pairs exclude src == dst.
+    df = _edges_df(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    got = {(r["src"], r["dst"]) for r in G.two_hop(df).collect()}
+    # a->b->c, b->c->a, c->a->b; never (x, x).
+    assert got == {("a", "c"), ("b", "a"), ("c", "b")}
+
+
+def test_two_hop_hub_gate_skips_hub_mid(spark):
+    # hub 'h' has total degree 4 (2 in + 2 out); spokes degree 2.
+    pairs = [("a", "h"), ("b", "h"), ("h", "c"), ("h", "d"), ("c", "d")]
+    df = _edges_df(spark, pairs)
+    ungated = {(r["src"], r["dst"]) for r in G.two_hop(df).collect()}
+    # through h: a->{c,d}, b->{c,d}; through c: h->d (h->c->d).
+    assert ungated == {("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("h", "d")}
+    gated = {(r["src"], r["dst"])
+             for r in G.two_hop(df, max_mid_degree=3).collect()}
+    # h (degree 4) is skipped as a MID; pairs through c (degree 2) stay,
+    # and h still appears as an endpoint.
+    assert gated == {("h", "d")}
+
+
+# ---------------------------------------------------------------------------
+# triangles
+# ---------------------------------------------------------------------------
+
+
+def test_triangles_hand_graph(spark):
+    # K3 on {a,b,c} plus pendant d, plus a duplicate/reversed edge and
+    # a self-loop that must all be ignored.
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"),
+             ("b", "a"), ("a", "a"), ("c", "d")]
+    got = {r["node"]: r["n_triangles"]
+           for r in G.triangles(_edges_df(spark, pairs)).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1, "d": 0}
+
+
+def test_triangles_k4(spark):
+    # K4: each node is in C(3,2) = 3 triangles.
+    nodes = ["a", "b", "c", "d"]
+    pairs = [(u, v) for u, v in itertools.combinations(nodes, 2)]
+    got = {r["node"]: r["n_triangles"]
+           for r in G.triangles(_edges_df(spark, pairs)).collect()}
+    assert got == {n: 3 for n in nodes}
+
+
+def test_triangles_brute_force_random(spark):
+    rng = random.Random(7)
+    nodes = [f"n{i:02d}" for i in range(24)]
+    und = {tuple(sorted(p)) for p in itertools.combinations(nodes, 2)
+           if rng.random() < 0.25}
+    adj = {n: set() for n in nodes}
+    for u, v in und:
+        adj[u].add(v)
+        adj[v].add(u)
+    expected = {
+        n: sum(1 for u, v in itertools.combinations(sorted(adj[n]), 2)
+               if tuple(sorted((u, v))) in und)
+        for n in nodes if adj[n]
+    }
+    # feed the operator a messy directed multi-edge version
+    pairs = []
+    for u, v in sorted(und):
+        pairs.append((u, v))
+        if rng.random() < 0.5:
+            pairs.append((v, u))  # reverse duplicate
+    got = {r["node"]: r["n_triangles"]
+           for r in G.triangles(_edges_df(spark, pairs)).collect()}
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+
+
+def _np_pagerank(und_pairs, iterations, damping, directed=True):
+    """Reference synchronous PageRank with uniform dangling
+    redistribution, straight off the update rule."""
+    nodes = sorted({n for p in und_pairs for n in p})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = {i: set() for i in range(n)}
+    for u, v in und_pairs:
+        out[idx[u]].add(idx[v])
+        if not directed:
+            out[idx[v]].add(idx[u])
+    rank = [1.0 / n] * n
+    for _ in range(iterations):
+        dangling = sum(rank[i] for i in range(n) if not out[i])
+        nxt = [(1.0 - damping) / n + damping * dangling / n] * n
+        for i in range(n):
+            if out[i]:
+                share = rank[i] / len(out[i])
+                for j in out[i]:
+                    nxt[j] += damping * share
+        rank = nxt
+    return {nodes[i]: rank[i] for i in range(n)}
+
+
+def test_pagerank_matches_reference_with_dangling(spark):
+    # 'd' is dangling (no out-edges): exercises the mass redistribution.
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("c", "d")]
+    stats = {}
+    got = {r["node"]: r["rank"]
+           for r in G.pagerank(_edges_df(spark, pairs), iterations=7,
+                               stats=stats).collect()}
+    exp = _np_pagerank(pairs, iterations=7, damping=0.85)
+    assert stats["rounds"] == 7 and stats["n_nodes"] == 4
+    assert set(got) == set(exp)
+    for n in exp:
+        assert got[n] == pytest.approx(exp[n], abs=1e-12)
+    # mass conserved exactly (stochastic-matrix fix)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_pagerank_parallel_edges_collapse(spark):
+    base = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a")]
+    dup = base + [("a", "b"), ("b", "c")]
+    r1 = {r["node"]: r["rank"]
+          for r in G.pagerank(_edges_df(spark, base), iterations=4).collect()}
+    r2 = {r["node"]: r["rank"]
+          for r in G.pagerank(_edges_df(spark, dup), iterations=4).collect()}
+    assert r1 == r2
+
+
+def test_pagerank_tol_early_stop(spark):
+    # symmetric K3: uniform ranks are the fixed point from round 1,
+    # so any tol stops the loop on round 1.
+    pairs = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+             ("a", "c"), ("c", "a")]
+    stats = {}
+    got = {r["node"]: r["rank"]
+           for r in G.pagerank(_edges_df(spark, pairs), iterations=50,
+                               tol=1e-9, stats=stats).collect()}
+    assert stats["rounds"] == 1
+    for v in got.values():
+        assert v == pytest.approx(1.0 / 3.0, abs=1e-12)
