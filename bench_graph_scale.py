@@ -1,0 +1,156 @@
+#!/usr/bin/env python3
+"""Graph-analytics-at-scale probe (operators/graph.py): PageRank,
+degree-ordered triangles, degrees and the gated two-hop over a
+deterministic synthetic graph with a QUADRATIC hub skew — the shape
+that detonates naive wedge joins. Separate from bench.py because a
+full pass is minutes; run when the graph hot path changes.
+
+Prints ONE JSON line per op:
+  {"op": ..., "nodes": V, "edges": E, "wall_s": s, ...exactness signal}
+
+Exactness signals at volume (no small oracle can see these sizes):
+  * pagerank — |sum(rank) - 1| (the stochastic-matrix fix conserves
+    mass EXACTLY up to float summation, so drift means a bug) and the
+    round count.
+  * triangles — total count reported twice: degree-ordered operator
+    vs an independent undirected-adjacency intersect (only at the
+    smaller TRI size; the cross-check is itself O(m^1.5)).
+  * two_hop — gated pair count + how many hub mids the gate skipped.
+
+Env knobs: SPARK_GRAFT_GRAPH_NODES (default 1000000),
+SPARK_GRAFT_GRAPH_EDGES (default 5000000),
+SPARK_GRAFT_GRAPH_TRI_EDGES (default 2000000, denser V=E/25),
+SPARK_GRAFT_PR_ITERS (default 5), SPARK_GRAFT_CPUS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bio_re_with_entity_embeddings_spark.deploy import ensure_shipped  # noqa: E402
+from bio_re_with_entity_embeddings_spark.operators import graph as G  # noqa: E402
+from bio_re_with_entity_embeddings_spark.session import get_spark  # noqa: E402
+
+
+def synth_edges(spark, n_nodes: int, n_edges: int, partitions: int):
+    """Deterministic skewed edge set: src is drawn with a QUADRATIC
+    bias toward low node ids (node 0 collects ~E/sqrt(V) edges — a
+    real hub), dst uniform; all codegen'd xxhash64 arithmetic, no
+    Python, no seed, layout-independent. Self-loops dropped."""
+    u = F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1_000_000)) / F.lit(1_000_000.0)
+    src = (u * u * F.lit(float(n_nodes))).cast("long")
+    dst = F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n_nodes))
+    return (
+        spark.range(n_edges, numPartitions=partitions)
+        .select(
+            F.concat(F.lit("n"), src).alias("src"),
+            F.concat(F.lit("n"), dst).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+
+
+def main() -> None:
+    n_nodes = int(os.environ.get("SPARK_GRAFT_GRAPH_NODES", "1000000"))
+    n_edges = int(os.environ.get("SPARK_GRAFT_GRAPH_EDGES", "5000000"))
+    tri_edges = int(os.environ.get("SPARK_GRAFT_GRAPH_TRI_EDGES", "2000000"))
+    pr_iters = int(os.environ.get("SPARK_GRAFT_PR_ITERS", "5"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        app_name="graph-bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus
+    )
+    ensure_shipped(spark)
+
+    # Materialize once so every op times compute, not the generator.
+    work = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".kgwork",
+        f"bench_graph_v{n_nodes}_e{n_edges}",
+    )
+    if not os.path.exists(os.path.join(work, "_SUCCESS")):
+        synth_edges(spark, n_nodes, n_edges, 2 * cpus).write.mode(
+            "overwrite"
+        ).parquet(work)
+    edges = spark.read.parquet(work)
+
+    # ---- degrees --------------------------------------------------
+    t0 = time.perf_counter()
+    deg_row = G.degrees(edges).agg(
+        F.count(F.lit(1)).alias("v"), F.max("degree").alias("dmax")
+    ).collect()[0]
+    print(json.dumps({
+        "op": "degrees", "nodes": int(deg_row["v"]), "edges": n_edges,
+        "max_degree": int(deg_row["dmax"]),
+        "wall_s": round(time.perf_counter() - t0, 1),
+    }), flush=True)
+
+    # ---- pagerank -------------------------------------------------
+    stats: dict = {}
+    t0 = time.perf_counter()
+    mass = G.pagerank(edges, iterations=pr_iters, stats=stats).agg(
+        F.sum("rank")
+    ).collect()[0][0]
+    print(json.dumps({
+        "op": "pagerank", "nodes": stats["n_nodes"], "edges": n_edges,
+        "iterations": stats["rounds"],
+        "mass_error": abs(mass - 1.0),
+        "wall_s": round(time.perf_counter() - t0, 1),
+    }), flush=True)
+
+    # ---- two_hop (gated) -----------------------------------------
+    cap = int(os.environ.get("SPARK_GRAFT_TWO_HOP_CAP", "64"))
+    skipped = G.degrees(edges).where(F.col("degree") > cap).count()
+    t0 = time.perf_counter()
+    n_pairs = G.two_hop(edges, max_mid_degree=cap).count()
+    print(json.dumps({
+        "op": "two_hop", "edges": n_edges, "mid_degree_cap": cap,
+        "hub_mids_skipped": skipped, "pairs": n_pairs,
+        "wall_s": round(time.perf_counter() - t0, 1),
+    }), flush=True)
+
+    # ---- triangles (denser graph + independent cross-check) -------
+    tri_nodes = max(tri_edges // 25, 1)
+    tedges = synth_edges(spark, tri_nodes, tri_edges, 2 * cpus).persist()
+    tedges.count()
+    t0 = time.perf_counter()
+    tri_total = G.triangles(tedges).agg(F.sum("n_triangles")).collect()[0][0]
+    wall = round(time.perf_counter() - t0, 1)
+    # independent check: undirected edge list intersected both ways
+    # (each triangle counted once per corner -> 3x the triangle count;
+    # operator reports per-node membership, so totals must be EQUAL)
+    und = tedges.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).where(F.col("u") != F.col("v")).distinct()
+    w = und.alias("e1").join(
+        und.alias("e2"), F.col("e1.v") == F.col("e2.u")
+    ).select(
+        F.col("e1.u").alias("a"), F.col("e1.v").alias("b"),
+        F.col("e2.v").alias("c"),
+    )
+    closed = w.join(
+        und.alias("e3"),
+        (F.col("a") == F.col("e3.u")) & (F.col("c") == F.col("e3.v")),
+    ).count()
+    # each undirected triangle {x<y<z} appears once as wedge x-y-z
+    # closed by (x,z): closed == n_triangles; per-node sum == 3x.
+    tedges.unpersist()
+    print(json.dumps({
+        "op": "triangles", "nodes": tri_nodes, "edges": tri_edges,
+        "triangles_per_node_sum": int(tri_total),
+        "crosscheck_3x": int(closed) * 3,
+        "match": int(tri_total) == int(closed) * 3,
+        "wall_s": wall,
+    }), flush=True)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -190,6 +190,42 @@ def cmd_media_features(args) -> int:
     return 0
 
 
+def cmd_graph_metrics(args) -> int:
+    """Graph analytics over a MATERIALIZED triple/edge table
+    (operators/graph.py) — the consumer pass after build-triples:
+    degree profile, PageRank (uniform dangling redistribution), and
+    per-node triangle counts, each written as its own feature table.
+    --two_hop_cap > 0 additionally writes the hub-gated two-hop pairs
+    (mids above the cap are SKIPPED — the documented hub contract)."""
+    from pyspark.sql import functions as F
+
+    from .operators import graph as G
+
+    spark = _spark(args)
+    edges = spark.read.parquet(args.input).select(
+        F.col(args.src_col).alias("src"), F.col(args.dst_col).alias("dst")
+    )
+    out = args.output_dir
+    G.degrees(edges).write.mode("overwrite").parquet(f"{out}/degrees")
+    stats: dict = {}
+    G.pagerank(
+        edges, iterations=args.iterations, damping=args.damping,
+        tol=args.tol, stats=stats,
+    ).write.mode("overwrite").parquet(f"{out}/pagerank")
+    if not args.skip_triangles:
+        G.triangles(edges).write.mode("overwrite").parquet(f"{out}/triangles")
+    if args.two_hop_cap > 0:
+        G.two_hop(edges, max_mid_degree=args.two_hop_cap).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/two_hop")
+    print(
+        f"graph metrics -> {out} (pagerank rounds={stats.get('rounds')},"
+        f" nodes={stats.get('n_nodes')})",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def cmd_curate(args) -> int:
     """The composed LLM-corpus curation chain (plans/curation.py):
     quality gate -> exact dedup -> minhash keepers -> decontamination
@@ -347,6 +383,23 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--input", required=True)
     sp.add_argument("--output_dir", required=True)
     sp.set_defaults(fn=cmd_media_features)
+
+    sp = sub.add_parser("graph-metrics")
+    sp.add_argument("--input", required=True,
+                    help="parquet edge/triple table (e.g. build-triples "
+                         "output)")
+    sp.add_argument("--output_dir", required=True)
+    sp.add_argument("--src_col", default="subj")
+    sp.add_argument("--dst_col", default="obj")
+    sp.add_argument("--iterations", type=int, default=10)
+    sp.add_argument("--damping", type=float, default=0.85)
+    sp.add_argument("--tol", type=float, default=None,
+                    help="optional L1 early-stop (omit for a fixed "
+                         "round count)")
+    sp.add_argument("--skip_triangles", action="store_true")
+    sp.add_argument("--two_hop_cap", type=int, default=0,
+                    help="> 0 also writes hub-gated two-hop pairs")
+    sp.set_defaults(fn=cmd_graph_metrics)
 
     sp = sub.add_parser("curate")
     sp.add_argument("--input", required=True,

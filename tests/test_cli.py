@@ -206,3 +206,41 @@ def test_cli_media_features(spark, world, tmp_path_factory):
     assert img.count() == 6 and (img.toPandas()["format"] == "jpeg").all()
     assert aud.count() == 6 and (aud.toPandas()["sample_rate"] == 8000).all()
     assert vid.count() == 6 and (vid.toPandas()["kind"] == "vide").all()
+
+
+def test_cli_graph_metrics(spark, tmp_path_factory):
+    """graph-metrics verb: the consumer pass over a materialized
+    edge/triple table — degrees, PageRank, triangles and the gated
+    two-hop land as separate feature tables with exact values."""
+    base = tmp_path_factory.mktemp("gm")
+    edges_path = str(base / "edges")
+    # K3 {a,b,c} + pendant d: hand-verifiable on every output
+    spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "subj string, obj string",
+    ).write.parquet(edges_path)
+    out = str(base / "metrics")
+    rc = cli.main([
+        "graph-metrics", "--input", edges_path, "--output_dir", out,
+        "--iterations", "4", "--two_hop_cap", "64",
+    ])
+    assert rc == 0
+    deg = {
+        r["node"]: r["degree"]
+        for r in spark.read.parquet(f"{out}/degrees").collect()
+    }
+    assert deg == {"a": 2, "b": 2, "c": 3, "d": 1}
+    pr = spark.read.parquet(f"{out}/pagerank")
+    assert pr.count() == 4
+    assert abs(sum(r["rank"] for r in pr.collect()) - 1.0) < 1e-12
+    tri = {
+        r["node"]: r["n_triangles"]
+        for r in spark.read.parquet(f"{out}/triangles").collect()
+    }
+    assert tri == {"a": 1, "b": 1, "c": 1, "d": 0}
+    hops = {
+        (r["src"], r["dst"])
+        for r in spark.read.parquet(f"{out}/two_hop").collect()
+    }
+    # directed 2-paths: a->b->c, b->c->{a,d}, c->a->b
+    assert hops == {("a", "c"), ("b", "a"), ("b", "d"), ("c", "b")}
