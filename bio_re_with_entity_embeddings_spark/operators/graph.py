@@ -73,10 +73,15 @@ def two_hop(edges: DataFrame, max_mid_degree: int | None = None) -> DataFrame:
     (mid-keyed) clustering the wedge join shuffles on, so gating adds
     no exchange — only a window count.
     """
-    a = edges.select(F.col("src").alias("a_src"), F.col("dst").alias("mid"))
-    b = edges.select(F.col("src").alias("mid"), F.col("dst").alias("b_dst"))
+    # the input subtree feeds BOTH wedge sides (and the gate's degree
+    # profile): materialize it once — lazy localCheckpoint, the CC-loop
+    # pattern — instead of recomputing an arbitrarily expensive
+    # upstream (e.g. the Arrow mention-detection stage) 2-3x.
+    e0 = edges.select("src", "dst").localCheckpoint(eager=False)
+    a = e0.select(F.col("src").alias("a_src"), F.col("dst").alias("mid"))
+    b = e0.select(F.col("src").alias("mid"), F.col("dst").alias("b_dst"))
     if max_mid_degree is not None:
-        deg = degrees(edges).where(F.col("degree") <= max_mid_degree).select(
+        deg = degrees(e0).where(F.col("degree") <= max_mid_degree).select(
             F.col("node").alias("mid")
         )
         # node-sized dimension, but it GROWS with the graph: merge-hint
@@ -105,6 +110,11 @@ def triangles(edges: DataFrame) -> DataFrame:
     composite (v, w) key — narrow, uniformly hashed — never on a
     single hub node.
     """
+    # und feeds the degree profile AND the orientation; oriented feeds
+    # both wedge sides AND the closing-arc lookup — materialize each
+    # once (lazy localCheckpoint, the CC-loop pattern) instead of
+    # recomputing the upstream + orientation join cascade 3x per
+    # action (measured 52.8 s -> see BENCH/BASELINE.md before/after).
     und = (
         edges.select(
             F.least(F.col("src"), F.col("dst")).alias("u"),
@@ -112,6 +122,7 @@ def triangles(edges: DataFrame) -> DataFrame:
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("u").alias("node"))
@@ -131,6 +142,7 @@ def triangles(edges: DataFrame) -> DataFrame:
             F.when(lo_hi | tie, F.col("u")).otherwise(F.col("v")).alias("a"),
             F.when(lo_hi | tie, F.col("v")).otherwise(F.col("u")).alias("b"),
         )
+        .localCheckpoint(eager=False)
     )
     # wedges at the low-degree apex: (a -> b1, a -> b2), ordered so the
     # closing arc is looked up once.  The pair (b1 < b2) follows the
@@ -200,7 +212,12 @@ def pagerank(
     count.  ``stats`` receives {"rounds": n, "n_nodes": N}.
     """
     spark = edges.sparkSession
-    e = edges.select("src", "dst").distinct()
+    # e feeds nodes, out-degrees AND the loop's edge table: persist it
+    # so an expensive upstream (mention detection) runs exactly once;
+    # released before returning (the returned state is checkpointed —
+    # its partitions are already materialized by the final round's
+    # action, so the unpersist cannot trigger a recompute).
+    e = edges.select("src", "dst").distinct().persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -282,6 +299,7 @@ def pagerank(
         if tol is not None and (r["l1"] or 0.0) < tol:
             break
     ep.unpersist()
+    e.unpersist()
     if stats is not None:
         stats["rounds"] = rounds
         stats["n_nodes"] = n_nodes

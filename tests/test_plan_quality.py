@@ -353,3 +353,51 @@ def test_canonicalize_edges_no_clique_no_cartesian(spark):
     assert "Window" in plan  # the per-bucket gate
     # linear star, not the 190-pair clique
     assert edges.count() == 19
+
+
+def test_graph_degrees_single_exchange(spark):
+    """degrees is ONE map-combined aggregate over the unioned endpoint
+    stream: exactly one exchange, no join (a join of separate out/in
+    aggregates would shuffle the node table twice)."""
+    from bio_re_with_entity_embeddings_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    plan = plan_of(G.degrees(edges)).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange") - plan.count("ReusedExchange") <= 1, plan[:1200]
+    assert "Join" not in plan, plan[:1200]
+    assert "partial_" in plan or "HashAggregate" in plan
+
+
+def test_graph_triangles_degree_joins_sort_merge(spark):
+    """The O(V) degree table grows with the graph: its orientation
+    joins must plan as SortMergeJoin (merge-hinted — AQE guessing
+    broadcast on a misestimated table is the dedup 2M-doc OOM class),
+    and no wedge path may degrade to a cartesian/nested-loop."""
+    from bio_re_with_entity_embeddings_spark.operators import graph as G
+
+    edges = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("src"),
+        F.substring("text", 1, 2).alias("dst"),
+    )
+    plan = plan_of(G.triangles(edges))
+    assert "SortMergeJoin" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_graph_two_hop_gate_semi_joins_sort_merge(spark):
+    """The hub gate's O(V) eligible-mid table rides merge-hinted
+    LEFT-SEMI joins (never a broadcast that grows with the graph),
+    and the gated wedge join is an equi-join on mid."""
+    from bio_re_with_entity_embeddings_spark.operators import graph as G
+
+    edges = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("src"),
+        F.substring("text", 1, 2).alias("dst"),
+    )
+    plan = plan_of(G.two_hop(edges, max_mid_degree=64))
+    assert "SortMergeJoin LeftSemi" in plan.replace("(", " ").replace(
+        "[", " "
+    ) or re.search(r"SortMergeJoin.*LeftSemi", plan), plan[:1500]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
