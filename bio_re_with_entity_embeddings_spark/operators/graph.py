@@ -210,6 +210,19 @@ def pagerank(
     ``tol``: optional early stop when the L1 delta between rounds
     falls below it.  Leave None for a fixed, oracle-restatable round
     count.  ``stats`` receives {"rounds": n, "n_nodes": N}.
+
+    Dangling-free fast path: the node set is fixed, so when the
+    state_0 action reports ZERO dangling nodes (every symmetric graph,
+    e.g. the bipartite mention graph) the per-round mass is provably
+    0.0 forever — with ``tol`` unset the loop then chains all rounds
+    LAZILY (no per-round driver action; each round's Catalyst plan is
+    still constant-size because it compiles against the previous
+    round's checkpoint RDD) and the caller's first action materializes
+    the checkpoint cascade in one go.  Measured honestly: ~nil on
+    local mode at sf0.1 (6.5 s vs 6.6 s interleaved median — the
+    checkpoint materialization work dominates either way); the win is
+    N fewer driver round-trips, which matters on a real cluster where
+    each job submission pays scheduler + network latency, not here.
     """
     spark = edges.sparkSession
     # e feeds nodes, out-degrees AND the loop's edge table: persist it
@@ -284,6 +297,12 @@ def pagerank(
             .repartition(p, "node")
             .localCheckpoint(eager=False)
         )
+        state = new_state.drop("_prev_rank")
+        rounds += 1
+        if tol is None and row["n_dangling"] == 0:
+            # dangling-free fast path (docstring): mass is 0.0 forever,
+            # nothing to measure — no per-round driver action.
+            continue
         # the ONE action of the round: materializes new_state's
         # checkpoint, measures next round's dangling mass and (when
         # tol is set) this round's convergence delta.
@@ -294,10 +313,14 @@ def pagerank(
             aggs.append(F.sum(F.abs(F.col("rank") - F.col("_prev_rank"))).alias("l1"))
         r = new_state.agg(*aggs).collect()[0]
         dangling = r["d"] or 0.0
-        state = new_state.drop("_prev_rank")
-        rounds += 1
         if tol is not None and (r["l1"] or 0.0) < tol:
             break
+    if tol is None and row["n_dangling"] == 0 and rounds:
+        # fast path: ONE action materializes the whole checkpoint
+        # cascade — must happen BEFORE the unpersists below, or every
+        # round's join would recompute ep's (arbitrarily expensive)
+        # upstream from lineage.
+        state.count()
     ep.unpersist()
     e.unpersist()
     if stats is not None:

@@ -177,3 +177,18 @@ def test_pagerank_tol_early_stop(spark):
     assert stats["rounds"] == 1
     for v in got.values():
         assert v == pytest.approx(1.0 / 3.0, abs=1e-12)
+
+
+def test_pagerank_dangling_free_fast_path_matches_reference(spark):
+    # every node has an out-edge -> the lazy no-per-round-action fast
+    # path; must equal the same NumPy reference as the slow path.
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "b"), ("a", "c")]
+    stats = {}
+    got = {r["node"]: r["rank"]
+           for r in G.pagerank(_edges_df(spark, pairs), iterations=6,
+                               stats=stats).collect()}
+    exp = _np_pagerank(pairs, iterations=6, damping=0.85)
+    assert stats["rounds"] == 6
+    for n in exp:
+        assert got[n] == pytest.approx(exp[n], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
