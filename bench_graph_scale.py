@@ -115,6 +115,31 @@ def main() -> None:
         "wall_s": round(time.perf_counter() - t0, 1),
     }), flush=True)
 
+    # ---- label propagation (determinism signal at volume) ---------
+    lpa_iters = int(os.environ.get("SPARK_GRAFT_LPA_ITERS", "3"))
+
+    def _lpa_hash():
+        out = G.label_propagation(edges, iterations=lpa_iters)
+        row = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            # xor fold, not sum: sum(xxhash64) overflows long under
+            # ANSI mode (the canonicalize._edge_signature pattern)
+            F.bit_xor(F.xxhash64("node", "label")).alias("h"),
+            F.count_distinct("label").alias("k"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"]), int(row["k"])
+
+    t0 = time.perf_counter()
+    n1, h1, k1 = _lpa_hash()
+    wall_lpa = round(time.perf_counter() - t0, 1)
+    n2, h2, k2 = _lpa_hash()  # deterministic tie-break => identical
+    print(json.dumps({
+        "op": "label_propagation", "edges": n_edges, "iterations": lpa_iters,
+        "nodes": n1, "communities": k1,
+        "deterministic": (n1, h1, k1) == (n2, h2, k2),
+        "wall_s": wall_lpa,
+    }), flush=True)
+
     # ---- triangles (denser graph + independent cross-check) -------
     tri_nodes = max(tri_edges // 25, 1)
     tedges = synth_edges(spark, tri_nodes, tri_edges, 2 * cpus).persist()

@@ -209,6 +209,65 @@ def graph_degrees(spark, sf_dir):
     return G.degrees(edges)
 
 
+# ---------------------------------------------------------------------------
+# Label propagation: 3 synchronous deterministic rounds over the
+# entity co-occurrence graph.  The SQL restates each round literally
+# (count messages, take max count with min-label tie-break).
+# ---------------------------------------------------------------------------
+
+_LPA_ITERS = 3
+
+
+def _lpa_sql() -> str:
+    ctes = [
+        """und AS (
+  SELECT DISTINCT least(subj, obj) AS u, greatest(subj, obj) AS v
+  FROM pairs WHERE subj <> obj
+)""",
+        "sym AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und)",
+        "l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym)",
+    ]
+    for i in range(1, _LPA_ITERS + 1):
+        prev = f"l{i - 1}"
+        ctes.append(
+            f"""l{i} AS (
+  SELECT node, label FROM (
+    SELECT c.node, c.label,
+           row_number() OVER (PARTITION BY c.node
+                              ORDER BY c.cnt DESC, c.label ASC) AS rn
+    FROM (SELECT s.v AS node, l.label, count(*) AS cnt
+          FROM sym s JOIN {prev} l ON s.u = l.node
+          GROUP BY s.v, l.label) c
+  ) WHERE rn = 1
+)"""
+        )
+    return (
+        _SQL_PRELUDE
+        + _SQL_PAIRS
+        + ", "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, label FROM l{_LPA_ITERS}"
+    )
+
+
+@register_extra("graph_lpa", _lpa_sql())
+def graph_lpa(spark, sf_dir):
+    """Synchronous deterministic label propagation (3 rounds,
+    min-label tie-break) over the entity co-occurrence graph
+    (operators/graph.py::label_propagation)."""
+    m = _doc_mentions(spark, sf_dir)
+    src = m.where(F.col("entity_type") == "op").select(
+        "doc_id", F.col("entity_id").alias("subj")
+    )
+    tgt = m.where(F.col("entity_type") == "obj").select(
+        "doc_id", F.col("entity_id").alias("obj")
+    )
+    pairs = src.join(tgt, "doc_id").select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return G.label_propagation(pairs, iterations=_LPA_ITERS)
+
+
 _TWO_HOP_CAP = 64
 
 _SQL_TWO_HOP = (

@@ -176,6 +176,76 @@ def triangles(edges: DataFrame) -> DataFrame:
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(node, label) after ``iterations`` SYNCHRONOUS label-propagation
+    rounds over the UNDIRECTED simple graph underlying ``edges``
+    (Raghavan et al. 2007's community detection, made deterministic):
+    every node starts labeled with itself; each round every node
+    simultaneously adopts the most frequent label among its neighbors,
+    ties broken by the SMALLEST label.  Fixed rounds + deterministic
+    tie-break = restatable in plain SQL (unlike the async/randomized
+    original), at the price of possible 2-cycles on bipartite-ish
+    structures — callers pick ``iterations`` odd/even deliberately.
+
+    Execution shape per round: one edges|><|labels join, one
+    (node, label) map-combined count, one min(struct(-cnt, label))
+    argmax — no window over raw messages; state is lazily
+    ``localCheckpoint``'ed per round (constant-size Catalyst plans)
+    and materialized by one final action, the pagerank fast-path
+    pattern.  Isolated nodes cannot occur (every node has >= 1
+    neighbor by construction of the symmetric edge set).
+    """
+    und = (
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).alias("u"),
+            F.greatest(F.col("src"), F.col("dst")).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    spark = edges.sparkSession
+    ceiling = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_edges = sym.count()  # materializes sym; sizes the loop width
+    p = _loop_width(n_edges, ceiling)
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .repartition(p, "node")
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iterations):
+        msgs = sym.join(
+            labels.select(F.col("node").alias("u"), "label"), "u"
+        ).select(F.col("v").alias("node"), "label")
+        counts = msgs.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("neg"), F.col("label"))
+                ).alias("best")
+            )
+            .select("node", F.col("best.label").alias("label"))
+            .repartition(p, "node")
+            .localCheckpoint(eager=False)
+        )
+    labels.count()  # one action materializes the round cascade
+    if stats is not None:
+        stats["rounds"] = iterations
+        stats["n_edges_sym"] = n_edges
+    return labels
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 10,

@@ -192,3 +192,35 @@ def test_pagerank_dangling_free_fast_path_matches_reference(spark):
     for n in exp:
         assert got[n] == pytest.approx(exp[n], abs=1e-12)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# label propagation
+# ---------------------------------------------------------------------------
+
+
+def test_label_propagation_two_communities(spark):
+    # two triangles {a,b,c} / {d,e,f} joined by bridge c-d: after 3
+    # deterministic synchronous rounds each community is uniform
+    # (hand-traced: min-label ties round 1, majority thereafter).
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"),
+             ("d", "e"), ("e", "f"), ("f", "d"), ("c", "d")]
+    stats = {}
+    got = {r["node"]: r["label"]
+           for r in G.label_propagation(_edges_df(spark, pairs),
+                                        iterations=3, stats=stats).collect()}
+    assert stats["rounds"] == 3
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "d": "c", "e": "c", "f": "c"}
+
+
+def test_label_propagation_direction_and_multiplicity_invariant(spark):
+    base = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    messy = base + [("b", "a"), ("a", "b"), ("d", "c")]
+    r1 = {r["node"]: r["label"]
+          for r in G.label_propagation(_edges_df(spark, base),
+                                       iterations=2).collect()}
+    r2 = {r["node"]: r["label"]
+          for r in G.label_propagation(_edges_df(spark, messy),
+                                       iterations=2).collect()}
+    assert r1 == r2
