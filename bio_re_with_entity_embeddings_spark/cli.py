@@ -214,6 +214,10 @@ def cmd_graph_metrics(args) -> int:
     ).write.mode("overwrite").parquet(f"{out}/pagerank")
     if not args.skip_triangles:
         G.triangles(edges).write.mode("overwrite").parquet(f"{out}/triangles")
+    if args.lpa_iterations > 0:
+        G.label_propagation(edges, iterations=args.lpa_iterations).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/communities")
     if args.two_hop_cap > 0:
         G.two_hop(edges, max_mid_degree=args.two_hop_cap).write.mode(
             "overwrite"
@@ -397,6 +401,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="optional L1 early-stop (omit for a fixed "
                          "round count)")
     sp.add_argument("--skip_triangles", action="store_true")
+    sp.add_argument("--lpa_iterations", type=int, default=0,
+                    help="> 0 also writes label-propagation communities")
     sp.add_argument("--two_hop_cap", type=int, default=0,
                     help="> 0 also writes hub-gated two-hop pairs")
     sp.set_defaults(fn=cmd_graph_metrics)

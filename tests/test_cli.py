@@ -223,6 +223,7 @@ def test_cli_graph_metrics(spark, tmp_path_factory):
     rc = cli.main([
         "graph-metrics", "--input", edges_path, "--output_dir", out,
         "--iterations", "4", "--two_hop_cap", "64",
+        "--lpa_iterations", "2",
     ])
     assert rc == 0
     deg = {
@@ -244,3 +245,5 @@ def test_cli_graph_metrics(spark, tmp_path_factory):
     }
     # directed 2-paths: a->b->c, b->c->{a,d}, c->a->b
     assert hops == {("a", "c"), ("b", "a"), ("b", "d"), ("c", "b")}
+    comm = spark.read.parquet(f"{out}/communities")
+    assert comm.count() == 4 and set(comm.columns) == {"node", "label"}
