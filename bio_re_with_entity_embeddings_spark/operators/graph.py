@@ -334,6 +334,14 @@ def pagerank(
         F.sum(F.when(F.col("od") == 0, 1).otherwise(0)).alias("n_dangling"),
     ).collect()[0]
     n_nodes = int(row["n"])
+    if n_nodes == 0:
+        # empty graph (e.g. graph-metrics over a zero-triple build):
+        # empty profile, not a ZeroDivisionError
+        e.unpersist()
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["n_nodes"] = 0
+        return state.select("node", "rank")
     base = (1.0 - damping) / n_nodes
     state = state.withColumn("rank", F.lit(1.0 / n_nodes))
     dangling = row["n_dangling"] / n_nodes  # uniform init: exact

@@ -224,3 +224,17 @@ def test_label_propagation_direction_and_multiplicity_invariant(spark):
           for r in G.label_propagation(_edges_df(spark, messy),
                                        iterations=2).collect()}
     assert r1 == r2
+
+
+def test_all_ops_empty_edge_set(spark):
+    # graph-metrics over a zero-triple build must yield empty
+    # profiles, never a crash (the pipeline's own empty-corpus
+    # contract).
+    empty = spark.createDataFrame([], "src string, dst string")
+    stats = {}
+    assert G.degrees(empty).count() == 0
+    assert G.two_hop(empty, max_mid_degree=4).count() == 0
+    assert G.triangles(empty).count() == 0
+    assert G.label_propagation(empty, iterations=2).count() == 0
+    assert G.pagerank(empty, iterations=2, stats=stats).count() == 0
+    assert stats == {"rounds": 0, "n_nodes": 0}
