@@ -80,7 +80,28 @@ def main() -> None:
         ).parquet(work)
     edges = spark.read.parquet(work)
 
+    # comma list to run a subset (the scaling runner measures one op
+    # per pinned invocation); empty = all
+    only = {o for o in os.environ.get("SPARK_GRAFT_GRAPH_OPS", "").split(",") if o}
+
+    def _want(op: str) -> bool:
+        return not only or op in only
+
     # ---- degrees --------------------------------------------------
+    if _want("degrees"):
+        _run_degrees(edges, n_edges)
+    if _want("pagerank"):
+        _run_pagerank(edges, n_edges, pr_iters)
+    if _want("two_hop"):
+        _run_two_hop(edges, n_edges)
+    if _want("lpa"):
+        _run_lpa(edges, n_edges)
+    if _want("triangles"):
+        _run_triangles(spark, tri_edges, 2 * cpus)
+    spark.stop()
+
+
+def _run_degrees(edges, n_edges):
     t0 = time.perf_counter()
     deg_row = G.degrees(edges).agg(
         F.count(F.lit(1)).alias("v"), F.max("degree").alias("dmax")
@@ -91,20 +112,23 @@ def main() -> None:
         "wall_s": round(time.perf_counter() - t0, 1),
     }), flush=True)
 
-    # ---- pagerank -------------------------------------------------
+
+def _run_pagerank(edges, n_edges, pr_iters):
     stats: dict = {}
+    encode = os.environ.get("SPARK_GRAFT_PR_ENCODE", "0") == "1"
     t0 = time.perf_counter()
-    mass = G.pagerank(edges, iterations=pr_iters, stats=stats).agg(
-        F.sum("rank")
-    ).collect()[0][0]
+    mass = G.pagerank(
+        edges, iterations=pr_iters, stats=stats, encode_ids=encode
+    ).agg(F.sum("rank")).collect()[0][0]
     print(json.dumps({
         "op": "pagerank", "nodes": stats["n_nodes"], "edges": n_edges,
-        "iterations": stats["rounds"],
+        "iterations": stats["rounds"], "encode_ids": encode,
         "mass_error": abs(mass - 1.0),
         "wall_s": round(time.perf_counter() - t0, 1),
     }), flush=True)
 
-    # ---- two_hop (gated) -----------------------------------------
+
+def _run_two_hop(edges, n_edges):
     cap = int(os.environ.get("SPARK_GRAFT_TWO_HOP_CAP", "64"))
     skipped = G.degrees(edges).where(F.col("degree") > cap).count()
     t0 = time.perf_counter()
@@ -115,7 +139,8 @@ def main() -> None:
         "wall_s": round(time.perf_counter() - t0, 1),
     }), flush=True)
 
-    # ---- label propagation (determinism signal at volume) ---------
+
+def _run_lpa(edges, n_edges):
     lpa_iters = int(os.environ.get("SPARK_GRAFT_LPA_ITERS", "3"))
 
     def _lpa_hash():
@@ -140,9 +165,10 @@ def main() -> None:
         "wall_s": wall_lpa,
     }), flush=True)
 
-    # ---- triangles (denser graph + independent cross-check) -------
+
+def _run_triangles(spark, tri_edges, partitions):
     tri_nodes = max(tri_edges // 25, 1)
-    tedges = synth_edges(spark, tri_nodes, tri_edges, 2 * cpus).persist()
+    tedges = synth_edges(spark, tri_nodes, tri_edges, partitions).persist()
     tedges.count()
     t0 = time.perf_counter()
     tri_total = G.triangles(tedges).agg(F.sum("n_triangles")).collect()[0][0]
@@ -173,8 +199,6 @@ def main() -> None:
         "match": int(tri_total) == int(closed) * 3,
         "wall_s": wall,
     }), flush=True)
-
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -238,3 +238,21 @@ def test_all_ops_empty_edge_set(spark):
     assert G.label_propagation(empty, iterations=2).count() == 0
     assert G.pagerank(empty, iterations=2, stats=stats).count() == 0
     assert stats == {"rounds": 0, "n_nodes": 0}
+
+
+def test_pagerank_encode_ids_equal(spark):
+    # dictionary-encoded loop must return IDENTICAL ranks under the
+    # original ids (both the dangling and dangling-free paths).
+    for pairs in (
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("c", "d")],  # dangling d
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "b")],              # none
+    ):
+        plain = {r["node"]: r["rank"]
+                 for r in G.pagerank(_edges_df(spark, pairs),
+                                     iterations=5).collect()}
+        enc = {r["node"]: r["rank"]
+               for r in G.pagerank(_edges_df(spark, pairs), iterations=5,
+                                   encode_ids=True).collect()}
+        assert set(enc) == set(plain)
+        for n in plain:
+            assert enc[n] == pytest.approx(plain[n], abs=1e-15)
