@@ -268,6 +268,59 @@ def graph_lpa(spark, sf_dir):
     return G.label_propagation(pairs, iterations=_LPA_ITERS)
 
 
+# ---------------------------------------------------------------------------
+# Connected components as a consumer op: the SAME large-star/small-star
+# CC the canonicalizer uses (operators/canonicalize.py), exposed over
+# the co-occurrence graph; the SQL replays reachability with a
+# recursive CTE and takes component = min reachable node (the
+# dedup_keepers oracle pattern).
+# ---------------------------------------------------------------------------
+
+_SQL_COMPONENTS = (
+    "\nWITH RECURSIVE "
+    + _SQL_PRELUDE.replace("\nWITH ", "", 1)
+    + _SQL_PAIRS
+    + """
+, und AS (
+  SELECT DISTINCT least(subj, obj) AS u, greatest(subj, obj) AS v
+  FROM pairs WHERE subj <> obj
+),
+cedges AS (SELECT u, v FROM und UNION SELECT v AS u, u AS v FROM und),
+reach(u, v) AS (
+  SELECT u, v FROM cedges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN cedges e ON e.u = r.v AND r.u <> e.v
+)
+SELECT n.node, least(n.node, coalesce(r.mn, n.node)) AS component
+FROM (SELECT DISTINCT u AS node FROM cedges) n
+LEFT JOIN (SELECT u, min(v) AS mn FROM reach GROUP BY u) r ON r.u = n.node
+"""
+)
+
+
+@register_extra("graph_components", _SQL_COMPONENTS)
+def graph_components(spark, sf_dir):
+    """Connected components of the co-occurrence graph
+    (operators/canonicalize.py::connected_components — large-star /
+    small-star with the shuffle-free signature convergence test),
+    component = min node id."""
+    from .operators.canonicalize import connected_components
+
+    m = _doc_mentions(spark, sf_dir)
+    src = m.where(F.col("entity_type") == "op").select(
+        "doc_id", F.col("entity_id").alias("subj")
+    )
+    tgt = m.where(F.col("entity_type") == "obj").select(
+        "doc_id", F.col("entity_id").alias("obj")
+    )
+    pairs = (
+        src.join(tgt, "doc_id")
+        .where(F.col("subj") != F.col("obj"))
+        .select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+    )
+    return connected_components(pairs)
+
+
 _TWO_HOP_CAP = 64
 
 _SQL_TWO_HOP = (

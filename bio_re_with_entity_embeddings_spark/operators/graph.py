@@ -198,6 +198,12 @@ def label_propagation(
     and materialized by one final action, the pagerank fast-path
     pattern.  Isolated nodes cannot occur (every node has >= 1
     neighbor by construction of the symmetric edge set).
+
+    String-keyed graphs at high round counts: messages carry TWO id
+    columns (node, label), so the dictionary-encode technique of
+    ``pagerank(encode_ids=True)`` applies with double the payload
+    saving — callers running many rounds should pre-encode ids (the
+    KG pipeline's scale path already carries int entity keys).
     """
     und = (
         edges.select(
