@@ -23,6 +23,7 @@ from bio_re_with_entity_embeddings_spark import (  # noqa: E402,F401 (register s
     contract_graph,
     contract_norm,
     contract_relational,
+    contract_sketch,
     contract_text,
 )
 
