@@ -348,3 +348,51 @@ def graph_two_hop(spark, sf_dir):
     hub-mid gate engaged (entity mids exceed the cap at sf0.01 and are
     skipped; doc mids pass) — the gate IS the query here."""
     return G.two_hop(_bipartite_edges(spark, sf_dir), max_mid_degree=_TWO_HOP_CAP)
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS: minimum hop distance from the two smallest entity
+# nodes over the symmetric mention graph.  The SQL replays the walk
+# with a hop-bounded recursive CTE + min(hop) (the reachability oracle
+# pattern of graph_components, with distance kept).
+# ---------------------------------------------------------------------------
+
+_BFS_HOPS = 4
+
+_SQL_BFS = (
+    "\nWITH RECURSIVE "
+    + _SQL_PRELUDE.replace("\nWITH ", "", 1)
+    + _SQL_BEDGES
+    + f"""
+, seeds AS (
+  SELECT node FROM (SELECT DISTINCT entity_id AS node FROM mentions)
+  ORDER BY node LIMIT 2
+),
+walk(node, hop) AS (
+  SELECT node, 0 AS hop FROM seeds
+  UNION
+  SELECT e.dst, w.hop + 1 FROM walk w JOIN bedges e ON e.src = w.node
+  WHERE w.hop < {_BFS_HOPS}
+)
+SELECT node, CAST(min(hop) AS INT) AS hop FROM walk GROUP BY node
+"""
+)
+
+
+@register_extra("graph_bfs", _SQL_BFS)
+def graph_bfs(spark, sf_dir):
+    """Multi-source BFS hop distances (operators/graph.py::bfs_hops)
+    from the two smallest entity ids, bounded at 4 hops — seed
+    expansion over the mention graph.  The edge set is already
+    symmetric, so the directed walk equals the undirected one."""
+    m = _doc_mentions(spark, sf_dir)
+    seeds = (
+        m.select(F.col("entity_id").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(2)
+    )
+    return G.bfs_hops(
+        _bipartite_edges(spark, sf_dir), seeds,
+        max_hops=_BFS_HOPS, directed=True,
+    )

@@ -457,3 +457,72 @@ def pagerank(
         stats["rounds"] = rounds
         stats["n_nodes"] = n_nodes
     return state.select("node", "rank")
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+    directed: bool = False,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(node, hop): MINIMUM hop distance from a source set, bounded by
+    ``max_hops`` — multi-source breadth-first search, the neighborhood
+    /reachability primitive (seed expansion, contamination radius,
+    ego-network slicing) over any ``src``/``dst`` edge table.
+    ``sources`` is a one-column ``node`` DataFrame; unreached nodes are
+    absent from the output.
+
+    Execution shape (the frontier-join pattern of
+    sources/obo.py::with_parent_paths): per round ONE
+    frontier|><|edges join + ONE anti-join against the visited set —
+    every node enters the frontier AT MOST ONCE across the whole loop
+    (BFS's min-hop property), so total join traffic is bounded by
+    sum(deg(reached nodes)), NOT rounds * edges: the frontier, not the
+    graph, pays each round.  State is repartitioned once by ``node``
+    (``_loop_width`` from the measured edge count) and lazily
+    ``localCheckpoint``'ed; the per-round frontier count that
+    materializes the round doubles as the early-stop signal (the
+    fused-action discipline of pagerank/connected_components), so an
+    exhausted frontier ends the loop before ``max_hops``.
+    """
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.distinct().localCheckpoint(eager=False)
+    spark = edges.sparkSession
+    ceiling = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_edges = e.count()  # materializes e; sizes the loop width
+    p = _loop_width(n_edges, ceiling)
+    dist = (
+        sources.select("node")
+        .distinct()
+        .withColumn("hop", F.lit(0).cast("int"))
+        .repartition(p, "node")
+        .localCheckpoint(eager=False)
+    )
+    frontier = dist
+    rounds = 0
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("hop", F.lit(h).cast("int"))
+            .repartition(p, "node")
+            .localCheckpoint(eager=False)
+        )
+        n_new = nxt.count()  # materializes the round + early-stop signal
+        if n_new == 0:
+            break
+        rounds = h
+        frontier = nxt
+        dist = dist.unionByName(nxt).localCheckpoint(eager=False)
+    dist.count()  # materialize the final union cascade
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["n_edges"] = n_edges
+    return dist

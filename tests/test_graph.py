@@ -256,3 +256,110 @@ def test_pagerank_encode_ids_equal(spark):
         assert set(enc) == set(plain)
         for n in plain:
             assert enc[n] == pytest.approx(plain[n], abs=1e-15)
+
+
+# ---------------------------------------------------------------------------
+# bfs_hops
+# ---------------------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["src", "dst"])
+
+
+def _seeds(spark, nodes):
+    return spark.createDataFrame([(n,) for n in nodes], ["node"])
+
+
+def test_bfs_path_graph_distances_and_early_stop(spark):
+    """a-b-c-d-e path from seed a: exact hop distances, and the loop
+    stops at the exhausted frontier (4 rounds reach e; round 5 never
+    runs even though max_hops allows it)."""
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+    stats = {}
+    out = {
+        r["node"]: r["hop"]
+        for r in G.bfs_hops(e, _seeds(spark, ["a"]), max_hops=10, stats=stats).collect()
+    }
+    assert out == {"a": 0, "b": 1, "c": 2, "d": 3, "e": 4}
+    assert stats["rounds"] == 4
+
+
+def test_bfs_hop_bound_truncates(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    out = {
+        r["node"]: r["hop"]
+        for r in G.bfs_hops(e, _seeds(spark, ["a"]), max_hops=2).collect()
+    }
+    assert out == {"a": 0, "b": 1, "c": 2}  # d is beyond the bound
+
+
+def test_bfs_directed_vs_undirected(spark):
+    """a->b->c directed: BFS from c reaches nothing downstream in
+    directed mode, everything in undirected mode."""
+    e = _edges(spark, [("a", "b"), ("b", "c")])
+    directed = {
+        r["node"]: r["hop"]
+        for r in G.bfs_hops(e, _seeds(spark, ["c"]), max_hops=5, directed=True).collect()
+    }
+    undirected = {
+        r["node"]: r["hop"]
+        for r in G.bfs_hops(e, _seeds(spark, ["c"]), max_hops=5).collect()
+    }
+    assert directed == {"c": 0}
+    assert undirected == {"c": 0, "b": 1, "a": 2}
+
+
+def test_bfs_multi_source_takes_min(spark):
+    """Seeds at both ends of a 5-path: middle node is 2 from either."""
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+    out = {
+        r["node"]: r["hop"]
+        for r in G.bfs_hops(e, _seeds(spark, ["a", "e"]), max_hops=10).collect()
+    }
+    assert out == {"a": 0, "b": 1, "c": 2, "d": 1, "e": 0}
+
+
+def test_bfs_unreachable_absent_and_cycles_safe(spark):
+    """Disconnected component never appears; a cycle does not loop."""
+    e = _edges(spark, [("a", "b"), ("b", "a"), ("x", "y")])
+    out = {
+        r["node"]: r["hop"]
+        for r in G.bfs_hops(e, _seeds(spark, ["a"]), max_hops=10).collect()
+    }
+    assert out == {"a": 0, "b": 1}
+
+
+def test_bfs_brute_force_random(spark):
+    """24-node random graph vs a NetworkX-free Python BFS."""
+    rnd = random.Random(7)
+    nodes = [f"n{i:02d}" for i in range(24)]
+    pairs = sorted(
+        {
+            (a, b)
+            for a, b in (
+                rnd.sample(nodes, 2) for _ in range(60)
+            )
+        }
+    )
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seeds = ["n00", "n13"]
+    expected, frontier = {s: 0 for s in seeds}, set(seeds)
+    hop = 0
+    while frontier:
+        hop += 1
+        frontier = {
+            v for u in frontier for v in adj.get(u, ()) if v not in expected
+        }
+        for v in frontier:
+            expected[v] = hop
+    got = {
+        r["node"]: r["hop"]
+        for r in G.bfs_hops(
+            _edges(spark, pairs), _seeds(spark, seeds), max_hops=30
+        ).collect()
+    }
+    assert got == expected
