@@ -264,6 +264,9 @@ def countmin_estimate(
 # ---------------------------------------------------------------------------
 
 
+_PREFILTER_FACTOR = 8  # expected survivors per group = factor * k
+
+
 def bottomk_sample(
     df: DataFrame,
     id_col: str,
@@ -271,6 +274,7 @@ def bottomk_sample(
     group_col: str | None = None,
     skew_salts: int | None = None,
     max_group_rows: int | None = None,
+    min_group_rows: int | None = None,
 ) -> DataFrame:
     """Deterministic uniform sample: the k rows per group whose
     ``md5(id)`` ranks smallest — a K-minimum-values / bottom-k sketch.
@@ -279,7 +283,29 @@ def bottomk_sample(
     bottom-k of the parts' bottom-k's (unit-pinned), so partial samples
     combine without re-reading data (rand()-based sampling has neither
     property). Reuses quota_sample's salted two-stage top-k, so one
-    10^8-row group cannot pin a single task."""
+    10^8-row group cannot pin a single task.
+
+    ``min_group_rows`` (scale hint, EXACT): a lower bound on the
+    SMALLEST group's row count. When set (and the implied keep
+    probability is < 1) a hash-threshold pre-filter runs before any
+    window: keep rows whose ``md5(id)`` 8-hex-digit prefix is <= t,
+    with t sized for ~8*k expected survivors in the smallest group.
+    This is NOT the inexact ``pmod`` pre-filter quota_sample's
+    docstring rejects — here the filter is a prefix of the ORDERING
+    KEY itself, so whenever >= k rows of a group survive, the group's
+    true bottom-k all survive (their hashes are <= the k-th smallest,
+    which is <= t). Groups where < k rows survive (hint violated, or
+    an astronomically unlikely hash fluke: P < exp(-k*49/32) by
+    Chernoff at factor 8) are repaired LAZILY: their keys anti-filter
+    the survivor stream and semi-join the raw input back in
+    unfiltered, so the output is bit-identical to the unfiltered path
+    in ALL cases (unit-pinned, including a deliberately violated
+    hint). Cost shape at 10^8+ rows: the stage-1 window's
+    full-input (key, salt) sort — the dominant cost, measured 130.9 s
+    at 200M rows in bench_sketch_scale.py — collapses to one
+    codegen'd filter scan + a window over ~8*k*(n_max/n_min) rows;
+    the repair branch re-scans only to hash-probe a broadcast
+    (normally empty) key set."""
     from .curation import quota_sample
 
     work = df
@@ -287,9 +313,40 @@ def bottomk_sample(
     if gcol is None:
         gcol = "_g"
         work = work.withColumn("_g", F.lit(0))
+    eff_max = max_group_rows
+    if min_group_rows and min_group_rows > _PREFILTER_FACTOR * k:
+        p = _PREFILTER_FACTOR * k / min_group_rows
+        t_hex = format(min(int(p * 16**8), 16**8 - 1), "08x")
+        h8 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+        survivors = work.where(h8 <= F.lit(t_hex))
+        # failing = input groups NOT adequately surviving — derived
+        # from the INPUT's key set, not the survivors' (a group whose
+        # every row is filtered has no survivor rows to count and
+        # would otherwise vanish instead of being repaired)
+        adequate = (
+            survivors.groupBy(gcol)
+            .agg(F.count(F.lit(1)).alias("_nsv"))
+            .where(F.col("_nsv") >= k)
+            .select(gcol)
+        )
+        failing = (
+            work.select(gcol)
+            .distinct()
+            .join(F.broadcast(adequate), gcol, "left_anti")
+        )
+        ok = survivors.join(F.broadcast(failing), gcol, "left_anti")
+        repair = work.join(F.broadcast(failing), gcol, "left_semi")
+        # the joins float the key column first; restore caller order
+        work = ok.unionByName(repair).select(*work.columns)
+        if eff_max is not None:
+            # survivors of an ok group are ~p * its size; repair
+            # groups arrive unfiltered, so the bound must still cover
+            # a full group of up to k rows' worth of survivors — keep
+            # the conservative max of both.
+            eff_max = max(int(eff_max * p) + 1, _PREFILTER_FACTOR * k)
     out = quota_sample(
         work, gcol, k, id_col,
-        skew_salts=skew_salts, max_group_rows=max_group_rows,
+        skew_salts=skew_salts, max_group_rows=eff_max,
     )
     return out.drop("_g") if group_col is None else out
 
@@ -303,6 +360,7 @@ def approx_quantiles(
     group_col: str | None = None,
     skew_salts: int | None = None,
     max_group_rows: int | None = None,
+    min_group_rows: int | None = None,
 ) -> DataFrame:
     """(group?, q, quantile): per-group approximate quantiles from a
     deterministic bottom-k uniform sample — quantile q is the sample's
@@ -312,13 +370,16 @@ def approx_quantiles(
     interpolation, no floats), so the oracle comparison is exact; the
     approximation error is rank error only, O(1/sqrt(k)) quantile
     deviation from the sample. Two shuffles total: the salted sample
-    top-k and one <= k-rows-per-group window."""
+    top-k and one <= k-rows-per-group window. ``min_group_rows``
+    enables bottomk_sample's exact hash-threshold pre-filter — the
+    scale path for 10^8+-row groups."""
     for q in qs:
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"quantile {q} outside [0,1]")
     sample = bottomk_sample(
         df, id_col, k, group_col,
         skew_salts=skew_salts, max_group_rows=max_group_rows,
+        min_group_rows=min_group_rows,
     )
     gc = [group_col] if group_col else []
     w = (

@@ -189,3 +189,74 @@ def test_quantiles_rank_error_bounded(nums):
 def test_quantiles_rejects_bad_q(nums):
     with pytest.raises(ValueError):
         SK.approx_quantiles(nums, "v", "rid", [1.5], k=16, group_col="g")
+
+
+def test_bottomk_prefilter_bit_identical(nums):
+    """min_group_rows hash-threshold pre-filter == unfiltered path,
+    exactly: the filter is a prefix of the ordering key, so every
+    group with >= k survivors keeps its true bottom-k intact."""
+    k = 64
+    plain = SK.bottomk_sample(nums, "rid", k, "g", skew_salts=1)
+    # each group has ~33,333 rows; honest hint (33k) -> filter keeps
+    # ~8*64/33_333 of rows, all groups survive, no repair
+    fast = SK.bottomk_sample(
+        nums, "rid", k, "g", skew_salts=1, min_group_rows=33_000
+    )
+    assert _same_rows(plain, fast)
+
+
+def test_bottomk_prefilter_repair_branch(spark):
+    """A group SMALLER than the hint (hint deliberately violated)
+    under-survives the filter and must come back through the lazy
+    repair semi-join — output still bit-identical to unfiltered."""
+    big = spark.range(50_000).select(
+        F.lit("big").alias("g"), F.col("id").alias("rid")
+    )
+    tiny = spark.range(50_000, 50_040).select(
+        F.lit("tiny").alias("g"), F.col("id").alias("rid")
+    )
+    df = big.unionByName(tiny).localCheckpoint()
+    k = 32
+    plain = SK.bottomk_sample(df, "rid", k, "g", skew_salts=1)
+    # hint claims every group has >= 50k rows; 'tiny' has 40 — with
+    # keep-p = 8*32/50_000 its expected survivors ~= 0.2 << k, so the
+    # repair branch must fire for it (and ONLY exactness matters:
+    # the union is windowed again either way)
+    fast = SK.bottomk_sample(
+        df, "rid", k, "g", skew_salts=1, min_group_rows=50_000
+    )
+    assert _same_rows(plain, fast)
+    # the tiny group keeps all 40 rows in both paths
+    assert fast.where(F.col("g") == "tiny").count() == plain.where(
+        F.col("g") == "tiny"
+    ).count()
+
+
+def test_quantiles_prefilter_identical(nums):
+    """approx_quantiles(min_group_rows=...) returns the identical
+    quantile rows as the plain path (same sample -> same ranks)."""
+    qs = [0.25, 0.5, 0.75]
+    plain = SK.approx_quantiles(
+        nums, "v", "rid", qs, k=256, group_col="g", skew_salts=1
+    )
+    fast = SK.approx_quantiles(
+        nums, "v", "rid", qs, k=256, group_col="g", skew_salts=1,
+        min_group_rows=33_000,
+    )
+    assert _same_rows(plain, fast)
+
+
+def test_bottomk_prefilter_zero_survivor_group(spark):
+    """A group so small that ZERO rows survive the filter has no
+    survivor rows to count — failing keys must come from the INPUT's
+    key set, or the group would silently vanish instead of being
+    repaired (regression pin for the survivor-side groupBy bug)."""
+    big = spark.range(100_000).select(
+        F.lit("big").alias("g"), F.col("id").alias("rid")
+    )
+    one = spark.createDataFrame([("one", 123456789)], ["g", "rid"])
+    df = big.unionByName(one).localCheckpoint()
+    fast = SK.bottomk_sample(
+        df, "rid", 16, "g", skew_salts=1, min_group_rows=100_000
+    )
+    assert fast.where(F.col("g") == "one").count() == 1
