@@ -96,6 +96,8 @@ def main() -> None:
         _run_two_hop(edges, n_edges)
     if _want("lpa"):
         _run_lpa(edges, n_edges)
+    if _want("bfs"):
+        _run_bfs(edges, n_edges)
     if _want("triangles"):
         _run_triangles(spark, tri_edges, 2 * cpus)
     spark.stop()
@@ -163,6 +165,40 @@ def _run_lpa(edges, n_edges):
         "nodes": n1, "communities": k1,
         "deterministic": (n1, h1, k1) == (n2, h2, k2),
         "wall_s": wall_lpa,
+    }), flush=True)
+
+
+def _run_bfs(edges, n_edges):
+    """Multi-source BFS to exhaustion from ~1-per-100k hash-chosen
+    seeds. Exactness at volume: two runs produce the identical
+    (count, xor-fold, max-hop) signature — BFS is deterministic — and
+    the hop histogram is reported for shape inspection."""
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .where(F.pmod(F.xxhash64("node"), F.lit(100_000)) == 0)
+        .distinct()
+    )
+    n_seeds = seeds.count()
+
+    def _bfs_sig():
+        stats: dict = {}
+        out = G.bfs_hops(edges, seeds, max_hops=50, stats=stats)
+        row = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("node", "hop")).alias("h"),
+            F.max("hop").alias("mh"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"]), int(row["mh"]), stats["rounds"]
+
+    t0 = time.perf_counter()
+    n1, h1, mh1, rounds = _bfs_sig()
+    wall = round(time.perf_counter() - t0, 1)
+    n2, h2, mh2, _ = _bfs_sig()
+    print(json.dumps({
+        "op": "bfs_hops", "edges": n_edges, "seeds": n_seeds,
+        "reached": n1, "max_hop": mh1, "rounds": rounds,
+        "deterministic": (n1, h1, mh1) == (n2, h2, mh2),
+        "wall_s": wall,
     }), flush=True)
 
 
