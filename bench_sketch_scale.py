@@ -51,15 +51,41 @@ def main() -> None:
     u = F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1_000_000)) / F.lit(1_000_000.0)
     head = (u * u * u * F.lit(1000.0)).cast("long")
     tail = F.pmod(F.xxhash64("id", F.lit(2)), F.lit(distinct))
-    df = (
+    gen = (
         spark.range(rows, numPartitions=2 * cpus)
         .select(
             F.when(F.pmod("id", F.lit(2)) == 0, head).otherwise(tail).alias("v"),
             F.col("id").alias("rid"),
         )
-        .persist()
     )
-    df.count()
+    # source=mem (default): persist + count, ops time pure compute —
+    # the guarantee-table conditions. source=parquet: materialize the
+    # column once to .kgwork and let each op scan it — the pinned
+    # scaling harness uses this so the 6 pinned invocations don't each
+    # regenerate 200M rows, and the timed shape (scan + sketch) is the
+    # production one.
+    if os.environ.get("SPARK_GRAFT_SKETCH_SOURCE", "mem") == "parquet":
+        work = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".kgwork", f"bench_sketch_r{rows}_d{distinct}",
+        )
+        if not os.path.exists(os.path.join(work, "_SUCCESS")):
+            gen.write.mode("overwrite").parquet(work)
+        # the 64-way writer emits ~13MB files; the default 128MB
+        # split packing coalesces them into ~10 scan tasks, which
+        # STARVES 8 cores (measured: 28.9 s -> 16.5 s at local[8]
+        # with 16MB splits, 64 tasks). A local-probe artifact — at
+        # production scale files are 128MB-1GB and splits saturate a
+        # cluster naturally — but the lesson is general: scan
+        # parallelism is gated by split count, not executor count;
+        # size maxPartitionBytes for >= 2-4 tasks per core.
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024)
+        )
+        df = spark.read.parquet(work)
+    else:
+        df = gen.persist()
+        df.count()
     only = {o for o in os.environ.get("SPARK_GRAFT_SKETCH_OPS", "").split(",") if o}
 
     def _want(op):
@@ -70,18 +96,24 @@ def main() -> None:
         t0 = time.perf_counter()
         est = float(SK.hll_distinct(df, "v", p=p).collect()[0]["n_est"])
         w_sk = round(time.perf_counter() - t0, 1)
-        t0 = time.perf_counter()
-        exact = df.select(F.count_distinct("v")).collect()[0][0]
-        w_ex = round(time.perf_counter() - t0, 1)
-        rel = abs(est - exact) / exact
-        print(json.dumps({
+        rec = {
             "op": "hll_distinct", "rows": rows, "p": p,
-            "estimate": est, "exact": exact,
-            "rel_err": round(rel, 5),
-            "bound_3se": round(3 * 1.04 / math.sqrt(2**p), 5),
-            "within_bound": rel <= 3 * 1.04 / math.sqrt(2**p),
-            "wall_sketch_s": w_sk, "wall_exact_s": w_ex,
-        }), flush=True)
+            "estimate": est, "wall_sketch_s": w_sk,
+        }
+        # the exact-distinct comparison leg is skippable so the pinned
+        # scaling harness times ONLY the sketch
+        if os.environ.get("SPARK_GRAFT_SKETCH_EXACT", "1") != "0":
+            t0 = time.perf_counter()
+            exact = df.select(F.count_distinct("v")).collect()[0][0]
+            w_ex = round(time.perf_counter() - t0, 1)
+            rel = abs(est - exact) / exact
+            rec.update({
+                "exact": exact, "rel_err": round(rel, 5),
+                "bound_3se": round(3 * 1.04 / math.sqrt(2**p), 5),
+                "within_bound": rel <= 3 * 1.04 / math.sqrt(2**p),
+                "wall_exact_s": w_ex,
+            })
+        print(json.dumps(rec), flush=True)
 
     if _want("countmin"):
         depth, width = 5, 65536
