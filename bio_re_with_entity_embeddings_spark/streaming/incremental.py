@@ -432,3 +432,44 @@ def streaming_sessionize(
             "n_events",
         )
     )
+
+
+def streaming_distinct_rollup(
+    events_stream: DataFrame,
+    value_col: str = "user_id",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    p: int = 12,
+) -> DataFrame:
+    """Watermarked per-window approximate COUNT(DISTINCT) — the HLL
+    REGISTER table (operators/sketches.py::hll_registers) run as a
+    NATIVE streaming aggregate, the composition the sketch's
+    mergeability exists for: the engine's ``max(r)`` state IS
+    ``hll_merge``'s bucket-wise combine, so registers accumulated
+    across micro-batches (and across restarts, via the checkpointed
+    state store) equal the batch registers over the same rows —
+    pinned bit-exactly by the parity test. Exact streaming distinct
+    would keep EVERY distinct value per open window in the state
+    store; this keeps <= 2^p small ints per window however many
+    events arrive.
+
+    Emits ``(window_start, bucket, r)`` in append mode once the
+    watermark closes a window. The register rows — not estimates —
+    are the shippable artifact: they stay mergeable downstream
+    (days roll into weeks by bucket-wise max without re-reading
+    events); finish with ``hll_estimate(regs, p,
+    group_cols=["window_start"])`` at read time."""
+    from ..operators.sketches import hll_registers
+
+    e = events_stream.withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).withWatermark("ts", watermark)
+    base = e.select(F.window("ts", window).alias("w"), F.col(value_col))
+    regs = hll_registers(base, value_col, ["w"], p=p)
+    return regs.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "bucket",
+        "r",
+    )

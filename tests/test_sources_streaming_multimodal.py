@@ -1670,3 +1670,94 @@ def test_png_features_through_spark(spark):
             8 + seed % 9, 6 + seed % 5, 3,
         )
         assert len(r.thumbnail) == 64
+
+
+def test_streaming_distinct_rollup_register_parity(spark, tmp_path):
+    """HLL registers as a native streaming aggregate must equal the
+    BATCH registers over the same rows — the state store's max(r) is
+    hll_merge's bucket-wise combine, exercised across micro-batches by
+    feeding two files that share the same hour windows
+    (maxFilesPerTrigger=1). Estimates derived from the streamed
+    registers must equal batch hll_distinct per window."""
+    from bio_re_with_entity_embeddings_spark.operators import sketches as SK
+    from bio_re_with_entity_embeddings_spark.streaming.incremental import (
+        streaming_distinct_rollup,
+    )
+
+    schema = "user_id string, ts string"
+    # two files, BOTH spanning hours 00 and 01; u-ids overlap across
+    # files so cross-batch register merges matter
+    f1 = [(f"u{i}", "2024-01-01 00:10:00") for i in range(40)] + [
+        (f"u{i}", "2024-01-01 01:10:00") for i in range(20)
+    ]
+    f2 = [(f"u{i}", "2024-01-01 00:40:00") for i in range(20, 60)] + [
+        (f"u{i}", "2024-01-01 01:40:00") for i in range(10, 50)
+    ]
+    src = tmp_path / "hll_in"
+    src.mkdir()
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(f2, schema).coalesce(1).write.parquet(str(src / "b2"))
+    # sentinels advance the watermark past both real hours
+    for i, h in enumerate(("2024-01-01 10:00:00", "2024-01-01 20:00:00")):
+        spark.createDataFrame([("zz", h)], schema).coalesce(1).write.parquet(
+            str(src / f"b{i + 3}")
+        )
+
+    got: list[tuple] = []
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        streaming_distinct_rollup(
+            stream, value_col="user_id", window="1 hour",
+            watermark="1 second", p=8,
+        )
+        .writeStream.foreachBatch(
+            lambda df, eid: got.extend(
+                (r.window_start, r.bucket, r.r) for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    real_hours = {"2024-01-01 00:00:00", "2024-01-01 01:00:00"}
+    streamed = {g for g in got if g[0] in real_hours}
+    # every real window must have been closed and emitted
+    assert {g[0] for g in streamed} == real_hours
+
+    batch_rows = spark.createDataFrame(f1 + f2, schema).select(
+        F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"),
+        "user_id",
+    )
+    batch_regs = SK.hll_registers(batch_rows, "user_id", ["w"], p=8).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "bucket",
+        "r",
+    )
+    expected = {(r.window_start, r.bucket, r.r) for r in batch_regs.collect()}
+    assert streamed == expected
+
+    # estimates derived from the streamed registers == batch estimates
+    sdf = spark.createDataFrame(
+        sorted(streamed), "window_start string, bucket int, r int"
+    )
+    s_est = {
+        r.window_start: r.n_est
+        for r in SK.hll_estimate(sdf, p=8, group_cols=["window_start"]).collect()
+    }
+    b_est = {
+        r.window_start: r.n_est
+        for r in SK.hll_estimate(
+            batch_regs, p=8, group_cols=["window_start"]
+        ).collect()
+    }
+    assert s_est == b_est
