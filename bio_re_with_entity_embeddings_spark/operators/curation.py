@@ -196,6 +196,8 @@ def corpus_budget(
     bpe_tokens_col=None,
     quality_col=None,
     text_col: str = "text",
+    distinct_col: str | None = None,
+    distinct_p: int = 12,
 ) -> DataFrame:
     """Per-group curation budget report — the telemetry a corpus
     product ships next to the data: documents, whitespace tokens, BPE
@@ -204,9 +206,20 @@ def corpus_budget(
     columns are computed from ``text_col`` when not already present
     (pass the column names to reuse ``curate_corpus`` signals).
 
+    ``distinct_col``: when set, an ``n_distinct_est`` column reports
+    the approximate distinct count of that column per group via the
+    HLL sketch (operators/sketches.py::hll_distinct, standard error
+    ~1.04/sqrt(2^distinct_p)) — e.g. distinct source domains or
+    content fingerprints per language. The exact alternative shuffles
+    every distinct value per group; the sketch adds one
+    register-bounded aggregate joined back on the group key (both
+    sides one row per group — broadcast-sized at any corpus scale).
+
     Cross-engine exactness: token sums are longs; the quality mean
     accumulates as DECIMAL(18,6) (order-insensitive) and divides once
-    — float summation order would differ between engines."""
+    — float summation order would differ between engines. (The
+    hll branch's cross-engine story lives with the sketch itself:
+    extra oracle `sketch_hll_distinct`.)"""
     from ..functions import text as TXT
 
     ws = (
@@ -224,7 +237,7 @@ def corpus_budget(
         if quality_col
         else F.round(TXT.quality_score(text_col), 6)
     ).cast("decimal(18,6)")
-    return (
+    base = (
         df.groupBy(F.col(group_col).alias("grp"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -235,6 +248,17 @@ def corpus_budget(
             ).alias("mean_quality"),
         )
     )
+    if distinct_col is None:
+        return base
+    from .sketches import hll_distinct
+
+    est = hll_distinct(
+        df.select(F.col(group_col).alias("grp"), F.col(distinct_col)),
+        distinct_col,
+        ["grp"],
+        p=distinct_p,
+    ).select("grp", F.col("n_est").alias("n_distinct_est"))
+    return base.join(est, "grp", "left")
 
 
 def repetition_signals(

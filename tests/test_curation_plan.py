@@ -201,3 +201,63 @@ def test_config_or_benchmark_change_recomputes(spark, world, tmp_path):
     m = M.read_manifest(spark, base, out1["_stages"]["keep"]).toPandas()
     assert (m["run_id"] == "r1").all()
     assert _corpus_set(out4) == _corpus_set(out1)
+
+
+def test_corpus_budget_distinct_col(spark):
+    """corpus_budget(distinct_col=...) joins an HLL n_distinct_est per
+    group: inside the sketch's 3-standard-error bound of the exact
+    distinct count, deterministic across reruns, and absent when the
+    parameter is off."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bio_re_with_entity_embeddings_spark.operators import curation as CUR
+
+    # 3 langs x 4000 docs; domain cardinality differs per lang
+    # (1000 / 200 / 1) and every domain repeats, so distinct != count
+    df = (
+        spark.range(12_000)
+        .select(
+            F.concat(F.lit("l"), (F.col("id") % 3)).alias("lang"),
+            F.concat(
+                F.lit("d"),
+                (F.col("id") % 3),
+                F.lit("_"),
+                F.when(F.col("id") % 3 == 0, F.col("id") % 1000)
+                .when(F.col("id") % 3 == 1, F.col("id") % 200)
+                .otherwise(F.lit(0)),
+            ).alias("domain"),
+            F.lit("some text for the budget").alias("text"),
+        )
+        .localCheckpoint()
+    )
+    out = {
+        r["grp"]: r
+        for r in CUR.corpus_budget(
+            df, group_col="lang", text_col="text",
+            distinct_col="domain", distinct_p=12,
+        ).collect()
+    }
+    exact = {
+        r["lang"]: r["n"]
+        for r in df.groupBy("lang")
+        .agg(F.count_distinct("domain").alias("n"))
+        .collect()
+    }
+    bound = 3 * 1.04 / math.sqrt(2**12)
+    for lang, n in exact.items():
+        est = out[lang]["n_distinct_est"]
+        assert abs(est - n) <= max(bound * n, 2.0), (lang, est, n)
+    # off by default: the column does not exist
+    plain = CUR.corpus_budget(df, group_col="lang", text_col="text")
+    assert "n_distinct_est" not in plain.columns
+    # deterministic
+    again = {
+        r["grp"]: r["n_distinct_est"]
+        for r in CUR.corpus_budget(
+            df, group_col="lang", text_col="text",
+            distinct_col="domain", distinct_p=12,
+        ).collect()
+    }
+    assert again == {k: v["n_distinct_est"] for k, v in out.items()}
