@@ -304,8 +304,10 @@ def bottomk_sample(
     full-input (key, salt) sort — the dominant cost, measured 130.9 s
     at 200M rows in bench_sketch_scale.py — collapses to one
     codegen'd filter scan + a window over ~8*k*(n_max/n_min) rows;
-    the repair branch re-scans only to hash-probe a broadcast
-    (normally empty) key set."""
+    the repair machinery costs one key-only map-combined distinct
+    pass (to enumerate groups — a zero-survivor group leaves no
+    trace in the survivor stream) and one hash-probe re-scan against
+    the (normally empty) failing-key set."""
     from .curation import quota_sample
 
     work = df
@@ -329,10 +331,16 @@ def bottomk_sample(
             .where(F.col("_nsv") >= k)
             .select(gcol)
         )
+        # NO broadcast hint on `adequate`: per-group sampling can have
+        # 10^7+ groups, and adequate ~= ALL of them — a forced
+        # broadcast would blow the driver. Both sides of this anti-join
+        # are key-only (#groups rows); AQE picks broadcast at runtime
+        # exactly when it fits. `failing` is normally EMPTY, so AQE
+        # broadcasts it in the two repair joins without being told.
         failing = (
             work.select(gcol)
             .distinct()
-            .join(F.broadcast(adequate), gcol, "left_anti")
+            .join(adequate, gcol, "left_anti")
         )
         ok = survivors.join(F.broadcast(failing), gcol, "left_anti")
         repair = work.join(F.broadcast(failing), gcol, "left_semi")
