@@ -222,11 +222,52 @@ def cmd_graph_metrics(args) -> int:
         G.two_hop(edges, max_mid_degree=args.two_hop_cap).write.mode(
             "overwrite"
         ).parquet(f"{out}/two_hop")
+    if args.bfs_seeds:
+        seeds = spark.createDataFrame(
+            [(s,) for s in args.bfs_seeds.split(",") if s], "node string"
+        )
+        G.bfs_hops(edges, seeds, max_hops=args.bfs_max_hops).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/bfs_hops")
     print(
         f"graph metrics -> {out} (pagerank rounds={stats.get('rounds')},"
         f" nodes={stats.get('n_nodes')})",
         file=sys.stderr,
     )
+    return 0
+
+
+def cmd_profile(args) -> int:
+    """One-pass corpus profiling report — the telemetry a corpus ships
+    next to the data: per-group budget (docs, whitespace + BPE tokens,
+    mean quality, optional HLL distinct cardinality of --distinct_col)
+    and per-group text-length quantiles from the deterministic
+    bottom-k sample (operators/curation.py::corpus_budget +
+    operators/sketches.py::approx_quantiles). Every number is either
+    exact or a sketch with a stated bound; nothing shuffles raw
+    values."""
+    from pyspark.sql import functions as F
+
+    from .operators import curation as CUR
+    from .operators import sketches as SK
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    out = args.output_dir
+    CUR.corpus_budget(
+        docs, group_col=args.group_col, text_col=args.text_col,
+        distinct_col=args.distinct_col,
+    ).write.mode("overwrite").parquet(f"{out}/budget")
+    lengths = docs.select(
+        F.col(args.group_col).alias("grp"),
+        F.length(F.col(args.text_col)).alias("text_len"),
+        F.col(args.id_col),
+    )
+    SK.approx_quantiles(
+        lengths, "text_len", args.id_col, [0.25, 0.5, 0.75, 0.99],
+        k=args.quantile_k, group_col="grp",
+    ).write.mode("overwrite").parquet(f"{out}/length_quantiles")
+    print(f"corpus profile -> {out}", file=sys.stderr)
     return 0
 
 
@@ -409,7 +450,24 @@ def build_parser() -> argparse.ArgumentParser:
                     help="> 0 also writes label-propagation communities")
     sp.add_argument("--two_hop_cap", type=int, default=0,
                     help="> 0 also writes hub-gated two-hop pairs")
+    sp.add_argument("--bfs_seeds", default="",
+                    help="comma-separated seed node ids: also writes "
+                         "multi-source BFS hop distances")
+    sp.add_argument("--bfs_max_hops", type=int, default=6)
     sp.set_defaults(fn=cmd_graph_metrics)
+
+    sp = sub.add_parser("profile")
+    sp.add_argument("--input", required=True,
+                    help="documents parquet (doc_id, text, <group col>)")
+    sp.add_argument("--output_dir", required=True)
+    sp.add_argument("--group_col", default="lang")
+    sp.add_argument("--text_col", default="text")
+    sp.add_argument("--id_col", default="doc_id")
+    sp.add_argument("--distinct_col", default=None,
+                    help="optional column whose per-group distinct "
+                         "cardinality is HLL-estimated into the budget")
+    sp.add_argument("--quantile_k", type=int, default=1024)
+    sp.set_defaults(fn=cmd_profile)
 
     sp = sub.add_parser("curate")
     sp.add_argument("--input", required=True,

@@ -247,3 +247,57 @@ def test_cli_graph_metrics(spark, tmp_path_factory):
     assert hops == {("a", "c"), ("b", "a"), ("b", "d"), ("c", "b")}
     comm = spark.read.parquet(f"{out}/communities")
     assert comm.count() == 4 and set(comm.columns) == {"node", "label"}
+
+
+def test_cli_graph_metrics_bfs(spark, tmp_path_factory):
+    """--bfs_seeds adds multi-source min-hop distances: hand-checked
+    on a path graph a-b-c-d seeded at a."""
+    base = tmp_path_factory.mktemp("gmb")
+    edges_path = str(base / "edges")
+    spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "subj string, obj string"
+    ).write.parquet(edges_path)
+    out = str(base / "metrics")
+    rc = cli.main([
+        "graph-metrics", "--input", edges_path, "--output_dir", out,
+        "--iterations", "2", "--skip_triangles",
+        "--bfs_seeds", "a", "--bfs_max_hops", "6",
+    ])
+    assert rc == 0
+    hops = {
+        r["node"]: r["hop"]
+        for r in spark.read.parquet(f"{out}/bfs_hops").collect()
+    }
+    assert hops == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_cli_profile(spark, tmp_path_factory):
+    """profile verb: per-group budget (+ optional HLL distinct) and
+    rank-picked length quantiles land as two tables; quantile values
+    are EXACT text lengths from the input."""
+    base = tmp_path_factory.mktemp("prof")
+    docs_path = str(base / "docs")
+    rows = [
+        (f"d{i}", "l%d" % (i % 2), "x" * (10 + i), f"dom{i % 5}")
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id string, lang string, text string, domain string"
+    ).write.parquet(docs_path)
+    out = str(base / "profile")
+    rc = cli.main([
+        "profile", "--input", docs_path, "--output_dir", out,
+        "--distinct_col", "domain", "--quantile_k", "64",
+    ])
+    assert rc == 0
+    budget = {r["grp"]: r for r in spark.read.parquet(f"{out}/budget").collect()}
+    assert set(budget) == {"l0", "l1"}
+    assert budget["l0"]["n_docs"] == 20
+    # 5 domains split 3/2 across the two langs by i%2 vs i%5 parity
+    for g in ("l0", "l1"):
+        assert budget[g]["n_distinct_est"] > 0
+    q = spark.read.parquet(f"{out}/length_quantiles")
+    lens = {len(r[2]) for r in rows}
+    got = q.collect()
+    assert len(got) == 8  # 2 groups x 4 quantiles
+    assert all(r["quantile"] in lens for r in got)  # exact picked values
