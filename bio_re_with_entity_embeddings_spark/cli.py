@@ -266,6 +266,8 @@ def cmd_profile(args) -> int:
     SK.approx_quantiles(
         lengths, "text_len", args.id_col, [0.25, 0.5, 0.75, 0.99],
         k=args.quantile_k, group_col="grp",
+        max_group_rows=args.max_group_rows,
+        min_group_rows=args.min_group_rows,
     ).write.mode("overwrite").parquet(f"{out}/length_quantiles")
     print(f"corpus profile -> {out}", file=sys.stderr)
     return 0
@@ -467,6 +469,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="optional column whose per-group distinct "
                          "cardinality is HLL-estimated into the budget")
     sp.add_argument("--quantile_k", type=int, default=1024)
+    sp.add_argument("--max_group_rows", type=int, default=None,
+                    help="skew hint: upper bound on the LARGEST group "
+                         "(skips quota_sample's plan-time count job)")
+    sp.add_argument("--min_group_rows", type=int, default=None,
+                    help="scale hint: lower bound on the SMALLEST group "
+                         "— enables the exact hash-threshold pre-filter "
+                         "(bottomk_sample docstring)")
     sp.set_defaults(fn=cmd_profile)
 
     sp = sub.add_parser("curate")

@@ -1761,3 +1761,69 @@ def test_streaming_distinct_rollup_register_parity(spark, tmp_path):
         ).collect()
     }
     assert s_est == b_est
+
+
+def test_streaming_distinct_rollup_restart(spark, tmp_path):
+    """Register state survives a query restart: phase 1 feeds part of
+    an hour's events (window stays open — nothing emitted), the query
+    stops, phase 2 adds the rest + watermark sentinels under the SAME
+    checkpoint — the emitted registers must equal batch registers over
+    BOTH phases' rows (phase-1 contributions came from the restored
+    state store, not from re-reading b1)."""
+    from bio_re_with_entity_embeddings_spark.operators import sketches as SK
+    from bio_re_with_entity_embeddings_spark.streaming.incremental import (
+        streaming_distinct_rollup,
+    )
+
+    schema = "user_id string, ts string"
+    src = tmp_path / "hllr_in"
+    src.mkdir()
+    e1 = [(f"a{i}", "2024-01-01 00:05:00") for i in range(30)]
+    e2 = [(f"b{i}", "2024-01-01 00:45:00") for i in range(30)]
+    spark.createDataFrame(e1, schema).coalesce(1).write.parquet(str(src / "b1"))
+
+    got: list[tuple] = []
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        q = (
+            streaming_distinct_rollup(
+                stream, value_col="user_id", window="1 hour",
+                watermark="1 second", p=8,
+            )
+            .writeStream.foreachBatch(
+                lambda df, eid: got.extend(
+                    (r.window_start, r.bucket, r.r) for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt_hllr"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()
+    assert got == []  # hour 00 still open: nothing emitted pre-restart
+    spark.createDataFrame(e2, schema).coalesce(1).write.parquet(str(src / "b2"))
+    for i, h in enumerate(("2024-01-01 09:00:00", "2024-01-01 19:00:00")):
+        spark.createDataFrame([("zz", h)], schema).coalesce(1).write.parquet(
+            str(src / f"b{i + 3}")
+        )
+    run()
+
+    streamed = {g for g in got if g[0] == "2024-01-01 00:00:00"}
+    batch_rows = spark.createDataFrame(e1 + e2, schema).select(
+        F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"),
+        "user_id",
+    )
+    expected = {
+        ("2024-01-01 00:00:00", r.bucket, r.r)
+        for r in SK.hll_registers(batch_rows, "user_id", ["w"], p=8).collect()
+    }
+    assert streamed == expected
