@@ -260,3 +260,48 @@ def test_bottomk_prefilter_zero_survivor_group(spark):
         df, "rid", 16, "g", skew_salts=1, min_group_rows=100_000
     )
     assert fast.where(F.col("g") == "one").count() == 1
+
+
+@pytest.mark.parametrize(
+    "shape,hint,k",
+    [
+        # every group EXACTLY k rows: with an inflated hint every
+        # group under-survives -> all-repair -> must equal plain
+        ("uniform_k", 10_000_000, 16),
+        # one huge group + many tiny ones, hint honest for the min
+        ("skewed", 40, 8),
+        # k larger than every group: bottom-k = whole groups
+        ("uniform_k", 1_000_000, 500),
+        # global (no groups), hint at the enable boundary (just > 8k)
+        ("global", 8 * 24 + 1, 24),
+    ],
+)
+def test_bottomk_prefilter_adversarial_shapes(spark, shape, hint, k):
+    """Shapes chosen to stress the repair machinery: full-repair,
+    honest-skew, k > group size, and the boundary hint — the
+    prefiltered path must stay bit-equal to the plain path in every
+    one (exactness must come from construction + repair, never from
+    the hint being right)."""
+    if shape == "uniform_k":
+        df = spark.range(25 * 16).select(
+            (F.col("id") % 25).alias("g"), F.col("id").alias("rid")
+        )
+        gcol = "g"
+    elif shape == "skewed":
+        big = spark.range(20_000).select(
+            F.lit(0).alias("g"), F.col("id").alias("rid")
+        )
+        tiny = spark.range(20_000, 20_400).select(
+            (F.col("id") % 10 + 1).alias("g"), F.col("id").alias("rid")
+        )
+        df = big.unionByName(tiny)
+        gcol = "g"
+    else:
+        df = spark.range(5_000).select(F.col("id").alias("rid"))
+        gcol = None
+    df = df.localCheckpoint()
+    plain = SK.bottomk_sample(df, "rid", k, gcol, skew_salts=1)
+    fast = SK.bottomk_sample(
+        df, "rid", k, gcol, skew_salts=1, min_group_rows=hint
+    )
+    assert _same_rows(plain, fast), (shape, hint, k)
