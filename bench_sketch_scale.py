@@ -169,6 +169,17 @@ def main() -> None:
             ).collect()
         }
         w_sk = round(time.perf_counter() - t0, 1)
+        if os.environ.get("SPARK_GRAFT_SKETCH_EXACT", "1") == "0":
+            # scaling harness: time the sketch only (the CDF
+            # verification legs below are exactness evidence, not
+            # part of the operator's cost)
+            print(json.dumps({
+                "op": "approx_quantiles", "rows": rows, "k": k,
+                "wall_sketch_s": w_sk,
+            }), flush=True)
+            df.unpersist()
+            spark.stop()
+            return
         # tie-robust rank check: the generator's zipf-ish head piles
         # ~5% of all mass on single values, so a correct quantile can
         # sit inside a tied run where F(v) jumps past q.  v_q is

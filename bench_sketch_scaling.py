@@ -35,11 +35,14 @@ ROWS = os.environ.get("SPARK_GRAFT_SKETCH_ROWS", "100000000")
 DISTINCT = os.environ.get("SPARK_GRAFT_SKETCH_DISTINCT", "25000000")
 
 
+OP = os.environ.get("SPARK_GRAFT_SKETCH_SCALING_OP", "hll")
+
+
 def _env(cpus: int) -> dict:
     env = dict(os.environ)
     env.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-tmp")
     env["SPARK_GRAFT_CPUS"] = str(cpus)
-    env["SPARK_GRAFT_SKETCH_OPS"] = "hll"
+    env["SPARK_GRAFT_SKETCH_OPS"] = OP
     env["SPARK_GRAFT_SKETCH_EXACT"] = "0"
     env["SPARK_GRAFT_SKETCH_SOURCE"] = "parquet"
     env["SPARK_GRAFT_SKETCH_ROWS"] = ROWS
@@ -75,10 +78,11 @@ def main() -> None:
     t_lo, t_hi = statistics.median(lo), statistics.median(hi)
     eff = (t_lo / t_hi) / 4.0
     result = {
-        "op": "hll_distinct",
+        "op": {"hll": "hll_distinct", "quantiles": "approx_quantiles",
+               "countmin": "countmin"}.get(OP, OP),
         "rows": int(ROWS),
         "distinct": int(DISTINCT),
-        "p": 14,
+        **({"p": 14} if OP == "hll" else {"k": 4096} if OP == "quantiles" else {}),
         "wall_local2_median_s": t_lo,
         "wall_local8_median_s": t_hi,
         "walls_local2": lo,
