@@ -379,6 +379,75 @@ SELECT node, CAST(min(hop) AS INT) AS hop FROM walk GROUP BY node
 )
 
 
+def _ppr_sql() -> str:
+    d = _PR_DAMPING
+    ctes = [
+        "nodes AS (SELECT DISTINCT src AS node FROM bedges)",
+        "outd AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS od"
+        " FROM bedges GROUP BY src)",
+        "seeds AS (SELECT node FROM (SELECT DISTINCT entity_id AS node"
+        " FROM mentions) ORDER BY node LIMIT 2)",
+        "smeta AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM seeds)",
+        # teleport vector: uniform over the seed set, 0 elsewhere —
+        # the exact doubles the Spark side computes (_s / n_seeds)
+        "tp AS (SELECT n.node, CASE WHEN s.node IS NULL THEN 0.0"
+        " ELSE 1.0 / (SELECT ns FROM smeta) END AS t"
+        " FROM nodes n LEFT JOIN seeds s ON n.node = s.node)",
+        "p0 AS (SELECT node, t AS rank FROM tp)",
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        prev = f"p{i - 1}"
+        # same association as the operator: tp*((1-d) + d*D) + d*c
+        ctes.append(
+            f"""p{i} AS (
+  SELECT t.node,
+         t.t * ((1 - {d})
+                + {d} * (SELECT coalesce(sum(r.rank), 0) FROM {prev} r
+                         LEFT JOIN outd o ON r.node = o.node
+                         WHERE o.node IS NULL))
+         + {d} * coalesce(c.c, 0) AS rank
+  FROM tp t LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / o.od) AS c
+    FROM bedges e
+    JOIN {prev} r ON e.src = r.node
+    JOIN outd o ON o.node = e.src
+    GROUP BY e.dst
+  ) c ON t.node = c.node
+)"""
+        )
+    return (
+        _SQL_PRELUDE
+        + _SQL_BEDGES
+        + ", "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, round(rank, 6) AS rank FROM p{_PR_ITERS}"
+    )
+
+
+@register_extra("graph_ppr", _ppr_sql())
+def graph_ppr(spark, sf_dir):
+    """Personalized PageRank over the mention graph — teleport uniform
+    over the two smallest entity ids (the graph_bfs seed choice), 5
+    synchronous rounds (operators/graph.py::pagerank(seeds=...)):
+    entity relevance from the viewpoint of a query set. The SQL
+    restates the seeded update with the operator's exact association
+    (tp*((1-d) + d*D) + d*c)."""
+    m = _doc_mentions(spark, sf_dir)
+    seeds = (
+        m.select(F.col("entity_id").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(2)
+    )
+    ranks = G.pagerank(
+        _bipartite_edges(spark, sf_dir),
+        iterations=_PR_ITERS,
+        damping=_PR_DAMPING,
+        seeds=seeds,
+    )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
 @register_extra("graph_bfs", _SQL_BFS)
 def graph_bfs(spark, sf_dir):
     """Multi-source BFS hop distances (operators/graph.py::bfs_hops)

@@ -259,17 +259,31 @@ def pagerank(
     tol: float | None = None,
     stats: dict | None = None,
     encode_ids: bool = False,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """(node, rank) after ``iterations`` synchronous PageRank rounds
     over the DIRECTED edge set (parallel edges collapse; ranks sum
     to 1).
 
-    rank'(v) = (1-d)/N + d * (sum_{u->v} rank(u)/outdeg(u) + D/N)
+    rank'(v) = (1-d)*t(v) + d * (sum_{u->v} rank(u)/outdeg(u) + D*t(v))
 
-    where D is the total rank mass on dangling nodes (outdeg 0),
-    redistributed uniformly — the standard stochastic-matrix fix, so
-    mass is conserved exactly and the result is independent of how
-    many dangling nodes the graph has.
+    where D is the total rank mass on dangling nodes (outdeg 0) and
+    t is the TELEPORT distribution: uniform 1/N by default, or — when
+    ``seeds`` (a one-column ``node`` DataFrame) is given —
+    PERSONALIZED PageRank with t uniform over the seed set (relevance
+    to a query set: 'which entities matter from the viewpoint of
+    these seeds'). Dangling mass is redistributed by t in both cases
+    — the standard stochastic-matrix fix, so mass is conserved
+    exactly and the result is independent of how many dangling nodes
+    the graph has.
+
+    Seed handling: seeds are intersected with the graph's node set
+    and the teleport renormalized over the found seeds (documented
+    contract — a seed absent from the graph contributes nothing);
+    zero found seeds raises ``ValueError``. The seed flag rides the
+    state table as one extra column, so the per-round plan shape is
+    IDENTICAL to the uniform case (same single join + fused action;
+    the scalar (1-d)/N terms become tp-column multiplies).
 
     Execution shape per round: ONE edges|><|ranks equi-join on src
     (both sides riding the SAME explicit width-p clustering — the
@@ -336,9 +350,16 @@ def pagerank(
             )
             .select(F.col("_s").alias("src"), F.col("_d").alias("dst"))
         )
+        seeds_enc = None
+        if seeds is not None:
+            seeds_enc = (
+                seeds.select("node")
+                .join(dim.hint("merge"), "node")
+                .select(F.col("nid").alias("node"))
+            )
         ranks = pagerank(
             enc, iterations=iterations, damping=damping, tol=tol,
-            stats=stats, encode_ids=False,
+            stats=stats, encode_ids=False, seeds=seeds_enc,
         )
         return ranks.join(
             dim.select(
@@ -369,11 +390,24 @@ def pagerank(
 
     # (node, od, rank): od = 0 marks dangling.  Keeping od fused into
     # the rank table makes each round's contribution join ONE join.
+    # With seeds, a 0/1 flag column rides along (same checkpoint, same
+    # plan shape); the uniform path carries NO extra column so its
+    # arithmetic stays byte-identical to the pinned oracle.
+    pre = nodes.join(outd, "node", "left")
+    seed_cols = []
+    if seeds is not None:
+        sd = (
+            seeds.select("node").distinct().withColumn("_sflag", F.lit(1))
+        )
+        pre = pre.join(sd, "node", "left")
+        seed_cols = [
+            F.coalesce("_sflag", F.lit(0)).cast("int").alias("_s")
+        ]
     state = (
-        nodes.join(outd, "node", "left")
-        .select(
+        pre.select(
             "node",
             F.coalesce("od", F.lit(0)).cast("long").alias("od"),
+            *seed_cols,
             F.lit(0.0).alias("rank"),  # placeholder; set below once N is known
         )
         .repartition(p, "node")
@@ -381,10 +415,18 @@ def pagerank(
     )
     # one action: materialize state_0 AND read N + initial dangling
     # structure (dangling node count) off it.
-    row = state.agg(
+    aggs0 = [
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("od") == 0, 1).otherwise(0)).alias("n_dangling"),
-    ).collect()[0]
+    ]
+    if seeds is not None:
+        aggs0.append(F.sum("_s").alias("n_seeds"))
+        aggs0.append(
+            F.sum(
+                F.when((F.col("od") == 0) & (F.col("_s") == 1), 1).otherwise(0)
+            ).alias("n_dseeds")
+        )
+    row = state.agg(*aggs0).collect()[0]
     n_nodes = int(row["n"])
     if n_nodes == 0:
         # empty graph (e.g. graph-metrics over a zero-triple build):
@@ -395,12 +437,31 @@ def pagerank(
             stats["n_nodes"] = 0
         return state.select("node", "rank")
     base = (1.0 - damping) / n_nodes
-    state = state.withColumn("rank", F.lit(1.0 / n_nodes))
-    dangling = row["n_dangling"] / n_nodes  # uniform init: exact
+    if seeds is None:
+        state = state.withColumn("rank", F.lit(1.0 / n_nodes))
+        dangling = row["n_dangling"] / n_nodes  # uniform init: exact
+    else:
+        n_seeds = int(row["n_seeds"] or 0)
+        if n_seeds == 0:
+            e.unpersist()
+            raise ValueError(
+                "personalized pagerank: no seed appears in the graph"
+            )
+        # tp = teleport prob per node; rides the state like od does
+        state = state.withColumn(
+            "tp", F.col("_s").cast("double") / F.lit(float(n_seeds))
+        ).drop("_s").withColumn("rank", F.col("tp"))
+        dangling = int(row["n_dseeds"] or 0) / n_seeds  # seed-mass on dangling
     ep = e.repartition(p, "src").persist()
     rounds = 0
     for _ in range(iterations):
-        add = base + damping * dangling / n_nodes
+        if seeds is None:
+            add_expr = F.lit(base + damping * dangling / n_nodes)
+        else:
+            # (1-d)*tp + d*D*tp, folded so the column multiplies once
+            add_expr = F.col("tp") * F.lit(
+                (1.0 - damping) + damping * dangling
+            )
         contrib = (
             ep.join(
                 state.where(F.col("od") > 0).select(
@@ -419,7 +480,8 @@ def pagerank(
             .select(
                 "node",
                 "od",
-                (F.lit(add) + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias(
+                *([] if seeds is None else ["tp"]),
+                (add_expr + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias(
                     "rank"
                 ),
                 "_prev_rank",

@@ -363,3 +363,110 @@ def test_bfs_brute_force_random(spark):
         ).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# personalized pagerank (seeds teleport)
+# ---------------------------------------------------------------------------
+
+
+def _np_ppr(und_pairs, seeds, iterations, damping):
+    """Reference personalized PageRank: teleport uniform over the seed
+    set, dangling mass redistributed by the teleport vector."""
+    nodes = sorted({n for p in und_pairs for n in p})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = {i: set() for i in range(n)}
+    for u, v in und_pairs:
+        out[idx[u]].add(idx[v])
+    found = [idx[s] for s in seeds if s in idx]
+    tp = [0.0] * n
+    for i in found:
+        tp[i] = 1.0 / len(found)
+    rank = tp[:]
+    for _ in range(iterations):
+        dangling = sum(rank[i] for i in range(n) if not out[i])
+        nxt = [tp[i] * ((1.0 - damping) + damping * dangling)
+               for i in range(n)]
+        for i in range(n):
+            if out[i]:
+                share = rank[i] / len(out[i])
+                for j in out[i]:
+                    nxt[j] += damping * share
+        rank = nxt
+    return {nodes[i]: rank[i] for i in range(n)}
+
+
+def test_personalized_pagerank_matches_reference(spark):
+    """Seeded teleport vs the direct NumPy-style reference, on a graph
+    WITH a dangling node (seed mass must flow back to seeds, not
+    uniformly)."""
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("c", "d")]
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["rank"]
+           for r in G.pagerank(_edges_df(spark, pairs), iterations=7,
+                               seeds=seeds).collect()}
+    exp = _np_ppr(pairs, ["a"], iterations=7, damping=0.85)
+    assert set(got) == set(exp)
+    for n in exp:
+        assert got[n] == pytest.approx(exp[n], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+    # the seed outranks every non-adjacent node (the point of PPR)
+    assert got["a"] > got["d"]
+
+
+def test_personalized_pagerank_all_seeds_equals_uniform(spark):
+    """Teleporting uniformly over ALL nodes IS ordinary PageRank —
+    results equal to 1e-12 (association differs, values agree)."""
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("c", "d")]
+    e = _edges_df(spark, pairs)
+    all_nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",)], "node string"
+    )
+    plain = {r["node"]: r["rank"]
+             for r in G.pagerank(e, iterations=5).collect()}
+    ppr = {r["node"]: r["rank"]
+           for r in G.pagerank(e, iterations=5, seeds=all_nodes).collect()}
+    for n in plain:
+        assert ppr[n] == pytest.approx(plain[n], abs=1e-12)
+
+
+def test_personalized_pagerank_missing_seed_renormalizes(spark):
+    """A seed absent from the graph is dropped and the teleport
+    renormalized over the FOUND seeds (documented contract): seeding
+    {a, ghost} equals seeding {a}."""
+    pairs = [("a", "b"), ("b", "a"), ("b", "c")]
+    e = _edges_df(spark, pairs)
+    with_ghost = {r["node"]: r["rank"] for r in G.pagerank(
+        e, iterations=4,
+        seeds=spark.createDataFrame([("a",), ("ghost",)], "node string"),
+    ).collect()}
+    just_a = {r["node"]: r["rank"] for r in G.pagerank(
+        e, iterations=4,
+        seeds=spark.createDataFrame([("a",)], "node string"),
+    ).collect()}
+    for n in just_a:
+        assert with_ghost[n] == pytest.approx(just_a[n], abs=1e-15)
+
+
+def test_personalized_pagerank_no_seed_raises(spark):
+    pairs = [("a", "b")]
+    with pytest.raises(ValueError, match="no seed"):
+        G.pagerank(
+            _edges_df(spark, pairs), iterations=2,
+            seeds=spark.createDataFrame([("zz",)], "node string"),
+        )
+
+
+def test_personalized_pagerank_encode_ids_equal(spark):
+    """encode_ids must remap the seed set too — encoded and plain PPR
+    agree to 1e-12."""
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")]
+    e = _edges_df(spark, pairs)
+    seeds = spark.createDataFrame([("b",)], "node string")
+    plain = {r["node"]: r["rank"] for r in G.pagerank(
+        e, iterations=4, seeds=seeds).collect()}
+    enc = {r["node"]: r["rank"] for r in G.pagerank(
+        e, iterations=4, seeds=seeds, encode_ids=True).collect()}
+    for n in plain:
+        assert enc[n] == pytest.approx(plain[n], abs=1e-12)
