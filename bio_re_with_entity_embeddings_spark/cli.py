@@ -229,6 +229,14 @@ def cmd_graph_metrics(args) -> int:
         G.bfs_hops(edges, seeds, max_hops=args.bfs_max_hops).write.mode(
             "overwrite"
         ).parquet(f"{out}/bfs_hops")
+    if args.ppr_seeds:
+        pseeds = spark.createDataFrame(
+            [(s,) for s in args.ppr_seeds.split(",") if s], "node string"
+        )
+        G.pagerank(
+            edges, iterations=args.iterations, damping=args.damping,
+            encode_ids=args.encode_ids, seeds=pseeds,
+        ).write.mode("overwrite").parquet(f"{out}/ppr")
     print(
         f"graph metrics -> {out} (pagerank rounds={stats.get('rounds')},"
         f" nodes={stats.get('n_nodes')})",
@@ -456,6 +464,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma-separated seed node ids: also writes "
                          "multi-source BFS hop distances")
     sp.add_argument("--bfs_max_hops", type=int, default=6)
+    sp.add_argument("--ppr_seeds", default="",
+                    help="comma-separated seed node ids: also writes "
+                         "personalized PageRank (teleport uniform over "
+                         "the seeds)")
     sp.set_defaults(fn=cmd_graph_metrics)
 
     sp = sub.add_parser("profile")

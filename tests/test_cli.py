@@ -271,6 +271,29 @@ def test_cli_graph_metrics_bfs(spark, tmp_path_factory):
     assert hops == {"a": 0, "b": 1, "c": 2, "d": 3}
 
 
+def test_cli_graph_metrics_ppr(spark, tmp_path_factory):
+    """--ppr_seeds writes personalized PageRank: mass conserved and
+    the seed outranks the far end of the path."""
+    base = tmp_path_factory.mktemp("gmp")
+    edges_path = str(base / "edges")
+    spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")],
+        "subj string, obj string",
+    ).write.parquet(edges_path)
+    out = str(base / "metrics")
+    rc = cli.main([
+        "graph-metrics", "--input", edges_path, "--output_dir", out,
+        "--iterations", "4", "--skip_triangles", "--ppr_seeds", "a",
+    ])
+    assert rc == 0
+    ppr = {
+        r["node"]: r["rank"]
+        for r in spark.read.parquet(f"{out}/ppr").collect()
+    }
+    assert abs(sum(ppr.values()) - 1.0) < 1e-12
+    assert ppr["a"] > ppr["c"]
+
+
 def test_cli_profile(spark, tmp_path_factory):
     """profile verb: per-group budget (+ optional HLL distinct) and
     rank-picked length quantiles land as two tables; quantile values
