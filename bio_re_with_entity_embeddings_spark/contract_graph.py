@@ -29,6 +29,7 @@ from .contract import (
     register_extra,
 )
 from .operators import graph as G
+from .operators.sketches import _HEX, _alpha, _rho_from_tail_expr
 
 # ---------------------------------------------------------------------------
 # shared graph-base CTEs (appended to the mention prelude)
@@ -465,3 +466,99 @@ def graph_bfs(spark, sf_dir):
         _bipartite_edges(spark, sf_dir), seeds,
         max_hops=_BFS_HOPS, directed=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperBall: HLL neighborhood sketches + harmonic centrality, 3 fixed
+# rounds at p=4 over the symmetric mention graph.  The SQL restates
+# the ENTIRE dataflow — md5 register init (the sketch-family hashing,
+# shared _rho_from_tail_expr), per-round union/join/bucket-max, and
+# the per-round per-node estimator whose deltas accumulate the
+# harmonic sum with the operator's exact association.
+# ---------------------------------------------------------------------------
+
+_HB_ROUNDS = 3
+_HB_P = 4
+
+
+def _hyperball_sql() -> str:
+    m = 1 << _HB_P
+    scale = 2**53
+    num = repr(_alpha(m) * m * m * float(scale))
+    bucket = f"(instr('{_HEX}', substring(h, 1, 1)) - 1)"
+    rho = _rho_from_tail_expr("substring(h, 2, 13)")
+    total = (
+        f"CAST(sp + CAST(({m} - nb) AS DECIMAL(38,0))"
+        f" * CAST({scale} AS DECIMAL(38,0)) AS DECIMAL(38,0))"
+    )
+    est = (
+        f"CASE WHEN {num} / CAST({total} AS DOUBLE) <= {2.5 * m}"
+        f" AND nb < {m}"
+        f" THEN CAST({m} AS DOUBLE)"
+        f" * ln(CAST({m} AS DOUBLE) / CAST({m} - nb AS DOUBLE))"
+        f" ELSE {num} / CAST({total} AS DOUBLE) END"
+    )
+    ctes = [
+        "nodes AS (SELECT DISTINCT src AS node FROM bedges)",
+        "h0 AS (SELECT node, md5('hll:' || node) AS h FROM nodes)",
+        f"s0 AS (SELECT node, CAST({bucket} AS INT) AS bucket,"
+        f" CAST({rho} AS INT) AS r FROM h0)",
+    ]
+    for t in range(1, _HB_ROUNDS + 1):
+        ctes.append(
+            f"s{t} AS (SELECT node, bucket, max(r) AS r FROM ("
+            f"SELECT node, bucket, r FROM s{t - 1}"
+            f" UNION ALL"
+            f" SELECT e.src AS node, s.bucket, s.r"
+            f" FROM bedges e JOIN s{t - 1} s ON s.node = e.dst"
+            f") u GROUP BY node, bucket)"
+        )
+    for t in range(_HB_ROUNDS + 1):
+        ctes.append(
+            f"a{t} AS (SELECT node, count(*) AS nb,"
+            f" SUM(CAST(power(2.0, 53 - r) AS DECIMAL(38,0))) AS sp"
+            f" FROM s{t} GROUP BY node)"
+        )
+        ctes.append(f"v{t} AS (SELECT node, {est} AS est FROM a{t})")
+    # harmonic: the operator's exact left-to-right accumulation
+    # ((0 + d1/1) + d2/2) + d3/3 over per-round estimate deltas.
+    hc = "0.0"
+    for t in range(1, _HB_ROUNDS + 1):
+        hc = f"({hc} + (v{t}.est - v{t - 1}.est) / {float(t)})"
+    joins = " ".join(
+        f"JOIN v{t} ON v{t}.node = v0.node" for t in range(1, _HB_ROUNDS + 1)
+    )
+    return (
+        _SQL_PRELUDE
+        + _SQL_BEDGES
+        + ", "
+        + ", ".join(ctes)
+        + f"""
+SELECT v0.node AS node,
+       round(v{_HB_ROUNDS}.est, 3) AS ball_est,
+       round({hc}, 6) AS harmonic
+FROM v0 {joins}
+ORDER BY node
+"""
+    )
+
+
+@register_extra("graph_hyperball", _hyperball_sql())
+def graph_hyperball(spark, sf_dir):
+    """HyperBall [Boldi & Vigna 2013] over the symmetric mention
+    graph (operators/graph.py::hyperball, md5 oracle mode, p=4,
+    3 rounds): per-node reachable-ball size estimates + harmonic
+    centrality from HLL registers — per-round state is <= 2^p ints
+    per node where exact all-pairs reachability is O(V*E)."""
+    out = G.hyperball(
+        _bipartite_edges(spark, sf_dir),
+        p=_HB_P,
+        max_rounds=_HB_ROUNDS,
+        hash_mode="md5",
+        directed=True,
+    )
+    return out.select(
+        "node",
+        F.round("ball_est", 3).alias("ball_est"),
+        F.round("harmonic", 6).alias("harmonic"),
+    ).orderBy("node")

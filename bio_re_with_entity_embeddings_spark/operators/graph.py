@@ -588,3 +588,197 @@ def bfs_hops(
         stats["rounds"] = rounds
         stats["n_edges"] = n_edges
     return dist
+
+
+def hyperball(
+    edges: DataFrame,
+    p: int = 4,
+    max_rounds: int = 16,
+    hash_mode: str = "xxhash64",
+    directed: bool = False,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(node, ball_est, harmonic): HyperBall [Boldi & Vigna 2013] —
+    per-node reachable-set size and harmonic-centrality ESTIMATES via
+    HLL counters, the sketch-composed answer to "how big is every
+    node's neighborhood" that exact all-pairs BFS cannot give at scale
+    (exact N(v, t) for all v is O(V * E) and shuffles the full
+    reachability relation; HyperBall's whole state is <= 2^p small
+    ints per node).
+
+    Update rule: B_0(v) = {v}; B_{t+1}(v) = B_t(v) u union of B_t(w)
+    over edges v->w — expressed on HLL register rows (node, bucket, r)
+    where the set union IS the bucket-wise max (the mergeability of
+    operators/sketches.py::hll_registers, whose hashing this reuses
+    verbatim so estimates match hll_distinct bit-for-bit).  At the
+    register fixed point B_inf(v) is v's reachable set: ``ball_est``
+    estimates its size (component size / closeness denominator) and
+    ``harmonic`` accumulates sum_t (|B_t(v)| - |B_{t-1}(v)|) / t — the
+    harmonic centrality estimator of Boldi & Vigna, robust to
+    disconnected graphs where closeness degenerates.
+
+    Execution shape per round (the pagerank/CC discipline): ONE
+    edges|><|state join on dst ships each neighbor's <= 2^p register
+    rows to src, ONE map-combinable groupBy(node, bucket) max(r)
+    compacts, ONE small V-row join folds the per-node estimate delta
+    into the harmonic accumulator, and ONE one-row action per round
+    simultaneously materializes both lazy ``localCheckpoint``s, emits
+    the round's neighborhood-function point N(t) = sum_v |B_t(v)|,
+    and computes the EXACT convergence signal: the global DECIMAL sum
+    of per-node register totals sum 2^(rho_max - r) is strictly
+    decreasing while ANY register changes (raising r shrinks its term;
+    filling a zero bucket replaces 2^rho_max with something smaller),
+    so an unchanged sum is a true fixed point — no exceptAll co-group,
+    no hash-collision odds at all.
+
+    Cost dial: per-round join traffic is <= edges * 2^p tiny rows —
+    p=4 (16 registers, se ~26%) suits ranking/telemetry; p=8 (256,
+    ~6.5%) when the estimate itself is the product.  ``hash_mode``
+    follows the dedup/sketch convention: 'xxhash64' production,
+    'md5' the DuckDB-restatable oracle mode (p % 4 == 0).
+
+    ``stats`` receives {"rounds", "n_edges", "n_nodes", "nf"} where
+    nf[t] ~= N(t), the neighborhood function (nf[0] = N(0) ~= V; feed
+    it to ``effective_diameter``).  Nodes are the edge endpoints;
+    ``directed=False`` symmetrizes first (balls = undirected
+    reachability).
+    """
+    from .sketches import _alpha, hll_registers
+
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.distinct().localCheckpoint(eager=False)
+    spark = edges.sparkSession
+    ceiling = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_edges = e.count()  # materializes e; sizes the loop width
+    # width from the worst-case round's message volume (edges * 2^p
+    # register rows), not the edge count alone — a saturated-ball
+    # round really ships that many rows.
+    w = _loop_width(n_edges << p, ceiling)
+
+    m = 1 << p
+    rho_max = 53 if hash_mode == "md5" else (64 - p + 1)
+    scale = 2**rho_max
+    alpha_num = _alpha(m) * m * m * float(scale)
+    term = F.pow(F.lit(2.0), F.lit(rho_max) - F.col("r")).cast("decimal(38,0)")
+
+    def _per_node(regs: DataFrame) -> DataFrame:
+        # (node, _t2 exact-decimal register total, _e2 estimate) — the
+        # estimator of sketches.hll_estimate with group_cols=[node],
+        # kept inline so the decimal total doubles as the convergence
+        # signal column.
+        agg = regs.groupBy("node").agg(
+            F.count(F.lit(1)).alias("_nb"),
+            F.sum(term).cast("decimal(38,0)").alias("_sp"),
+        )
+        v_zero = F.lit(m) - F.col("_nb")
+        total = (
+            F.col("_sp")
+            + v_zero.cast("decimal(38,0)") * F.lit(scale).cast("decimal(38,0)")
+        ).cast("decimal(38,0)")
+        raw = F.lit(alpha_num) / total.cast("double")
+        est = F.when(
+            (raw <= F.lit(2.5 * m)) & (v_zero > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")),
+        ).otherwise(raw)
+        return agg.select("node", total.alias("_t2"), est.alias("_e2"))
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    state = (
+        hll_registers(nodes, "node", ["node"], p=p, hash_mode=hash_mode)
+        .repartition(w, "node")
+        .localCheckpoint(eager=False)
+    )
+    cur = (
+        _per_node(state)
+        .select(
+            "node",
+            F.col("_e2").alias("_prev"),
+            F.lit(0.0).alias("hc"),
+            F.col("_t2").alias("_total"),
+        )
+        .repartition(w, "node")
+        .localCheckpoint(eager=False)
+    )
+    row = cur.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_total").alias("sig"),
+        F.sum("_prev").alias("nf"),
+    ).collect()[0]
+    n_nodes, sig = row["n"], row["sig"]
+    nf_hist = [float(row["nf"])]
+    rounds = 0
+    for t in range(1, max_rounds + 1):
+        msgs = e.join(state, e["dst"] == state["node"]).select(
+            e["src"].alias("node"), "bucket", "r"
+        )
+        new_state = (
+            state.unionByName(msgs)
+            .groupBy("node", "bucket")
+            .agg(F.max("r").alias("r"))
+            .repartition(w, "node")
+            .localCheckpoint(eager=False)
+        )
+        pere = _per_node(new_state)
+        new_cur = (
+            cur.join(pere, "node")
+            .select(
+                "node",
+                F.col("_e2").alias("_prev"),
+                (
+                    F.col("hc")
+                    + (F.col("_e2") - F.col("_prev")) / F.lit(float(t))
+                ).alias("hc"),
+                F.col("_t2").alias("_total"),
+            )
+            .repartition(w, "node")
+            .localCheckpoint(eager=False)
+        )
+        row = new_cur.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_total").alias("sig"),
+            F.sum("_prev").alias("nf"),
+        ).collect()[0]
+        if row["sig"] == sig:
+            break  # exact fixed point: no register changed anywhere
+        sig = row["sig"]
+        nf_hist.append(float(row["nf"]))
+        rounds = t
+        state, cur = new_state, new_cur
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["n_edges"] = n_edges
+        stats["n_nodes"] = n_nodes
+        stats["nf"] = nf_hist
+    return cur.select(
+        "node",
+        F.col("_prev").alias("ball_est"),
+        F.col("hc").alias("harmonic"),
+    )
+
+
+def effective_diameter(nf: list[float], q: float = 0.9) -> float:
+    """Interpolated effective diameter from a neighborhood-function
+    series nf[t] ~= N(t) (``hyperball``'s stats["nf"]): the smallest
+    t (linearly interpolated between integer radii, the HyperANF
+    convention) at which N(t) reaches q * N(inf), N(inf) = nf[-1].
+    Driver-side pure function — nf has one float per round."""
+    if not nf:
+        raise ValueError("empty neighborhood function")
+    target = q * nf[-1]
+    for t, v in enumerate(nf):
+        if v >= target:
+            if t == 0:
+                return 0.0
+            prev = nf[t - 1]
+            if v > prev:
+                return (t - 1) + (target - prev) / (v - prev)
+            return float(t)
+    return float(len(nf) - 1)

@@ -470,3 +470,175 @@ def test_personalized_pagerank_encode_ids_equal(spark):
         e, iterations=4, seeds=seeds, encode_ids=True).collect()}
     for n in plain:
         assert enc[n] == pytest.approx(plain[n], abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# hyperball: HLL neighborhood function / harmonic centrality
+# ---------------------------------------------------------------------------
+
+
+def _py_hyperball(edges, p, rounds, directed=False):
+    """Pure-Python md5-mode HyperBall reference: replays the EXACT
+    register hashing (sketches.hll_registers md5 branch: bucket =
+    first p/4 hex digits, rho from the next 13) and the exact
+    estimate dataflow (decimal totals -> one float division; linear
+    counting branch) so Spark's md5-mode output must match to float
+    noise (same IEEE ops, same order)."""
+    import hashlib
+    import math
+
+    from bio_re_with_entity_embeddings_spark.operators.sketches import _alpha
+
+    m = 1 << p
+    k = p // 4
+    if not directed:
+        edges = edges + [(b, a) for a, b in edges]
+    edges = [(a, b) for a, b in set(edges) if a != b]
+
+    def reg(v):
+        h = hashlib.md5(("hll:" + v).encode()).hexdigest()
+        bucket = int(h[:k], 16)
+        rho = 53
+        for i, d in enumerate(h[k:k + 13]):
+            val = int(d, 16)
+            if val:
+                lz = 0 if val >= 8 else (1 if val >= 4 else (2 if val >= 2 else 3))
+                rho = 4 * i + lz + 1
+                break
+        return bucket, rho
+
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    state = {}
+    for v in nodes:
+        b, r = reg(v)
+        state[v] = {b: r}
+
+    alpha_num = _alpha(m) * m * m * float(2**53)
+
+    def est(regs):
+        nb = len(regs)
+        total = sum(2 ** (53 - r) for r in regs.values()) + (m - nb) * 2**53
+        raw = alpha_num / float(total)
+        if raw <= 2.5 * m and nb < m:
+            return float(m) * math.log(float(m) / float(m - nb))
+        return raw
+
+    prev = {v: est(state[v]) for v in nodes}
+    hc = {v: 0.0 for v in nodes}
+    for t in range(1, rounds + 1):
+        new = {v: dict(s) for v, s in state.items()}
+        changed = False
+        for a, b in edges:
+            for bk, r in state[b].items():
+                if new[a].get(bk, 0) < r:
+                    new[a][bk] = r
+                    changed = True
+        state = new
+        cur = {v: est(state[v]) for v in nodes}
+        for v in nodes:
+            hc[v] = hc[v] + (cur[v] - prev[v]) / float(t)
+        prev = cur
+        if not changed:
+            break
+    return {v: (prev[v], hc[v]) for v in nodes}
+
+
+def test_hyperball_md5_matches_python_reference(spark):
+    """Spark md5-mode hyperball == the pure-Python replay of the same
+    hashing + estimator, node for node, on a seeded random digraph."""
+    rng = random.Random(77)
+    nodes = [f"n{i}" for i in range(30)]
+    pairs = sorted({(rng.choice(nodes), rng.choice(nodes)) for _ in range(70)})
+    ref = _py_hyperball(pairs, p=4, rounds=12, directed=True)
+    got = {r["node"]: (r["ball_est"], r["harmonic"]) for r in G.hyperball(
+        _edges_df(spark, pairs), p=4, max_rounds=12,
+        hash_mode="md5", directed=True,
+    ).collect()}
+    assert set(got) == set(ref)
+    for n, (b, h) in ref.items():
+        assert got[n][0] == pytest.approx(b, abs=1e-9), n
+        assert got[n][1] == pytest.approx(h, abs=1e-9), n
+
+
+def test_hyperball_ball_estimates_track_exact_reachability(spark):
+    """At p=8 (~6.5% se) the converged ball of every node in a sparse
+    undirected random graph tracks the EXACT reachable-set size from
+    a direct Python BFS, and the final neighborhood function point
+    equals their sum."""
+    rng = random.Random(5)
+    nodes = [f"v{i}" for i in range(120)]
+    pairs = sorted({(rng.choice(nodes), rng.choice(nodes)) for _ in range(140)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    def reach(v):
+        seen, frontier = {v}, [v]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for w in adj.get(u, ()):
+                    if w not in seen:
+                        seen.add(w)
+                        nxt.append(w)
+            frontier = nxt
+        return len(seen)
+    st = {}
+    got = {r["node"]: r["ball_est"] for r in G.hyperball(
+        _edges_df(spark, pairs), p=8, max_rounds=40, stats=st,
+    ).collect()}
+    assert set(got) == set(adj)
+    for v in adj:
+        exact = reach(v)
+        # p=8 linear-counting regime on these cardinalities: generous
+        # deterministic bound (observed max rel err ~0.05 here).
+        assert abs(got[v] - exact) <= max(2.0, 0.3 * exact), (v, got[v], exact)
+    assert st["nf"][-1] == pytest.approx(sum(got.values()), rel=1e-9)
+    assert st["rounds"] < 40  # converged by signature, not exhaustion
+
+
+def test_hyperball_convergence_and_monotone_nf(spark):
+    """Path graph a-b-c-d: exact fixed point at round 3 (the
+    diameter); nf is strictly increasing until it."""
+    st = {}
+    G.hyperball(
+        _edges_df(spark, [("a", "b"), ("b", "c"), ("c", "d")]),
+        p=8, max_rounds=10, stats=st,
+    ).collect()
+    assert st["rounds"] == 3
+    nf = st["nf"]
+    assert len(nf) == 4  # N(0..3)
+    assert all(nf[i] < nf[i + 1] for i in range(3))
+
+
+def test_hyperball_directed_vs_undirected(spark):
+    """On the directed chain a->b->c the ball of c is just {c}; the
+    undirected run reaches everything from everywhere."""
+    pairs = [("a", "b"), ("b", "c")]
+    d = {r["node"]: r["ball_est"] for r in G.hyperball(
+        _edges_df(spark, pairs), p=8, directed=True).collect()}
+    u = {r["node"]: r["ball_est"] for r in G.hyperball(
+        _edges_df(spark, pairs), p=8, directed=False).collect()}
+    assert d["c"] == pytest.approx(1.0, abs=0.1)
+    assert d["a"] > d["b"] > d["c"]
+    assert all(abs(v - 3.0) < 0.3 for v in u.values())
+
+
+def test_hyperball_harmonic_ordering_star(spark):
+    """Star center (distance 1 to all) dominates the leaves
+    (distance 2 to each other) in harmonic centrality."""
+    pairs = [("hub", f"l{i}") for i in range(8)]
+    hc = {r["node"]: r["harmonic"] for r in G.hyperball(
+        _edges_df(spark, pairs), p=8).collect()}
+    assert all(hc["hub"] > hc[f"l{i}"] for i in range(8))
+
+
+def test_effective_diameter_interpolation():
+    # N(0)=10, N(1)=70, N(2)=100: q=0.9 target 90 -> between 1 and 2.
+    assert G.effective_diameter([10.0, 70.0, 100.0]) == pytest.approx(
+        1 + (90 - 70) / (100 - 70))
+    assert G.effective_diameter([10.0, 100.0], q=0.05) == 0.0
+    assert G.effective_diameter([5.0]) == 0.0
+    with pytest.raises(ValueError):
+        G.effective_diameter([])
