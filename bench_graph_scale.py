@@ -98,6 +98,8 @@ def main() -> None:
         _run_lpa(edges, n_edges)
     if _want("bfs"):
         _run_bfs(edges, n_edges)
+    if _want("hyperball"):
+        _run_hyperball(edges, n_edges)
     if _want("triangles"):
         _run_triangles(spark, tri_edges, 2 * cpus)
     spark.stop()
@@ -199,6 +201,59 @@ def _run_bfs(edges, n_edges):
         "reached": n1, "max_hop": mh1, "rounds": rounds,
         "deterministic": (n1, h1, mh1) == (n2, h2, mh2),
         "wall_s": wall,
+    }), flush=True)
+
+
+def _run_hyperball(edges, n_edges):
+    """HyperBall to the register fixed point. Exactness at volume: at
+    the fixed point every node's ball IS its connected component, and
+    all nodes of a component share identical registers — so the ball
+    estimate must sit within HLL error of the component's EXACT size
+    (computed independently by canonicalize.connected_components).
+    Reported: node-weighted relative error stats vs exact sizes, the
+    fraction of nodes within 3 standard errors, rounds to convergence
+    and the interpolated effective diameter from the NF series."""
+    from bio_re_with_entity_embeddings_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    hb_p = int(os.environ.get("SPARK_GRAFT_HB_P", "4"))
+    se = 1.04 / ((1 << hb_p) ** 0.5)
+    stats: dict = {}
+    t0 = time.perf_counter()
+    out = G.hyperball(edges, p=hb_p, max_rounds=32, stats=stats)
+    out = out.localCheckpoint(eager=False)
+    n_out = out.count()
+    wall = round(time.perf_counter() - t0, 1)
+
+    t1 = time.perf_counter()
+    comp = connected_components(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    )
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
+    j = out.join(comp, "node").join(sizes, "component")
+    re_col = (F.abs(F.col("ball_est") - F.col("csize")) / F.col("csize")).alias("re")
+    row = j.select(re_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("re").alias("mean"),
+        F.max("re").alias("mx"),
+        F.avg(F.when(F.col("re") <= 3 * se, 1.0).otherwise(0.0)).alias("w3"),
+    ).collect()[0]
+    cc_wall = round(time.perf_counter() - t1, 1)
+    n_comp = sizes.count()
+    print(json.dumps({
+        "op": "hyperball", "edges": n_edges, "p": hb_p,
+        "n_nodes": n_out, "rounds": stats["rounds"],
+        "converged": stats["rounds"] < 32,
+        "nf_final": round(stats["nf"][-1], 1),
+        "eff_diam": round(G.effective_diameter(stats["nf"]), 2),
+        "n_components": n_comp,
+        "joined_nodes": int(row["n"]),
+        "rel_err_mean": round(float(row["mean"]), 4),
+        "rel_err_max": round(float(row["mx"]), 4),
+        "within_3se_node_frac": round(float(row["w3"]), 4),
+        "se": round(se, 4),
+        "wall_s": wall, "cc_wall_s": cc_wall,
     }), flush=True)
 
 

@@ -237,6 +237,17 @@ def cmd_graph_metrics(args) -> int:
             edges, iterations=args.iterations, damping=args.damping,
             encode_ids=args.encode_ids, seeds=pseeds,
         ).write.mode("overwrite").parquet(f"{out}/ppr")
+    if args.hyperball_p > 0:
+        hb: dict = {}
+        G.hyperball(edges, p=args.hyperball_p, stats=hb).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/hyperball")
+        print(
+            f"hyperball rounds={hb['rounds']}"
+            f" eff_diam={G.effective_diameter(hb['nf']):.2f}"
+            f" nf={[round(x, 1) for x in hb['nf']]}",
+            file=sys.stderr,
+        )
     print(
         f"graph metrics -> {out} (pagerank rounds={stats.get('rounds')},"
         f" nodes={stats.get('n_nodes')})",
@@ -468,6 +479,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma-separated seed node ids: also writes "
                          "personalized PageRank (teleport uniform over "
                          "the seeds)")
+    sp.add_argument("--hyperball_p", type=int, default=0,
+                    help="> 0 also writes HyperBall per-node ball-size"
+                         " + harmonic-centrality estimates (HLL"
+                         " precision 2^p registers; reports the"
+                         " effective diameter)")
     sp.set_defaults(fn=cmd_graph_metrics)
 
     sp = sub.add_parser("profile")

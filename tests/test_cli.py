@@ -294,6 +294,31 @@ def test_cli_graph_metrics_ppr(spark, tmp_path_factory):
     assert ppr["a"] > ppr["c"]
 
 
+def test_cli_graph_metrics_hyperball(spark, tmp_path_factory):
+    """--hyperball_p writes per-node ball/harmonic estimates: on the
+    path graph every node's converged ball is the whole component and
+    the middle nodes dominate the ends in harmonic centrality."""
+    base = tmp_path_factory.mktemp("gmh")
+    edges_path = str(base / "edges")
+    spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "subj string, obj string"
+    ).write.parquet(edges_path)
+    out = str(base / "metrics")
+    rc = cli.main([
+        "graph-metrics", "--input", edges_path, "--output_dir", out,
+        "--iterations", "2", "--skip_triangles", "--hyperball_p", "8",
+    ])
+    assert rc == 0
+    hb = {
+        r["node"]: (r["ball_est"], r["harmonic"])
+        for r in spark.read.parquet(f"{out}/hyperball").collect()
+    }
+    assert set(hb) == {"a", "b", "c", "d"}
+    for b, _ in hb.values():
+        assert abs(b - 4.0) < 0.5
+    assert hb["b"][1] > hb["a"][1] and hb["c"][1] > hb["d"][1]
+
+
 def test_cli_profile(spark, tmp_path_factory):
     """profile verb: per-group budget (+ optional HLL distinct) and
     rank-picked length quantiles land as two tables; quantile values
