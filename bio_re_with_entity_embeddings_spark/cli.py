@@ -237,6 +237,11 @@ def cmd_graph_metrics(args) -> int:
             edges, iterations=args.iterations, damping=args.damping,
             encode_ids=args.encode_ids, seeds=pseeds,
         ).write.mode("overwrite").parquet(f"{out}/ppr")
+    if args.linkpred_cap != 0:
+        cap = None if args.linkpred_cap < 0 else args.linkpred_cap
+        G.link_prediction(edges, max_mid_degree=cap).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/link_prediction")
     if args.hyperball_p > 0:
         hb: dict = {}
         G.hyperball(edges, p=args.hyperball_p, stats=hb).write.mode(
@@ -479,6 +484,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma-separated seed node ids: also writes "
                          "personalized PageRank (teleport uniform over "
                          "the seeds)")
+    sp.add_argument("--linkpred_cap", type=int, default=0,
+                    help="nonzero also writes common-neighbor/"
+                         "Adamic-Adar link-prediction pairs; > 0 is "
+                         "the hub mid-degree gate, -1 ungated")
     sp.add_argument("--hyperball_p", type=int, default=0,
                     help="> 0 also writes HyperBall per-node ball-size"
                          " + harmonic-centrality estimates (HLL"

@@ -562,3 +562,63 @@ def graph_hyperball(spark, sf_dir):
         F.round("ball_est", 3).alias("ball_est"),
         F.round("harmonic", 6).alias("harmonic"),
     ).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: common-neighbor / Adamic-Adar scores over the
+# co-occurrence graph (the triangles base), ungated (the hub gate is
+# two_hop's contract, pinned there and in units).
+# ---------------------------------------------------------------------------
+
+_SQL_LINKPRED = (
+    _SQL_PRELUDE
+    + _SQL_PAIRS
+    + """
+, e0 AS (SELECT subj AS src, obj AS dst FROM pairs WHERE subj <> obj)
+, und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)
+),
+nbr AS (SELECT src AS mid, dst AS n FROM und),
+deg AS (SELECT mid, count(*) AS md FROM nbr GROUP BY mid),
+wedge AS (
+  SELECT x.n AS u, y.n AS w, d.md
+  FROM nbr x
+  JOIN nbr y ON y.mid = x.mid AND x.n < y.n
+  JOIN deg d ON d.mid = x.mid
+),
+scored AS (
+  SELECT u, w, count(*) AS cn, sum(1.0 / ln(CAST(md AS DOUBLE))) AS aa
+  FROM wedge GROUP BY u, w
+)
+SELECT u AS src, w AS dst,
+       CAST(cn AS BIGINT) AS common_neighbors,
+       round(aa, 6) AS adamic_adar
+FROM scored s
+WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.src = s.u AND und.dst = s.w)
+ORDER BY src, dst
+"""
+)
+
+
+@register_extra("graph_link_prediction", _SQL_LINKPRED)
+def graph_link_prediction(spark, sf_dir):
+    """Link-prediction scores (operators/graph.py::link_prediction)
+    over the entity co-occurrence graph: common-neighbor count and
+    Adamic-Adar for every absent pair at distance two — the wedge
+    join of two_hop with the scoring fold, each unordered pair once."""
+    m = _doc_mentions(spark, sf_dir)
+    src = m.where(F.col("entity_type") == "op").select(
+        "doc_id", F.col("entity_id").alias("subj")
+    )
+    tgt = m.where(F.col("entity_type") == "obj").select(
+        "doc_id", F.col("entity_id").alias("obj")
+    )
+    pairs = src.join(tgt, "doc_id").select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    out = G.link_prediction(pairs)
+    return out.select(
+        "src", "dst", "common_neighbors",
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+    ).orderBy("src", "dst")

@@ -590,6 +590,73 @@ def bfs_hops(
     return dist
 
 
+def link_prediction(
+    edges: DataFrame,
+    max_mid_degree: int | None = None,
+    include_existing: bool = False,
+) -> DataFrame:
+    """(src, dst, common_neighbors, adamic_adar): link-prediction
+    scores for UNORDERED node pairs at distance two in the undirected
+    graph — the classic "which edges are missing" features
+    (common-neighbor count and Adamic & Adar's sum of 1/ln(deg(mid))
+    over shared neighbors, which discounts promiscuous mids).
+
+    Scale shape = ``two_hop``'s wedge join with the same hub contract:
+    ``max_mid_degree`` gates MID nodes by distinct-neighbor degree —
+    a hub mid ("the"-like entity) otherwise contributes deg^2 wedge
+    rows; gated mids are SKIPPED, loudly documented, not enumerated.
+    The degree needed by the Adamic-Adar term rides the SAME mid-keyed
+    clustering the wedge join shuffles on (one merge-hinted V-row
+    join, no broadcast of an O(V) table), the pair reduction is ONE
+    map-combinable groupBy on (src, dst), and existing edges leave via
+    ONE merge-hinted anti-join (skipped with ``include_existing``).
+
+    src < dst in every output row (each unordered pair once).  A mid
+    with one distinct neighbor spawns no wedge, so deg(mid) >= 2 and
+    ln never sees 1.  Float policy: the AA sum is order-sensitive at
+    ~1e-15 like the pagerank rounds — callers compare rounded (the
+    oracle rounds to 6).
+    """
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    und = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nbr = und.select(F.col("src").alias("mid"), F.col("dst").alias("n"))
+    deg = nbr.groupBy("mid").agg(F.count(F.lit(1)).alias("_md"))
+    if max_mid_degree is not None:
+        deg = deg.where(F.col("_md") <= max_mid_degree)
+    x = nbr.join(deg.hint("merge"), "mid").select(
+        "mid", F.col("n").alias("u"), "_md"
+    )
+    y = nbr.select("mid", F.col("n").alias("w"))
+    scored = (
+        x.join(y, "mid")
+        .where(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum(F.lit(1.0) / F.log(F.col("_md").cast("double"))).alias(
+                "adamic_adar"
+            ),
+        )
+    )
+    if not include_existing:
+        ex = und.where(F.col("src") < F.col("dst")).select(
+            F.col("src").alias("u"), F.col("dst").alias("w")
+        )
+        scored = scored.join(ex.hint("merge"), ["u", "w"], "left_anti")
+    return scored.select(
+        F.col("u").alias("src"),
+        F.col("w").alias("dst"),
+        "common_neighbors",
+        "adamic_adar",
+    )
+
+
 def hyperball(
     edges: DataFrame,
     p: int = 4,

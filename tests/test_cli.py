@@ -319,6 +319,31 @@ def test_cli_graph_metrics_hyperball(spark, tmp_path_factory):
     assert hb["b"][1] > hb["a"][1] and hb["c"][1] > hb["d"][1]
 
 
+def test_cli_graph_metrics_linkpred(spark, tmp_path_factory):
+    """--linkpred_cap writes link-prediction pairs: the 4-cycle's two
+    diagonals, each with two shared degree-2 neighbors."""
+    import math
+    base = tmp_path_factory.mktemp("gml")
+    edges_path = str(base / "edges")
+    spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        "subj string, obj string",
+    ).write.parquet(edges_path)
+    out = str(base / "metrics")
+    rc = cli.main([
+        "graph-metrics", "--input", edges_path, "--output_dir", out,
+        "--iterations", "2", "--skip_triangles", "--linkpred_cap", "-1",
+    ])
+    assert rc == 0
+    lp = {
+        (r["src"], r["dst"]): (r["common_neighbors"], r["adamic_adar"])
+        for r in spark.read.parquet(f"{out}/link_prediction").collect()
+    }
+    assert set(lp) == {("a", "c"), ("b", "d")}
+    for cn, aa in lp.values():
+        assert cn == 2 and abs(aa - 2.0 / math.log(2.0)) < 1e-12
+
+
 def test_cli_profile(spark, tmp_path_factory):
     """profile verb: per-group budget (+ optional HLL distinct) and
     rank-picked length quantiles land as two tables; quantile values

@@ -642,3 +642,84 @@ def test_effective_diameter_interpolation():
     assert G.effective_diameter([5.0]) == 0.0
     with pytest.raises(ValueError):
         G.effective_diameter([])
+
+
+# ---------------------------------------------------------------------------
+# link_prediction: common neighbors + Adamic-Adar
+# ---------------------------------------------------------------------------
+
+
+def test_link_prediction_cycle4(spark):
+    """4-cycle a-b-c-d-a: the only candidate pairs are the two
+    diagonals, each with 2 common neighbors of degree 2."""
+    import math
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    got = {(r["src"], r["dst"]): (r["common_neighbors"], r["adamic_adar"])
+           for r in G.link_prediction(_edges_df(spark, pairs)).collect()}
+    aa = 2.0 / math.log(2.0)
+    assert set(got) == {("a", "c"), ("b", "d")}
+    for cn, a in got.values():
+        assert cn == 2
+        assert a == pytest.approx(aa, abs=1e-12)
+
+
+def test_link_prediction_include_existing(spark):
+    """Triangle a-b-c: with existing edges excluded nothing remains;
+    included, every edge pair scores via its one shared neighbor."""
+    import math
+    pairs = [("a", "b"), ("b", "c"), ("c", "a")]
+    e = _edges_df(spark, pairs)
+    assert G.link_prediction(e).count() == 0
+    got = {(r["src"], r["dst"]): (r["common_neighbors"], r["adamic_adar"])
+           for r in G.link_prediction(e, include_existing=True).collect()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    for cn, a in got.values():
+        assert cn == 1 and a == pytest.approx(1.0 / math.log(2.0), abs=1e-12)
+
+
+def test_link_prediction_hub_gate(spark):
+    """Star hub + one side path: gating the hub's degree removes the
+    leaf-leaf candidates that only the hub connects, while the pair
+    connected by a low-degree mid survives."""
+    pairs = [("hub", f"l{i}") for i in range(5)] + [("l0", "m"), ("m", "l1")]
+    e = _edges_df(spark, pairs)
+    ungated = {(r["src"], r["dst"]) for r in G.link_prediction(e).collect()}
+    gated = {(r["src"], r["dst"]) for r in G.link_prediction(
+        e, max_mid_degree=3).collect()}
+    assert ("l2", "l3") in ungated and ("l2", "l3") not in gated
+    # l0-l1 goes through both the hub (deg 5, gated) and m (deg 2).
+    assert ("l0", "l1") in gated
+    got = {(r["src"], r["dst"]): r["common_neighbors"]
+           for r in G.link_prediction(e, max_mid_degree=3).collect()}
+    assert got[("l0", "l1")] == 1  # hub wedge dropped, m wedge kept
+
+
+def test_link_prediction_brute_force(spark):
+    """Random graph vs a direct Python computation of both scores."""
+    import math
+    rng = random.Random(11)
+    nodes = [f"n{i}" for i in range(25)]
+    pairs = sorted({(rng.choice(nodes), rng.choice(nodes)) for _ in range(60)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    ref = {}
+    ns = sorted(adj)
+    for i, u in enumerate(ns):
+        for w in ns[i + 1:]:
+            if w in adj[u]:
+                continue
+            common = adj[u] & adj[w]
+            if common:
+                ref[(u, w)] = (
+                    len(common),
+                    sum(1.0 / math.log(len(adj[v])) for v in common),
+                )
+    got = {(r["src"], r["dst"]): (r["common_neighbors"], r["adamic_adar"])
+           for r in G.link_prediction(_edges_df(spark, pairs)).collect()}
+    assert set(got) == set(ref)
+    for k, (cn, aa) in ref.items():
+        assert got[k][0] == cn, k
+        assert got[k][1] == pytest.approx(aa, abs=1e-9), k
