@@ -100,6 +100,10 @@ def main() -> None:
         _run_bfs(edges, n_edges)
     if _want("hyperball"):
         _run_hyperball(edges, n_edges)
+    if _want("linkpred"):
+        _run_linkpred(edges, n_edges)
+    if _want("kcore"):
+        _run_kcore(edges, n_edges)
     if _want("triangles"):
         _run_triangles(spark, tri_edges, 2 * cpus)
     spark.stop()
@@ -254,6 +258,106 @@ def _run_hyperball(edges, n_edges):
         "within_3se_node_frac": round(float(row["w3"]), 4),
         "se": round(se, 4),
         "wall_s": wall, "cc_wall_s": cc_wall,
+    }), flush=True)
+
+
+def _run_linkpred(edges, n_edges):
+    """Gated link prediction with include_existing=True. Exactness at
+    volume: the total common-neighbor mass over ALL unordered pairs
+    equals EXACTLY sum over surviving (gated) mids of C(deg, 2) — the
+    wedge-count identity, computed independently from the degree
+    profile in exact long arithmetic. Also reported: hub mids the
+    gate skipped and the absent-pair (candidate) count."""
+    cap = int(os.environ.get("SPARK_GRAFT_LP_CAP", "64"))
+    t0 = time.perf_counter()
+    allp = G.link_prediction(edges, max_mid_degree=cap, include_existing=True)
+    row = allp.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("common_neighbors").alias("cn"),
+    ).collect()[0]
+    wall = round(time.perf_counter() - t0, 1)
+    cand = G.link_prediction(edges, max_mid_degree=cap).count()
+
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    idrow = deg.agg(
+        F.sum(
+            F.when(
+                F.col("d") <= cap,
+                (F.col("d") * (F.col("d") - 1) / 2).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("expected"),
+        F.sum(F.when(F.col("d") > cap, 1).otherwise(0)).alias("gated_out"),
+    ).collect()[0]
+    print(json.dumps({
+        "op": "link_prediction", "edges": n_edges, "cap": cap,
+        "pairs_all": int(row["n"]), "candidate_pairs": int(cand),
+        "sum_common_neighbors": int(row["cn"]),
+        "expected_wedges": int(idrow["expected"]),
+        "identity_holds": int(row["cn"]) == int(idrow["expected"]),
+        "hub_mids_gated": int(idrow["gated_out"]),
+        "wall_s": wall,
+    }), flush=True)
+
+
+def _run_kcore(edges, n_edges):
+    """Core numbers at volume. Exactness signals, all distributed:
+    (1) the loop's own EXACT convergence flag (integral non-increasing
+    value sum); (2) core(v) <= deg(v) everywhere (0 violations);
+    (3) the defining min-degree property checked AT the top shell:
+    the subgraph induced by {core >= k_max} has min degree >= k_max."""
+    max_rounds = int(os.environ.get("SPARK_GRAFT_KCORE_ROUNDS", "1024"))
+    t0 = time.perf_counter()
+    stats: dict = {}
+    cores = G.core_numbers(edges, max_rounds=max_rounds, stats=stats).persist()
+    prof = cores.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("core").alias("kmax"),
+        F.avg("core").alias("kavg"),
+    ).collect()[0]
+    wall = round(time.perf_counter() - t0, 1)
+
+    deg = G.degrees(
+        edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+    ).select("node", "degree")
+    viol = (
+        cores.join(deg.hint("merge"), "node")
+        .where(F.col("core") > F.col("degree"))
+        .count()
+    )
+    kmax = int(prof["kmax"])
+    keep = cores.where(F.col("core") >= kmax).select("node")
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    shell = und.join(
+        keep.select(F.col("node").alias("src")).hint("merge"), "src", "left_semi"
+    ).join(
+        keep.select(F.col("node").alias("dst")).hint("merge"), "dst", "left_semi"
+    )
+    shell_min_deg = (
+        shell.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.min("d")).collect()[0][0]
+    )
+    cores.unpersist()
+    print(json.dumps({
+        "op": "core_numbers", "edges": n_edges,
+        "nodes": int(prof["n"]), "rounds": stats["rounds"],
+        "converged": stats["converged"], "k_max": kmax,
+        "k_avg": round(float(prof["kavg"]), 3),
+        "core_gt_degree_violations": int(viol),
+        "top_shell_min_degree": int(shell_min_deg),
+        "top_shell_property_holds": int(shell_min_deg) >= kmax,
+        "wall_s": wall,
     }), flush=True)
 
 

@@ -242,6 +242,15 @@ def cmd_graph_metrics(args) -> int:
         G.link_prediction(edges, max_mid_degree=cap).write.mode(
             "overwrite"
         ).parquet(f"{out}/link_prediction")
+    if args.kcore:
+        kc: dict = {}
+        G.core_numbers(edges, stats=kc).write.mode("overwrite").parquet(
+            f"{out}/core_numbers"
+        )
+        print(
+            f"core_numbers rounds={kc['rounds']} converged={kc['converged']}",
+            file=sys.stderr,
+        )
     if args.hyperball_p > 0:
         hb: dict = {}
         G.hyperball(edges, p=args.hyperball_p, stats=hb).write.mode(
@@ -493,6 +502,9 @@ def build_parser() -> argparse.ArgumentParser:
                          " + harmonic-centrality estimates (HLL"
                          " precision 2^p registers; reports the"
                          " effective diameter)")
+    sp.add_argument("--kcore", action="store_true",
+                    help="also writes per-node core numbers (k-core"
+                         " decomposition, exact at convergence)")
     sp.set_defaults(fn=cmd_graph_metrics)
 
     sp = sub.add_parser("profile")

@@ -622,3 +622,64 @@ def graph_link_prediction(spark, sf_dir):
         "src", "dst", "common_neighbors",
         F.round("adamic_adar", 6).alias("adamic_adar"),
     ).orderBy("src", "dst")
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition: the h-index iteration replayed round by round
+# (the chained-CTE pattern of _lpa_sql).  Both engines compute h^R for
+# the SAME fixed R: the Spark loop's early convergence break cannot
+# diverge because the h-index fixed point is idempotent (h^k = h^R for
+# all R >= k), so parity holds whether or not the small graph converges
+# before R.
+# ---------------------------------------------------------------------------
+
+_KCORE_ROUNDS = 8
+
+
+def _kcore_sql() -> str:
+    ctes = [
+        """kund AS (
+  SELECT DISTINCT least(subj, obj) AS u, greatest(subj, obj) AS v
+  FROM pairs WHERE subj <> obj
+)""",
+        "ksym AS (SELECT u, v FROM kund UNION ALL SELECT v AS u, u AS v FROM kund)",
+        "h0 AS (SELECT u AS node, count(*) AS val FROM ksym GROUP BY u)",
+    ]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        ctes.append(
+            f"""h{i} AS (
+  SELECT node, max(least(lvl, cum)) AS val FROM (
+    SELECT node, lvl,
+           sum(c) OVER (PARTITION BY node ORDER BY lvl DESC) AS cum
+    FROM (SELECT s.u AS node, p.val AS lvl, count(*) AS c
+          FROM ksym s JOIN h{i - 1} p ON p.node = s.v
+          GROUP BY s.u, p.val) m
+  ) GROUP BY node
+)"""
+        )
+    return (
+        _SQL_PRELUDE
+        + _SQL_PAIRS
+        + ", "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(val AS BIGINT) AS core FROM h{_KCORE_ROUNDS}"
+        + "\nORDER BY node"
+    )
+
+
+@register_extra("graph_kcore", _kcore_sql())
+def graph_kcore(spark, sf_dir):
+    """Core numbers (operators/graph.py::core_numbers — the Lu et al.
+    h-index iteration whose fixed point is the exact k-core
+    decomposition) over the entity co-occurrence graph."""
+    m = _doc_mentions(spark, sf_dir)
+    src = m.where(F.col("entity_type") == "op").select(
+        "doc_id", F.col("entity_id").alias("subj")
+    )
+    tgt = m.where(F.col("entity_type") == "obj").select(
+        "doc_id", F.col("entity_id").alias("obj")
+    )
+    pairs = src.join(tgt, "doc_id").select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return G.core_numbers(pairs, max_rounds=_KCORE_ROUNDS).orderBy("node")

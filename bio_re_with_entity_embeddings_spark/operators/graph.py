@@ -657,6 +657,175 @@ def link_prediction(
     )
 
 
+def core_numbers(
+    edges: DataFrame,
+    max_rounds: int = 64,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(node, core): the core number (k-core decomposition) of every
+    node of the UNDIRECTED simple graph underlying ``edges`` — the
+    largest k such that the node survives in the subgraph where every
+    node keeps degree >= k.  The density profile of the materialized
+    KG: high-core nodes form the tightly-knit nucleus, core 1 is the
+    tree-like fringe (curation consumers prune crawl/spam tendrils by
+    core, the mirror of the degree gates in ``two_hop``).
+
+    Algorithm: the h-index iteration of Lu et al. 2016 ("The H-index
+    of a network node"), the local formulation behind Montresor et
+    al.'s distributed k-core: h_0(v) = deg(v) and h_{t+1}(v) =
+    H(h_t(w) : w ~ v), where H is the h-index (the largest k with at
+    least k neighbors of value >= k).  The sequence is pointwise
+    non-increasing (H(xs) <= len(xs) and H is monotone in its
+    arguments) and its fixed point is EXACTLY the core number — a
+    converged run is exact, not an estimate.
+
+    Execution shape per round (the pagerank/LPA discipline): ONE
+    edges|><|state join ships each neighbor's value, ONE map-combined
+    (node, value) count compacts hub fan-in to <= #distinct-levels
+    rows per node, ONE node-keyed window (descending value, running
+    count) evaluates H as max(min(level, count_ge)) — never a window
+    over raw messages — and ONE one-row action materializes the lazy
+    ``localCheckpoint`` and reads the EXACT convergence signal: values
+    are non-increasing integers, so the global sum is strictly
+    decreasing until the fixed point; an unchanged sum IS convergence
+    (the decimal-signal pattern of ``hyperball``, exact here because
+    the values are integral).  Hub safety: per-round traffic is one
+    value per directed edge — linear, no wedge blow-up anywhere.
+
+    Activation (the bfs_hops frontier discipline, measured necessary):
+    recomputing EVERY node EVERY round left the 1M-node/5M-edge probe
+    graph unconverged after 64 full passes (304 s) — late rounds
+    change only a thin cascade tail while paying the full V-row join.
+    h_{t+1}(v) can differ from h_t(v) ONLY if some neighbor's value
+    changed in round t (H reads nothing else), so each round recomputes
+    just the nodes with a changed neighbor: the frontier collapses
+    geometrically while the computed sequence stays EXACTLY h^t,
+    round for round (the skipped nodes' values are provably fixed).
+    Convergence signal: an empty changed-set — exact, and it doubles
+    as the round's one materializing action.
+
+    Round count: bounded by the longest peeling cascade (pathological
+    paths can need O(V); the probe graph needed 136 frontier rounds).
+    ``max_rounds`` caps the loop; ``stats`` receives {"rounds",
+    "converged", "n_nodes", "n_edges_sym"} — callers that need the
+    exactness guarantee assert ``converged``.
+    """
+    und = (
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).alias("u"),
+            F.greatest(F.col("src"), F.col("dst")).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    spark = edges.sparkSession
+    ceiling = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_edges = sym.count()  # materializes sym; sizes the loop width
+    p = _loop_width(n_edges, ceiling)
+    vals = (
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).alias("val"))
+        .repartition(p, "node")
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = vals.count()
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("node").orderBy(F.col("lvl").desc())
+    # round 0's frontier is everything: h_1 must be computed for every
+    # node (degree -> first h-index); from then on only cascade tails.
+    changed = vals.select("node").localCheckpoint(eager=False)
+    rounds, converged = 0, n_nodes == 0
+    for t in range(1, max_rounds + 1):
+        if converged:
+            break
+        # nodes with at least one changed neighbor — the only ones
+        # whose h-index can move this round.  merge hint: the frontier
+        # is O(V) in round 1 and shrinks after; never broadcast.
+        cand = (
+            sym.join(
+                changed.select(F.col("node").alias("v")).hint("merge"),
+                "v",
+                "left_semi",
+            )
+            .select(F.col("u").alias("node"))
+            .distinct()
+        )
+        nbrv = (
+            sym.join(
+                cand.select(F.col("node").alias("u")).hint("merge"),
+                "u",
+                "left_semi",
+            )
+            .join(
+                vals.select(F.col("node").alias("v"), F.col("val").alias("lvl")),
+                "v",
+            )
+            .select(F.col("u").alias("node"), "lvl")
+        )
+        levels = nbrv.groupBy("node", "lvl").agg(F.count(F.lit(1)).alias("c"))
+        upd = (
+            levels.withColumn("cum", F.sum("c").over(win))
+            .groupBy("node")
+            .agg(F.max(F.least(F.col("lvl"), F.col("cum"))).alias("_nv"))
+        )
+        new_vals = (
+            vals.join(upd.hint("merge"), "node", "left")
+            .select(
+                "node",
+                F.coalesce("_nv", F.col("val")).alias("val"),
+                (F.col("_nv") < F.col("val")).alias("_chg"),
+            )
+            .repartition(p, "node")
+            .localCheckpoint(eager=False)
+        )
+        new_changed = new_vals.where(F.col("_chg")).select("node")
+        # the ONE action of the round: materializes the checkpoint and
+        # reads the exact convergence signal (empty frontier).
+        n_changed = new_changed.count()
+        vals = new_vals.drop("_chg")
+        changed = new_changed.localCheckpoint(eager=False)
+        rounds = t
+        if n_changed == 0:
+            converged = True
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
+        stats["n_nodes"] = n_nodes
+        stats["n_edges_sym"] = n_edges
+    return vals.select("node", F.col("val").alias("core"))
+
+
+def k_core(edges: DataFrame, k: int, max_rounds: int = 64) -> DataFrame:
+    """The k-core SUBGRAPH: the undirected simple edges (src < dst)
+    whose BOTH endpoints have core number >= ``k`` — equivalently the
+    maximal subgraph of minimum degree >= k (the peeling fixed point).
+    Composition over ``core_numbers``: the survivor set is O(V) and
+    grows with the graph, so both endpoint filters are merge-hinted
+    semi-joins, never broadcasts (the two_hop gate contract)."""
+    keep = (
+        core_numbers(edges, max_rounds=max_rounds)
+        .where(F.col("core") >= k)
+        .select("node")
+    )
+    und = (
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).alias("src"),
+            F.greatest(F.col("src"), F.col("dst")).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return und.join(
+        keep.select(F.col("node").alias("src")).hint("merge"), "src", "left_semi"
+    ).join(
+        keep.select(F.col("node").alias("dst")).hint("merge"), "dst", "left_semi"
+    )
+
+
 def hyperball(
     edges: DataFrame,
     p: int = 4,

@@ -374,3 +374,26 @@ def test_cli_profile(spark, tmp_path_factory):
     got = q.collect()
     assert len(got) == 8  # 2 groups x 4 quantiles
     assert all(r["quantile"] in lens for r in got)  # exact picked values
+
+
+def test_cli_graph_metrics_kcore(spark, tmp_path_factory):
+    """--kcore writes exact core numbers: K4 nucleus stays core 3, the
+    pendant tail peels to 1."""
+    import itertools
+    base = tmp_path_factory.mktemp("gmk")
+    edges_path = str(base / "edges")
+    k4 = [(u, v) for u, v in itertools.combinations("abcd", 2)]
+    spark.createDataFrame(
+        k4 + [("d", "t")], "subj string, obj string"
+    ).write.parquet(edges_path)
+    out = str(base / "metrics")
+    rc = cli.main([
+        "graph-metrics", "--input", edges_path, "--output_dir", out,
+        "--iterations", "2", "--skip_triangles", "--kcore",
+    ])
+    assert rc == 0
+    cores = {
+        r["node"]: r["core"]
+        for r in spark.read.parquet(f"{out}/core_numbers").collect()
+    }
+    assert cores == {"a": 3, "b": 3, "c": 3, "d": 3, "t": 1}

@@ -723,3 +723,118 @@ def test_link_prediction_brute_force(spark):
     for k, (cn, aa) in ref.items():
         assert got[k][0] == cn, k
         assert got[k][1] == pytest.approx(aa, abs=1e-9), k
+
+
+# ---------------------------------------------------------------------------
+# core_numbers / k_core
+# ---------------------------------------------------------------------------
+
+
+def _peel_cores(pairs):
+    """Exact core numbers by the textbook peeling algorithm (repeatedly
+    remove a minimum-degree node; its core is the running maximum of
+    the minimum degree seen) — the independent reference."""
+    adj = {}
+    for u, v in pairs:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    deg = {n: len(ns) for n, ns in adj.items()}
+    core, k = {}, 0
+    while deg:
+        n = min(deg, key=lambda x: (deg[x], x))
+        k = max(k, deg[n])
+        core[n] = k
+        for m in adj[n]:
+            if m in deg and m != n:
+                deg[m] -= 1
+        del deg[n]
+    return core
+
+
+def test_core_numbers_hand_shapes(spark):
+    # path P4 -> all 1; cycle C5 -> all 2; K5 -> all 4 (disjoint parts).
+    path = [("p1", "p2"), ("p2", "p3"), ("p3", "p4")]
+    cyc = [(f"c{i}", f"c{(i + 1) % 5}") for i in range(5)]
+    k5 = [(u, v) for u, v in itertools.combinations(
+        ["k1", "k2", "k3", "k4", "k5"], 2)]
+    stats = {}
+    got = {r["node"]: r["core"] for r in G.core_numbers(
+        _edges_df(spark, path + cyc + k5), stats=stats).collect()}
+    want = {f"p{i}": 1 for i in (1, 2, 3, 4)}
+    want.update({f"c{i}": 2 for i in range(5)})
+    want.update({f"k{i}": 4 for i in (1, 2, 3, 4, 5)})
+    assert got == want
+    assert stats["converged"] and stats["rounds"] >= 1
+
+
+def test_core_numbers_clique_with_tail(spark):
+    # K4 with a pendant path hanging off one corner: clique stays core
+    # 3, the tail peels to 1 — degree alone would misrank t1 (deg 2).
+    k4 = [(u, v) for u, v in itertools.combinations(
+        ["a", "b", "c", "d"], 2)]
+    tail = [("d", "t1"), ("t1", "t2")]
+    got = {r["node"]: r["core"] for r in G.core_numbers(
+        _edges_df(spark, k4 + tail)).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "t1": 1, "t2": 1}
+
+
+def test_core_numbers_direction_multiplicity_selfloop_invariant(spark):
+    # duplicates, reversals and self-loops must not change the simple
+    # undirected graph the decomposition sees.
+    base = [("a", "b"), ("b", "c"), ("c", "a")]
+    noisy = base + [("b", "a"), ("c", "b"), ("a", "a"), ("c", "a")]
+    got_base = {r["node"]: r["core"]
+                for r in G.core_numbers(_edges_df(spark, base)).collect()}
+    got_noisy = {r["node"]: r["core"]
+                 for r in G.core_numbers(_edges_df(spark, noisy)).collect()}
+    assert got_base == got_noisy == {"a": 2, "b": 2, "c": 2}
+
+
+def test_core_numbers_brute_force_random(spark):
+    rng = random.Random(23)
+    nodes = [f"n{i:02d}" for i in range(30)]
+    pairs = [(u, v) for u, v in itertools.combinations(nodes, 2)
+             if rng.random() < 0.18]
+    # plant a K6 nucleus so the decomposition has real structure
+    pairs += [(u, v) for u, v in itertools.combinations(nodes[:6], 2)]
+    stats = {}
+    got = {r["node"]: r["core"] for r in G.core_numbers(
+        _edges_df(spark, pairs), stats=stats).collect()}
+    assert stats["converged"]
+    assert got == _peel_cores(pairs)
+
+
+def test_k_core_subgraph_min_degree_property(spark):
+    # the returned k-core subgraph is exactly the peeling survivor set:
+    # every kept node has >= k kept neighbors, and it is maximal (all
+    # nodes with core >= k appear).
+    rng = random.Random(5)
+    nodes = [f"n{i:02d}" for i in range(24)]
+    pairs = [(u, v) for u, v in itertools.combinations(nodes, 2)
+             if rng.random() < 0.2]
+    pairs += [(u, v) for u, v in itertools.combinations(nodes[:5], 2)]
+    k = 3
+    sub = [(r["src"], r["dst"])
+           for r in G.k_core(_edges_df(spark, pairs), k).collect()]
+    cores = _peel_cores(pairs)
+    keep = {n for n, c in cores.items() if c >= k}
+    want = {(min(u, v), max(u, v)) for u, v in pairs
+            if u != v and u in keep and v in keep}
+    assert set(sub) == want
+    deg = {}
+    for u, v in sub:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    assert deg and min(deg.values()) >= k
+
+
+def test_core_numbers_empty_and_selfloop_only(spark):
+    empty = spark.createDataFrame([], "src string, dst string")
+    stats = {}
+    assert G.core_numbers(empty, stats=stats).count() == 0
+    assert stats["converged"] and stats["rounds"] == 0
+    only_loops = _edges_df(spark, [("a", "a")])
+    assert G.core_numbers(only_loops).count() == 0
+    assert G.k_core(empty, 2).count() == 0
