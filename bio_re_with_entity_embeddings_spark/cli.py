@@ -229,6 +229,24 @@ def cmd_graph_metrics(args) -> int:
         G.bfs_hops(edges, seeds, max_hops=args.bfs_max_hops).write.mode(
             "overwrite"
         ).parquet(f"{out}/bfs_hops")
+    if args.sssp_seeds:
+        sseeds = spark.createDataFrame(
+            [(s,) for s in args.sssp_seeds.split(",") if s], "node string"
+        )
+        wsrc = spark.read.parquet(args.input)
+        w = (
+            F.col(args.sssp_weight_col).cast("double")
+            if args.sssp_weight_col
+            else F.lit(1.0)
+        )
+        wedges = wsrc.select(
+            F.col(args.src_col).alias("src"),
+            F.col(args.dst_col).alias("dst"),
+            w.alias("weight"),
+        )
+        G.sssp(
+            wedges, sseeds, max_rounds=args.sssp_max_rounds
+        ).write.mode("overwrite").parquet(f"{out}/sssp")
     if args.ppr_seeds:
         pseeds = spark.createDataFrame(
             [(s,) for s in args.ppr_seeds.split(",") if s], "node string"
@@ -489,6 +507,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma-separated seed node ids: also writes "
                          "multi-source BFS hop distances")
     sp.add_argument("--bfs_max_hops", type=int, default=6)
+    sp.add_argument("--sssp_seeds", default="",
+                    help="comma-separated seed node ids: also writes "
+                         "weighted shortest-path distances "
+                         "(--sssp_weight_col, else unit weights)")
+    sp.add_argument("--sssp_weight_col", default="",
+                    help="edge-weight column for --sssp_seeds "
+                         "(empty = 1.0 per edge)")
+    sp.add_argument("--sssp_max_rounds", type=int, default=64)
     sp.add_argument("--ppr_seeds", default="",
                     help="comma-separated seed node ids: also writes "
                          "personalized PageRank (teleport uniform over "

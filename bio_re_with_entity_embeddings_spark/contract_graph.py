@@ -449,6 +449,73 @@ def graph_ppr(spark, sf_dir):
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+# ---------------------------------------------------------------------------
+# Weighted SSSP: minimum weighted distance from the BFS seed pair over
+# the mention graph with a deterministic integer-valued edge weight
+# (1 + (len(src)+len(dst)) % 7 — computed by the same expression in
+# both engines, so every path sum is exact).  The SQL unrolls the
+# synchronous Bellman-Ford rounds (node-sized CTEs, the PPR pattern;
+# idempotent at the fixed point, so early Spark convergence cannot
+# diverge); after round i both sides hold EXACTLY min(path weight)
+# over paths of <= i edges.
+# ---------------------------------------------------------------------------
+
+_SSSP_ROUNDS = 6
+_SSSP_W = "1.0 + (length(src) + length(dst)) % 7"
+
+
+def _sssp_sql() -> str:
+    ctes = [
+        f"wedges AS (SELECT src, dst, {_SSSP_W} AS w FROM bedges)",
+        "seeds AS (SELECT node FROM (SELECT DISTINCT entity_id AS node"
+        " FROM mentions) ORDER BY node LIMIT 2)",
+        "d0 AS (SELECT node, 0.0 AS dist FROM seeds)",
+    ]
+    for i in range(1, _SSSP_ROUNDS + 1):
+        prev = f"d{i - 1}"
+        ctes.append(
+            f"""d{i} AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM {prev} d JOIN wedges e ON e.src = d.node
+  ) GROUP BY node
+)"""
+        )
+    return (
+        _SQL_PRELUDE
+        + _SQL_BEDGES
+        + ", "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, dist FROM d{_SSSP_ROUNDS}"
+    )
+
+
+@register_extra("graph_sssp", _sssp_sql())
+def graph_sssp(spark, sf_dir):
+    """Weighted multi-source shortest paths
+    (operators/graph.py::sssp) from the two smallest entity ids over
+    the mention graph, bounded at 6 Bellman-Ford rounds — weighted
+    reach-cost radii.  The edge set is already symmetric, so the
+    directed relaxation equals the undirected one; the weight is the
+    oracle's literal expression evaluated Spark-side."""
+    m = _doc_mentions(spark, sf_dir)
+    seeds = (
+        m.select(F.col("entity_id").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(2)
+    )
+    edges = _bipartite_edges(spark, sf_dir).withColumn(
+        "weight",
+        F.lit(1.0) + (F.length("src") + F.length("dst")) % F.lit(7),
+    )
+    return G.sssp(
+        edges, seeds, max_rounds=_SSSP_ROUNDS, directed=True
+    )
+
+
 @register_extra("graph_bfs", _SQL_BFS)
 def graph_bfs(spark, sf_dir):
     """Multi-source BFS hop distances (operators/graph.py::bfs_hops)

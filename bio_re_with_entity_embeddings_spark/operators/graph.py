@@ -590,6 +590,110 @@ def bfs_hops(
     return dist
 
 
+def sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    weight_col: str = "weight",
+    max_rounds: int = 64,
+    directed: bool = False,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(node, dist): MINIMUM weighted distance from a seed set —
+    multi-source single-source-shortest-paths over a ``src``/``dst``/
+    ``weight`` edge table (non-negative weights), the weighted
+    complement of ``bfs_hops`` (reach-cost radii, weighted ego
+    slicing, cheapest-evidence paths over a scored triple graph).
+    ``sources`` is a one-column ``node`` DataFrame; unreachable nodes
+    are absent from the output.
+
+    Execution = frontier-activated Bellman-Ford: per round, ONE
+    frontier|><|edges join relaxes only the out-edges of nodes whose
+    distance improved last round, ONE map-combined min collapses the
+    candidates, and ONE node-keyed left join against the running
+    distance table keeps strict improvements (the next frontier).
+    After round i the table holds EXACTLY min(path weight) over paths
+    of <= i edges (the Bellman-Ford invariant — the frontier
+    optimization skips only provably non-improving relaxations), so
+    the fixed point is the true distance and an unconverged
+    ``max_rounds`` cut is still a well-defined bounded-hop distance
+    (restated verbatim by the oracle's unrolled rounds).  The
+    per-round improved-count that materializes the round's lazy
+    ``localCheckpoint`` doubles as the early-stop signal — the fused
+    one-action-per-round discipline of pagerank / bfs_hops /
+    connected_components.  Unlike BFS a node may re-enter the
+    frontier (a later cheaper path), so total traffic is bounded by
+    rounds * frontier degree sums, converging in at most
+    (longest shortest path, in edges) rounds.
+
+    Parallel edges collapse to their min weight before the loop (the
+    cheapest parallel edge dominates any relaxation); self-loops are
+    dropped (with w >= 0 they never improve).  Float policy: each
+    path's weight accumulates left-to-right along the path in BOTH
+    this loop and the oracle's unrolled CTEs — identical IEEE
+    association, so min() sees identical doubles and integer-valued
+    weights compare exactly.
+    """
+    w = F.col(weight_col).cast("double")
+    e = (
+        edges.select("src", "dst", w.alias("w"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    if not directed:
+        e = e.unionByName(
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+    # min-collapse parallel edges: shrinks every round's join and makes
+    # the relaxation candidate set deterministic.
+    e = e.groupBy("src", "dst").agg(F.min("w").alias("w")).localCheckpoint(
+        eager=False
+    )
+    spark = edges.sparkSession
+    ceiling = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_edges = e.count()  # materializes e; sizes the loop width
+    p = _loop_width(n_edges, ceiling)
+    dist = (
+        sources.select("node")
+        .distinct()
+        .withColumn("dist", F.lit(0.0))
+        .repartition(p, "node")
+        .localCheckpoint(eager=False)
+    )
+    frontier = dist
+    rounds = 0
+    for r in range(1, max_rounds + 1):
+        cand = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"), (frontier["dist"] + F.col("w")).alias("d"))
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+        old = dist.select("node", F.col("dist").alias("_old"))
+        nxt = (
+            cand.join(old, "node", "left")
+            .where(F.col("_old").isNull() | (F.col("d") < F.col("_old")))
+            .select("node", F.col("d").alias("dist"))
+            .repartition(p, "node")
+            .localCheckpoint(eager=False)
+        )
+        n_improved = nxt.count()  # materializes the round + early stop
+        if n_improved == 0:
+            break
+        rounds = r
+        frontier = nxt
+        dist = (
+            dist.join(nxt.select("node"), "node", "left_anti")
+            .unionByName(nxt)
+            .localCheckpoint(eager=False)
+        )
+    dist.count()  # materialize the final cascade
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["n_edges"] = n_edges
+    return dist
+
+
 def link_prediction(
     edges: DataFrame,
     max_mid_degree: int | None = None,

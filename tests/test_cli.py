@@ -271,6 +271,29 @@ def test_cli_graph_metrics_bfs(spark, tmp_path_factory):
     assert hops == {"a": 0, "b": 1, "c": 2, "d": 3}
 
 
+def test_cli_graph_metrics_sssp(spark, tmp_path_factory):
+    """--sssp_seeds writes weighted shortest-path distances: the cheap
+    two-edge detour beats the heavy direct edge."""
+    base = tmp_path_factory.mktemp("gms")
+    edges_path = str(base / "edges")
+    spark.createDataFrame(
+        [("a", "b", 10.0), ("a", "c", 1.0), ("c", "b", 1.0)],
+        "subj string, obj string, cost double",
+    ).write.parquet(edges_path)
+    out = str(base / "metrics")
+    rc = cli.main([
+        "graph-metrics", "--input", edges_path, "--output_dir", out,
+        "--iterations", "2", "--skip_triangles",
+        "--sssp_seeds", "a", "--sssp_weight_col", "cost",
+    ])
+    assert rc == 0
+    dist = {
+        r["node"]: r["dist"]
+        for r in spark.read.parquet(f"{out}/sssp").collect()
+    }
+    assert dist == {"a": 0.0, "b": 2.0, "c": 1.0}
+
+
 def test_cli_graph_metrics_ppr(spark, tmp_path_factory):
     """--ppr_seeds writes personalized PageRank: mass conserved and
     the seed outranks the far end of the path."""

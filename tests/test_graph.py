@@ -838,3 +838,127 @@ def test_core_numbers_empty_and_selfloop_only(spark):
     only_loops = _edges_df(spark, [("a", "a")])
     assert G.core_numbers(only_loops).count() == 0
     assert G.k_core(empty, 2).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# sssp (weighted multi-source shortest paths)
+# ---------------------------------------------------------------------------
+
+
+def _wedges(spark, triples):
+    return spark.createDataFrame(triples, ["src", "dst", "weight"])
+
+
+def _sssp_dict(df):
+    return {r["node"]: r["dist"] for r in df.collect()}
+
+
+def test_sssp_weighted_path_beats_direct_edge(spark):
+    """a-b direct costs 10; a-c-b costs 2 — the weighted answer differs
+    from the hop answer, and the loop's round count reflects the
+    re-relaxation (b improves in round 1 AND round 2)."""
+    e = _wedges(spark, [("a", "b", 10.0), ("a", "c", 1.0), ("c", "b", 1.0)])
+    stats = {}
+    out = _sssp_dict(G.sssp(e, _seeds(spark, ["a"]), stats=stats))
+    assert out == {"a": 0.0, "b": 2.0, "c": 1.0}
+    assert stats["rounds"] == 2
+
+
+def test_sssp_directed_vs_undirected(spark):
+    e = _wedges(spark, [("a", "b", 3.0), ("b", "c", 4.0)])
+    directed = _sssp_dict(G.sssp(e, _seeds(spark, ["c"]), directed=True))
+    undirected = _sssp_dict(G.sssp(e, _seeds(spark, ["c"])))
+    assert directed == {"c": 0.0}
+    assert undirected == {"c": 0.0, "b": 4.0, "a": 7.0}
+
+
+def test_sssp_unreachable_absent_parallel_min_self_loop(spark):
+    """Parallel edges collapse to their min weight; self-loops are
+    ignored; the disconnected island never appears."""
+    e = _wedges(
+        spark,
+        [
+            ("a", "b", 5.0),
+            ("a", "b", 2.0),  # parallel: min wins
+            ("b", "b", 0.5),  # self-loop: dropped
+            ("x", "y", 1.0),  # island
+        ],
+    )
+    out = _sssp_dict(G.sssp(e, _seeds(spark, ["a"]), directed=True))
+    assert out == {"a": 0.0, "b": 2.0}
+
+
+def test_sssp_max_rounds_bounds_hops(spark):
+    """max_rounds=2 on a 4-edge path: distances are min over <= 2-edge
+    paths (the Bellman-Ford invariant the oracle restates)."""
+    e = _wedges(
+        spark,
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0), ("d", "e", 1.0)],
+    )
+    out = _sssp_dict(G.sssp(e, _seeds(spark, ["a"]), max_rounds=2))
+    assert out == {"a": 0.0, "b": 1.0, "c": 2.0}
+
+
+def test_sssp_multi_seed_equals_min_over_per_seed_runs(spark):
+    e = _wedges(
+        spark,
+        [("a", "b", 2.0), ("b", "c", 2.0), ("c", "d", 2.0), ("d", "e", 2.0)],
+    )
+    both = _sssp_dict(G.sssp(e, _seeds(spark, ["a", "e"])))
+    runs = [
+        _sssp_dict(G.sssp(e, _seeds(spark, [s]))) for s in ("a", "e")
+    ]
+    merged = {}
+    for run in runs:
+        for n, d in run.items():
+            merged[n] = min(merged.get(n, float("inf")), d)
+    assert both == merged
+
+
+def test_sssp_unit_weights_equal_bfs_hops(spark):
+    """With every weight 1.0, sssp IS bfs (dist == hop as doubles)."""
+    rnd = random.Random(11)
+    nodes = [f"n{i:02d}" for i in range(20)]
+    pairs = sorted({tuple(rnd.sample(nodes, 2)) for _ in range(45)})
+    e = _wedges(spark, [(a, b, 1.0) for a, b in pairs])
+    hops = {
+        r["node"]: float(r["hop"])
+        for r in G.bfs_hops(
+            _edges(spark, pairs), _seeds(spark, ["n00"]), max_hops=30
+        ).collect()
+    }
+    assert _sssp_dict(G.sssp(e, _seeds(spark, ["n00"]))) == hops
+
+
+def test_sssp_brute_force_random_dijkstra(spark):
+    """40-node weighted random digraph vs a pure-Python Dijkstra."""
+    import heapq
+
+    rnd = random.Random(13)
+    nodes = [f"n{i:02d}" for i in range(40)]
+    triples = sorted(
+        {
+            (a, b, float(rnd.randint(1, 9)))
+            for a, b in (rnd.sample(nodes, 2) for _ in range(160))
+        }
+    )
+    adj = {}
+    for a, b, w in triples:
+        adj.setdefault(a, []).append((b, w))
+    seeds = ["n00", "n27"]
+    expected, heap = {}, [(0.0, s) for s in seeds]
+    heapq.heapify(heap)
+    while heap:
+        d, u = heapq.heappop(heap)
+        if u in expected:
+            continue
+        expected[u] = d
+        for v, w in adj.get(u, ()):
+            if v not in expected:
+                heapq.heappush(heap, (d + w, v))
+    got = _sssp_dict(
+        G.sssp(
+            _wedges(spark, triples), _seeds(spark, seeds), directed=True
+        )
+    )
+    assert got == expected
