@@ -98,6 +98,10 @@ def main() -> None:
         _run_lpa(edges, n_edges)
     if _want("bfs"):
         _run_bfs(edges, n_edges)
+    if _want("sssp"):
+        _run_sssp(edges, n_edges)
+    if _want("sssp_unit"):
+        _run_sssp_unit(edges, n_edges)
     if _want("hyperball"):
         _run_hyperball(edges, n_edges)
     if _want("linkpred"):
@@ -205,6 +209,85 @@ def _run_bfs(edges, n_edges):
         "reached": n1, "max_hop": mh1, "rounds": rounds,
         "deterministic": (n1, h1, mh1) == (n2, h2, mh2),
         "wall_s": wall,
+    }), flush=True)
+
+
+def _run_sssp(edges, n_edges):
+    """Weighted SSSP to convergence from the BFS seed rule, integer
+    weights 1..9 hashed from the edge endpoints. Exactness at volume:
+    (a) two weighted runs produce the identical (count, xor-fold)
+    signature — the relaxation is deterministic; (b) a unit-weight run
+    must equal bfs_hops EXACTLY (dist == hop on every node) — an
+    independent implementation computing the same function."""
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .where(F.pmod(F.xxhash64("node"), F.lit(100_000)) == 0)
+        .distinct()
+    )
+    n_seeds = seeds.count()
+    w = (F.lit(1.0) + F.pmod(F.xxhash64("src", "dst"), F.lit(9))).alias(
+        "weight"
+    )
+    wedges = edges.select("src", "dst", w)
+
+    def _sig():
+        stats: dict = {}
+        out = G.sssp(wedges, seeds, max_rounds=200, stats=stats)
+        row = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("node", "dist")).alias("h"),
+            F.max("dist").alias("md"),
+        ).collect()[0]
+        return (
+            int(row["n"]),
+            int(row["h"] or 0),
+            float(row["md"] or 0.0),
+            stats["rounds"],
+        )
+
+    t0 = time.perf_counter()
+    n1, h1, md1, rounds = _sig()
+    wall = round(time.perf_counter() - t0, 1)
+    n2, h2, md2, _ = _sig()
+    print(json.dumps({
+        "op": "sssp", "edges": n_edges, "seeds": n_seeds,
+        "reached": n1, "max_dist": md1, "rounds": rounds,
+        "deterministic": (n1, h1, md1) == (n2, h2, md2),
+        "wall_s": wall,
+    }), flush=True)
+
+
+def _run_sssp_unit(edges, n_edges):
+    """Unit-weight SSSP vs bfs_hops: two independent implementations
+    (Bellman-Ford relaxation vs visited-set BFS) must agree EXACTLY on
+    every reached node — the strongest cheap correctness signal the
+    weighted operator admits at volume."""
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .where(F.pmod(F.xxhash64("node"), F.lit(100_000)) == 0)
+        .distinct()
+    )
+    n_seeds = seeds.count()
+    t0 = time.perf_counter()
+    unit = G.sssp(
+        edges.select("src", "dst", F.lit(1.0).alias("weight")),
+        seeds, max_rounds=200,
+    )
+    hops = G.bfs_hops(edges, seeds, max_hops=200)
+    mism = (
+        unit.join(hops, "node", "full")
+        .where(
+            F.col("dist").isNull()
+            | F.col("hop").isNull()
+            | (F.col("dist") != F.col("hop").cast("double"))
+        )
+        .count()
+    )
+    reached = unit.count()
+    wall = round(time.perf_counter() - t0, 1)
+    print(json.dumps({
+        "op": "sssp_unit_vs_bfs", "edges": n_edges, "seeds": n_seeds,
+        "reached": reached, "mismatches": mism, "wall_s": wall,
     }), flush=True)
 
 

@@ -1546,3 +1546,68 @@ def curate_budget(spark, sf_dir):
 
     d = _load(spark, sf_dir, "documents")
     return CUR.corpus_budget(d, group_col="lang", text_col="text")
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval (operators/retrieval.py): the full matching
+# score set — no top-k boundary, so the oracle is cut-free; the
+# deterministic (rounded score, doc_id) cut is pinned by unit tests.
+# The SQL restates the whole plan: tokenize, postings restricted to
+# the query terms, per-term document frequency, one-row corpus stats,
+# and the Lucene-form idf with the operator's exact expression tree.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("merge", "spark", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register_extra(
+    "text_bm25",
+    f"""
+WITH docs AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(lower(text)), '\\s+')) AS dl,
+         string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl
+  FROM docs
+),
+postings AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM docs, unnest(toks) AS u(term)
+  WHERE term IN {str(tuple(_BM25_TERMS))}
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM postings GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+         * ((p.tf * {_BM25_K1 + 1.0!r})
+            / (p.tf + {_BM25_K1!r}
+               * ({1.0 - _BM25_B!r} + {_BM25_B!r} * CAST(p.dl AS DOUBLE) / s.avgdl)))
+         AS s
+  FROM postings p JOIN dfreq d USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, CAST(count(*) AS INT) AS n_terms, round(sum(s), 6) AS score
+FROM scored GROUP BY doc_id
+""",
+)
+def text_bm25(spark, sf_dir):
+    """Okapi BM25 scores (operators/retrieval.py::bm25_scores) for
+    every document matching any of three query terms — ranked keyword
+    search over the corpus store.  Cut-free so the oracle checks the
+    complete scored set; bm25_topk's deterministic (rounded score,
+    doc_id) cut over this set is unit-pinned.  Float policy: the
+    per-doc sum is an ORDERED fold Spark-side and rounds to 6 both
+    sides (the pagerank convention)."""
+    from .operators import retrieval as RET
+
+    return RET.bm25_scores(
+        _load(spark, sf_dir, "documents"),
+        list(_BM25_TERMS),
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
