@@ -115,15 +115,45 @@ def triangles(edges: DataFrame) -> DataFrame:
     # once (lazy localCheckpoint, the CC-loop pattern) instead of
     # recomputing the upstream + orientation join cascade 3x per
     # action (measured 52.8 s -> see BENCH/BASELINE.md before/after).
-    und = (
+    und = _canonical_simple(edges).localCheckpoint(eager=False)
+    tri, deg = _tri_core(und)
+    per_node = (
+        tri.select(F.explode(F.array("n1", "n2", "n3")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    # nodes in no triangle -> 0 (callers expect a full node profile)
+    return (
+        deg.select("node")
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        )
+    )
+
+
+def _canonical_simple(edges: DataFrame) -> DataFrame:
+    """(u, v) with u < v: the undirected simple edge set underlying a
+    directed/multi ``src``/``dst`` table (self-loops dropped)."""
+    return (
         edges.select(
             F.least(F.col("src"), F.col("dst")).alias("u"),
             F.greatest(F.col("src"), F.col("dst")).alias("v"),
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
+
+
+def _tri_core(und: DataFrame):
+    """(tri, deg) over a canonical simple edge set ``und`` (u < v,
+    ideally already lazily checkpointed): ``tri`` holds one
+    (n1, n2, n3) row per triangle via the degree-ordered orientation
+    (n1 is the low-degree apex; {n2, n3} close the wedge), ``deg`` the
+    undirected degree profile.  Shared by :func:`triangles` (per-node
+    counts), :func:`edge_support` (per-edge counts) and
+    :func:`k_truss` (support peeling)."""
     deg = (
         und.select(F.col("u").alias("node"))
         .unionByName(und.select(F.col("v").alias("node")))
@@ -160,20 +190,7 @@ def triangles(edges: DataFrame) -> DataFrame:
     tri = wedges.join(closing, ["b1", "b2"]).select(
         F.col("a").alias("n1"), F.col("b1").alias("n2"), F.col("b2").alias("n3")
     )
-    per_node = (
-        tri.select(F.explode(F.array("n1", "n2", "n3")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
-    # nodes in no triangle -> 0 (callers expect a full node profile)
-    return (
-        deg.select("node")
-        .join(per_node, "node", "left")
-        .select(
-            "node",
-            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
-        )
-    )
+    return tri, deg
 
 
 def label_propagation(
@@ -929,6 +946,118 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 64) -> DataFrame:
     ).join(
         keep.select(F.col("node").alias("dst")).hint("merge"), "dst", "left_semi"
     )
+
+
+def _edge_support_of(und: DataFrame) -> DataFrame:
+    """(u, v, support) for a canonical simple edge set ``und`` (u < v,
+    already lazily checkpointed): how many triangles of the CURRENT
+    edge set each edge participates in.  Each (n1, n2, n3) triangle
+    row contributes its three canonical edges to one exploded stream
+    -> ONE map-combined (u, v) count; edges in no triangle come back
+    with support 0 via the left join (und is the probe side — the
+    support table is a subset of it, never broadcast: both are O(m))."""
+    tri, _ = _tri_core(und)
+    pair = lambda x, y: F.struct(  # noqa: E731
+        F.least(x, y).alias("u"), F.greatest(x, y).alias("v")
+    )
+    sup = (
+        tri.select(
+            F.explode(
+                F.array(
+                    pair(F.col("n1"), F.col("n2")),
+                    pair(F.col("n1"), F.col("n3")),
+                    pair(F.col("n2"), F.col("n3")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return und.join(sup.hint("merge"), ["u", "v"], "left").select(
+        "u", "v", F.coalesce("support", F.lit(0)).cast("long").alias("support")
+    )
+
+
+def edge_support(edges: DataFrame) -> DataFrame:
+    """(src, dst, support): per-edge triangle support of the
+    UNDIRECTED simple graph underlying ``edges`` (src < dst in the
+    output) — the edge-cohesion profile (an evidence edge embedded in
+    many triangles is corroborated by closed co-occurrence structure;
+    a support-0 bridge is a single-path claim).  The building block
+    of :func:`k_truss`; hub-safe the same way :func:`triangles` is
+    (degree-ordered wedge enumeration, O(m^{3/2}) worst case)."""
+    und = _canonical_simple(edges).localCheckpoint(eager=False)
+    return _edge_support_of(und).withColumnsRenamed({"u": "src", "v": "dst"})
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 64,
+    stats: dict | None = None,
+) -> DataFrame:
+    """The k-truss SUBGRAPH: canonical simple edges (src < dst) of the
+    maximal subgraph in which EVERY edge participates in >= k-2
+    triangles of that same subgraph [Cohen 2008] — the edge-analog of
+    :func:`k_core` and a strictly tighter cohesion filter (the k-truss
+    is contained in the (k-1)-core): curation consumers keep claims
+    whose evidence edges sit inside mutually-corroborating cliques-ish
+    neighborhoods, not just near busy nodes.
+
+    Algorithm: support peeling to the fixed point — drop every edge
+    with support < k-2, recount on the survivors, repeat.  Peeling in
+    any order reaches the SAME maximal fixed point (removal is
+    monotone: deleting an edge can only lower other edges' support),
+    so a converged run is exact, not an estimate.  Execution shape per
+    round: the degree-ordered triangle enumeration of
+    :func:`triangles` restricted to survivors (O(m'^{3/2}) with m'
+    shrinking), ONE map-combined per-edge support count, ONE
+    merge-hinted left join to filter, and ONE count action that
+    materializes the round's lazy ``localCheckpoint`` AND reads the
+    exact convergence signal (edge counts are non-increasing integers;
+    an unchanged count IS the fixed point — the core_numbers
+    discipline).  Unlike core_numbers there is no per-node frontier to
+    activate: support must be recounted on the survivor set anyway
+    (dropping one edge invalidates counts two hops away), and rounds
+    are bounded by the peeling cascade depth, observed small on real
+    graphs (the volume probe records it).
+
+    ``stats`` receives {"rounds", "converged", "n_edges_in",
+    "n_edges_kept"}; callers needing the exactness guarantee assert
+    ``converged``.  k < 3 returns the simple graph unchanged (every
+    edge has >= 0 triangles, support >= k-2 is vacuous).
+    """
+    und = _canonical_simple(edges).localCheckpoint(eager=False)
+    n_cur = und.count()  # materializes und; baseline for convergence
+    n_in = n_cur
+    rounds, converged = 0, (k < 3 or n_cur == 0)
+    cur = und
+    for t in range(1, max_rounds + 1):
+        if converged:
+            break
+        keep = (
+            _edge_support_of(cur)
+            .where(F.col("support") >= F.lit(int(k) - 2))
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        # the ONE action of the round: materializes the survivor set
+        # and reads the exact convergence signal.
+        n_keep = keep.count()
+        rounds = t
+        cur = keep
+        if n_keep == n_cur:
+            converged = True
+        n_cur = n_keep
+        if n_cur == 0:
+            converged = True
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
+        stats["n_edges_in"] = n_in
+        stats["n_edges_kept"] = n_cur
+    return cur.withColumnsRenamed({"u": "src", "v": "dst"})
 
 
 def hyperball(
