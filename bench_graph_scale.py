@@ -110,6 +110,8 @@ def main() -> None:
         _run_kcore(edges, n_edges)
     if _want("triangles"):
         _run_triangles(spark, tri_edges, 2 * cpus)
+    if _want("ktruss"):
+        _run_ktruss(spark, tri_edges, 2 * cpus)
     spark.stop()
 
 
@@ -475,6 +477,60 @@ def _run_triangles(spark, tri_edges, partitions):
         "triangles_per_node_sum": int(tri_total),
         "crosscheck_3x": int(closed) * 3,
         "match": int(tri_total) == int(closed) * 3,
+        "wall_s": wall,
+    }), flush=True)
+
+
+def _run_ktruss(spark, tri_edges, partitions):
+    """k-truss on the denser TRI graph (the triangle-bearing probe).
+    Exactness signals at volume: (1) the loop's own EXACT convergence
+    flag (non-increasing integral edge count); (2) the DEFINING
+    property checked independently — per-survivor-edge common-neighbor
+    counts via plain adjacency intersection (no orientation, a
+    different dataflow from the operator's wedge join) must all be
+    >= k-2."""
+    k = int(os.environ.get("SPARK_GRAFT_KTRUSS_K", "8"))
+    max_rounds = int(os.environ.get("SPARK_GRAFT_KTRUSS_ROUNDS", "256"))
+    tri_nodes = max(tri_edges // 25, 1)
+    tedges = synth_edges(spark, tri_nodes, tri_edges, partitions).persist()
+    tedges.count()
+    t0 = time.perf_counter()
+    stats: dict = {}
+    kept = G.k_truss(tedges, k, max_rounds=max_rounds, stats=stats).persist()
+    n_kept = kept.count()
+    wall = round(time.perf_counter() - t0, 1)
+    viol = 0
+    if n_kept:
+        sym = kept.unionByName(
+            kept.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        cn = (
+            kept.alias("e")
+            .join(sym.alias("x"), F.col("e.src") == F.col("x.src"))
+            .join(
+                sym.alias("y"),
+                (F.col("e.dst") == F.col("y.src"))
+                & (F.col("x.dst") == F.col("y.dst")),
+            )
+            .groupBy(F.col("e.src").alias("u"), F.col("e.dst").alias("v"))
+            .agg(F.count(F.lit(1)).alias("sup"))
+        )
+        viol = (
+            kept.join(
+                cn,
+                (kept["src"] == cn["u"]) & (kept["dst"] == cn["v"]),
+                "left",
+            )
+            .where(F.coalesce(F.col("sup"), F.lit(0)) < k - 2)
+            .count()
+        )
+    kept.unpersist()
+    tedges.unpersist()
+    print(json.dumps({
+        "op": "ktruss", "k": k, "nodes": tri_nodes, "edges": tri_edges,
+        "edges_in": stats["n_edges_in"], "edges_kept": stats["n_edges_kept"],
+        "rounds": stats["rounds"], "converged": stats["converged"],
+        "min_support_violations": viol,
         "wall_s": wall,
     }), flush=True)
 

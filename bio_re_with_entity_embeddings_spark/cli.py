@@ -269,6 +269,17 @@ def cmd_graph_metrics(args) -> int:
             f"core_numbers rounds={kc['rounds']} converged={kc['converged']}",
             file=sys.stderr,
         )
+    if args.ktruss > 0:
+        kt: dict = {}
+        G.k_truss(edges, args.ktruss, stats=kt).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/ktruss")
+        print(
+            f"k_truss k={args.ktruss} rounds={kt['rounds']}"
+            f" converged={kt['converged']} kept={kt['n_edges_kept']}"
+            f"/{kt['n_edges_in']}",
+            file=sys.stderr,
+        )
     if args.hyperball_p > 0:
         hb: dict = {}
         G.hyperball(edges, p=args.hyperball_p, stats=hb).write.mode(
@@ -531,6 +542,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--kcore", action="store_true",
                     help="also writes per-node core numbers (k-core"
                          " decomposition, exact at convergence)")
+    sp.add_argument("--ktruss", type=int, default=0,
+                    help="> 0 also writes the k-truss subgraph edges"
+                         " (support peeling, exact at convergence)")
     sp.set_defaults(fn=cmd_graph_metrics)
 
     sp = sub.add_parser("profile")

@@ -750,3 +750,98 @@ def graph_kcore(spark, sf_dir):
         F.col("subj").alias("src"), F.col("obj").alias("dst")
     )
     return G.core_numbers(pairs, max_rounds=_KCORE_ROUNDS).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# k-truss: support peeling over the THRESHOLDED entity co-occurrence
+# projection (operators/graph.py::k_truss).  The subj-obj pair graph
+# is strictly bipartite (zero triangles — any truss over it is
+# vacuous), so the truss oracle uses the classic KG-curation graph
+# instead: two entities are linked when they co-occur in >= _KTRUSS_T
+# mention pairs (the threshold sparsifies the otherwise-complete
+# co-occurrence clique into real structure: 48 edges -> a 20-edge
+# 6-truss through a 3-round peeling cascade at sf0.01).  The SQL
+# unrolls the rounds — each round enumerates the survivor set's
+# triangles as ordered (a < b < c) canonical-edge joins, counts
+# per-edge support with the SAME three-edge explode the Spark side
+# uses, and keeps edges with support >= k-2.  Peeling is idempotent
+# at the fixed point, so an early Spark convergence cannot diverge
+# from extra unrolled rounds.  Every per-round CTE is MATERIALIZED:
+# each round references its predecessor 4x, so inlined CTEs expand
+# 4^rounds-fold (the un-hinted form exhausted file handles re-opening
+# the parquet scan hundreds of times).
+# ---------------------------------------------------------------------------
+
+_KTRUSS_K = 6
+_KTRUSS_ROUNDS = 6
+_KTRUSS_T = 323  # sf0.01 fixture: 70th-percentile pair co-mention count
+
+
+def _ktruss_sql() -> str:
+    ctes = [
+        f"""te0 AS MATERIALIZED (
+  SELECT least(a.entity_id, b.entity_id) AS u,
+         greatest(a.entity_id, b.entity_id) AS v
+  FROM mentions a JOIN mentions b ON a.doc_id = b.doc_id
+  WHERE a.entity_id < b.entity_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {_KTRUSS_T}
+)"""
+    ]
+    for i in range(1, _KTRUSS_ROUNDS + 1):
+        p = i - 1
+        ctes.append(
+            f"""tt{i} AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM te{p} e1
+  JOIN te{p} e2 ON e2.u = e1.v
+  JOIN te{p} e3 ON e3.u = e1.u AND e3.v = e2.v
+)"""
+        )
+        ctes.append(
+            f"""ts{i} AS MATERIALIZED (
+  SELECT u, v, count(*) AS sup FROM (
+    SELECT a AS u, b AS v FROM tt{i}
+    UNION ALL SELECT a AS u, c AS v FROM tt{i}
+    UNION ALL SELECT b AS u, c AS v FROM tt{i}
+  ) GROUP BY u, v
+)"""
+        )
+        ctes.append(
+            f"""te{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM te{p} e
+  LEFT JOIN ts{i} s ON s.u = e.u AND s.v = e.v
+  WHERE coalesce(s.sup, 0) >= {_KTRUSS_K - 2}
+)"""
+        )
+    return (
+        _SQL_PRELUDE
+        + ", "
+        + ",\n".join(ctes)
+        + f"\nSELECT u AS src, v AS dst FROM te{_KTRUSS_ROUNDS}"
+        + "\nORDER BY src, dst"
+    )
+
+
+@register_extra("graph_ktruss", _ktruss_sql())
+def graph_ktruss(spark, sf_dir):
+    """The 6-truss of the thresholded entity co-occurrence projection
+    (operators/graph.py::k_truss — support peeling, exact at its
+    fixed point): co-mention edges whose evidence sits inside >= 4
+    mutually corroborating triangles of the surviving subgraph."""
+    m = _doc_mentions(spark, sf_dir).select("doc_id", "entity_id")
+    a, b = m.alias("a"), m.alias("b")
+    edges = (
+        a.join(b, "doc_id")
+        .where(F.col("a.entity_id") < F.col("b.entity_id"))
+        .groupBy(
+            F.col("a.entity_id").alias("src"),
+            F.col("b.entity_id").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= _KTRUSS_T)
+        .select("src", "dst")
+    )
+    return G.k_truss(edges, _KTRUSS_K, max_rounds=_KTRUSS_ROUNDS).orderBy(
+        "src", "dst"
+    )

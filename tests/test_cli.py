@@ -420,3 +420,27 @@ def test_cli_graph_metrics_kcore(spark, tmp_path_factory):
         for r in spark.read.parquet(f"{out}/core_numbers").collect()
     }
     assert cores == {"a": 3, "b": 3, "c": 3, "d": 3, "t": 1}
+
+
+def test_cli_graph_metrics_ktruss(spark, tmp_path_factory):
+    """--ktruss writes the k-truss subgraph: K4 nucleus survives the
+    4-truss (every clique edge closes 2 triangles), the pendant edge
+    peels away."""
+    import itertools
+    base = tmp_path_factory.mktemp("gmt")
+    edges_path = str(base / "edges")
+    k4 = [(u, v) for u, v in itertools.combinations("abcd", 2)]
+    spark.createDataFrame(
+        k4 + [("d", "t")], "subj string, obj string"
+    ).write.parquet(edges_path)
+    out = str(base / "metrics")
+    rc = cli.main([
+        "graph-metrics", "--input", edges_path, "--output_dir", out,
+        "--iterations", "2", "--skip_triangles", "--ktruss", "4",
+    ])
+    assert rc == 0
+    kept = {
+        (r["src"], r["dst"])
+        for r in spark.read.parquet(f"{out}/ktruss").collect()
+    }
+    assert kept == set(k4)

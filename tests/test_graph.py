@@ -962,3 +962,117 @@ def test_sssp_brute_force_random_dijkstra(spark):
         )
     )
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# edge_support / k_truss
+# ---------------------------------------------------------------------------
+
+
+def _peel_truss(pairs, k):
+    """Exact k-truss by textbook support peeling (drop every edge with
+    fewer than k-2 triangles, recount, repeat) — the independent
+    reference implementation."""
+    edges = {(min(u, v), max(u, v)) for u, v in pairs if u != v}
+    while True:
+        adj = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        drop = {(u, v) for u, v in edges if len(adj[u] & adj[v]) < k - 2}
+        if not drop:
+            return edges
+        edges -= drop
+
+
+def test_edge_support_hand_shapes(spark):
+    # bowtie: two triangles sharing edge (x, y) -> shared edge support
+    # 2, the four outer edges 1; a triangle-free path -> all 0.
+    bowtie = [("x", "y"), ("x", "z1"), ("y", "z1"), ("x", "z2"), ("y", "z2")]
+    path = [("p1", "p2"), ("p2", "p3")]
+    got = {(r["src"], r["dst"]): r["support"]
+           for r in G.edge_support(_edges_df(spark, bowtie + path)).collect()}
+    assert got == {("x", "y"): 2, ("x", "z1"): 1, ("y", "z1"): 1,
+                   ("x", "z2"): 1, ("y", "z2"): 1,
+                   ("p1", "p2"): 0, ("p2", "p3"): 0}
+
+
+def test_k_truss_clique_with_tail(spark):
+    # K5 with a pendant path: 5-truss keeps exactly the clique's 10
+    # edges (each clique edge closes 3 triangles >= k-2=3); 6-truss is
+    # empty (4 needed, 3 available).
+    k5 = [(u, v) for u, v in itertools.combinations(
+        ["a", "b", "c", "d", "e"], 2)]
+    tail = [("e", "t1"), ("t1", "t2")]
+    stats = {}
+    got = {(r["src"], r["dst"])
+           for r in G.k_truss(_edges_df(spark, k5 + tail), 5, stats=stats).collect()}
+    assert got == set(k5)
+    assert stats["converged"] and stats["n_edges_in"] == 12
+    assert stats["n_edges_kept"] == 10
+    assert G.k_truss(_edges_df(spark, k5), 6).count() == 0
+
+
+def test_k_truss_peeling_cascade(spark):
+    # bowtie at k=4: the outer edges (support 1 < 2) drop in round 1;
+    # the shared edge had support 2 BEFORE the drop and 0 after, so it
+    # must fall in round 2 — pins that support is recounted on the
+    # survivor set, not read once.
+    bowtie = [("x", "y"), ("x", "z1"), ("y", "z1"), ("x", "z2"), ("y", "z2")]
+    stats = {}
+    assert G.k_truss(_edges_df(spark, bowtie), 4, stats=stats).count() == 0
+    assert stats["converged"] and stats["rounds"] >= 2
+
+
+def test_k_truss_direction_multiplicity_selfloop_invariant(spark):
+    base = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("b", "d")]
+    noisy = base + [("b", "a"), ("c", "b"), ("a", "a"), ("d", "a")]
+    got_base = {(r["src"], r["dst"])
+                for r in G.k_truss(_edges_df(spark, base), 3).collect()}
+    got_noisy = {(r["src"], r["dst"])
+                 for r in G.k_truss(_edges_df(spark, noisy), 3).collect()}
+    assert got_base == got_noisy == _peel_truss(base, 3)
+
+
+def test_k_truss_brute_force_random(spark):
+    rng = random.Random(31)
+    nodes = [f"n{i:02d}" for i in range(26)]
+    pairs = [(u, v) for u, v in itertools.combinations(nodes, 2)
+             if rng.random() < 0.22]
+    # plant a K6 nucleus so high trusses are non-empty
+    pairs += [(u, v) for u, v in itertools.combinations(nodes[:6], 2)]
+    for k in (3, 4, 5):
+        stats = {}
+        got = {(r["src"], r["dst"])
+               for r in G.k_truss(_edges_df(spark, pairs), k, stats=stats).collect()}
+        assert stats["converged"]
+        assert got == _peel_truss(pairs, k), k
+
+
+def test_k_truss_contained_in_km1_core(spark):
+    # textbook containment: the k-truss is a subgraph of the
+    # (k-1)-core — every kept endpoint has >= k-1 kept neighbors.
+    rng = random.Random(7)
+    nodes = [f"n{i:02d}" for i in range(24)]
+    pairs = [(u, v) for u, v in itertools.combinations(nodes, 2)
+             if rng.random() < 0.25]
+    k = 4
+    truss = {(r["src"], r["dst"])
+             for r in G.k_truss(_edges_df(spark, pairs), k).collect()}
+    core_edges = {(r["src"], r["dst"])
+                  for r in G.k_core(_edges_df(spark, pairs), k - 1).collect()}
+    assert truss <= core_edges
+
+
+def test_k_truss_k_lt_3_and_empty(spark):
+    bowtie = [("x", "y"), ("x", "z1"), ("y", "z1"), ("x", "z2"), ("y", "z2")]
+    stats = {}
+    got = G.k_truss(_edges_df(spark, bowtie), 2, stats=stats)
+    assert got.count() == 5 and stats["converged"] and stats["rounds"] == 0
+    empty = spark.createDataFrame([], "src string, dst string")
+    st2 = {}
+    assert G.k_truss(empty, 3, stats=st2).count() == 0
+    assert st2["converged"]
+    only_loops = _edges_df(spark, [("a", "a")])
+    assert G.k_truss(only_loops, 3).count() == 0
+    assert G.edge_support(empty).count() == 0
