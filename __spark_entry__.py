@@ -64,7 +64,6 @@ QUERY_ORDER: list[str] = [
     "kg_triples_support",
     "kg_triples_scored",
     "kg_semi_join_docs",
-    "kg_anti_join_docs",
     "kg_doc2vec_input",
     "kg_entity_type_counts",
     # similarity search + multimodal
@@ -73,9 +72,11 @@ QUERY_ORDER: list[str] = [
     "sim_ann_lsh",
     "sim_ivf",
     "mm_image_dims",
-    # graph analytics over the materialized KG (operators/graph.py)
+    # graph analytics + BGP read path over the materialized KG
+    # (operators/graph.py, operators/kgquery.py)
     "graph_pagerank",
     "graph_triangles",
+    "kg_bgp_query",
     # dedup family
     "dedup_exact",
     "dedup_ngram_jaccard",

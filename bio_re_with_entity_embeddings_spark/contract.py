@@ -374,7 +374,7 @@ def kg_semi_join_docs(spark, sf_dir):
     return docs.join(ids, "doc_id", "left_semi").select("doc_id", "n_chars")
 
 
-@register(
+@register_extra(
     "kg_anti_join_docs",
     _SQL_PRELUDE
     + """
@@ -383,7 +383,11 @@ WHERE NOT EXISTS (SELECT 1 FROM mentions m WHERE m.doc_id = d.doc_id)
 """,
 )
 def kg_anti_join_docs(spark, sf_dir):
-    """Anti-join (J7): docs with no dictionary mention at all."""
+    """Anti-join (J7): docs with no dictionary mention at all.
+    Extras-registry since r5 (J7 also DuckDB-checked via the
+    rel_anti_join extra; kg_semi_join_docs keeps the same dataflow
+    driver-checked) — retired to make window room for kg_bgp_query,
+    the KG read-path oracle."""
     docs = _load(spark, sf_dir, "documents")
     return docs.join(
         _doc_mentions(spark, sf_dir).select("doc_id"), "doc_id", "left_anti"

@@ -25,6 +25,7 @@ from .contract import (
     _SQL_PAIRS,
     _SQL_PRELUDE,
     _doc_mentions,
+    _doc_pairs,
     register,
     register_extra,
 )
@@ -844,4 +845,87 @@ def graph_ktruss(spark, sf_dir):
     )
     return G.k_truss(edges, _KTRUSS_K, max_rounds=_KTRUSS_ROUNDS).orderBy(
         "src", "dst"
+    )
+
+
+# ---------------------------------------------------------------------------
+# BGP triple-pattern query (operators/kgquery.py) — the KG read path.
+# Triple base: the three edge families the pipeline materializes, as
+# one heterogeneous (subj, pred, obj) table (branches are disjoint by
+# pred and each internally distinct, so no global distinct is needed).
+# ---------------------------------------------------------------------------
+
+_SQL_KG = """
+, kg AS (
+  SELECT 'D:' || CAST(doc_id AS VARCHAR) AS subj, 'mentions' AS pred,
+         entity_id AS obj
+  FROM mentions
+  UNION ALL
+  SELECT subj, 'acts_on' AS pred, obj FROM pairs
+  UNION ALL
+  SELECT DISTINCT entity_id AS subj, 'instance_of' AS pred,
+         entity_type AS obj
+  FROM mentions
+)
+"""
+
+
+def _kg_triples(spark, sf_dir):
+    m = _doc_mentions(spark, sf_dir)
+    doc_node = F.concat(F.lit("D:"), F.col("doc_id").cast("string"))
+    mention_edges = m.select(
+        doc_node.alias("subj"),
+        F.lit("mentions").alias("pred"),
+        F.col("entity_id").alias("obj"),
+    )
+    pair_edges = _doc_pairs(spark, sf_dir).select(
+        "subj", F.lit("acts_on").alias("pred"), "obj"
+    )
+    type_edges = (
+        m.select(
+            F.col("entity_id").alias("subj"),
+            F.lit("instance_of").alias("pred"),
+            F.col("entity_type").alias("obj"),
+        )
+        .distinct()
+    )
+    return mention_edges.unionByName(pair_edges).unionByName(type_edges)
+
+
+# Docs that mention BOTH ends of an acts_on edge whose object is an
+# 'obj'-typed entity: a 4-pattern star+path BGP exercising shared-var
+# joins on subj AND obj positions, a 2-constant broadcast pattern
+# (?y instance_of obj), and DISTINCT binding semantics.
+_SQL_BGP = (
+    _SQL_KG
+    + """
+SELECT DISTINCT t0.subj AS d, t0.obj AS x, t1.obj AS y
+FROM kg t0
+JOIN kg t1 ON t1.pred = 'acts_on'     AND t1.subj = t0.obj
+JOIN kg t2 ON t2.pred = 'mentions'    AND t2.subj = t0.subj
+                                      AND t2.obj = t1.obj
+JOIN kg t3 ON t3.pred = 'instance_of' AND t3.subj = t1.obj
+                                      AND t3.obj = 'obj'
+WHERE t0.pred = 'mentions'
+"""
+)
+
+
+@register("kg_bgp_query", _SQL_PRELUDE + _SQL_PAIRS + _SQL_BGP)
+def kg_bgp_query(spark, sf_dir):
+    """SPARQL-style basic graph pattern over the materialized KG
+    (operators/kgquery.py::bgp_query): compile-to-joins read path —
+    constant terms pushed to the scans, shared variables joined,
+    2-constant patterns broadcast."""
+    from .operators.kgquery import bgp_query
+
+    kg = _kg_triples(spark, sf_dir)
+    return bgp_query(
+        kg,
+        [
+            ("?d", "mentions", "?x"),
+            ("?x", "acts_on", "?y"),
+            ("?d", "mentions", "?y"),
+            ("?y", "instance_of", "obj"),
+        ],
     )

@@ -1,0 +1,179 @@
+"""BGP triple-pattern queries (operators/kgquery.py): binding
+semantics against hand-enumerable graphs, join-order invariance,
+exists gates, and the broadcast/pushdown plan contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from bio_re_with_entity_embeddings_spark.operators.kgquery import (
+    bgp_query,
+    parse_patterns,
+)
+
+TRIPLES = [
+    # a tiny heterogeneous KG: docs mention entities, entities act on
+    # entities, entities have types
+    ("D:1", "mentions", "A"),
+    ("D:1", "mentions", "B"),
+    ("D:2", "mentions", "A"),
+    ("D:2", "mentions", "C"),
+    ("A", "acts_on", "B"),
+    ("A", "acts_on", "C"),
+    ("B", "acts_on", "B"),  # self-loop for the same-var case
+    ("A", "instance_of", "op"),
+    ("B", "instance_of", "obj"),
+    ("C", "instance_of", "obj"),
+]
+
+
+@pytest.fixture(scope="module")
+def kg(spark):
+    return spark.createDataFrame(
+        TRIPLES, "subj string, pred string, obj string"
+    ).cache()
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_single_pattern_constant_filter(kg):
+    out = bgp_query(kg, [("?x", "acts_on", "?y")])
+    assert _rows(out) == [("A", "B"), ("A", "C"), ("B", "B")]
+    assert out.columns == ["x", "y"]
+
+
+def test_chain_join(kg):
+    # doc mentions ?x, ?x acts_on ?y
+    out = bgp_query(kg, [("?d", "mentions", "?x"), ("?x", "acts_on", "?y")])
+    assert _rows(out) == [
+        ("D:1", "A", "B"),
+        ("D:1", "A", "C"),
+        ("D:1", "B", "B"),
+        ("D:2", "A", "B"),
+        ("D:2", "A", "C"),
+    ]
+
+
+def test_star_plus_type_constant(kg):
+    # docs mentioning both ends of an acts_on edge whose obj is typed 'obj'
+    out = bgp_query(
+        kg,
+        [
+            ("?d", "mentions", "?x"),
+            ("?x", "acts_on", "?y"),
+            ("?d", "mentions", "?y"),
+            ("?y", "instance_of", "obj"),
+        ],
+    )
+    assert _rows(out) == [("D:1", "A", "B"), ("D:1", "B", "B"), ("D:2", "A", "C")]
+
+
+def test_same_variable_twice_in_one_pattern(kg):
+    # (?x acts_on ?x) -> only the self-loop
+    out = bgp_query(kg, [("?x", "acts_on", "?x")])
+    assert _rows(out) == [("B",)]
+
+
+def test_variable_in_pred_position(kg):
+    out = bgp_query(kg, [("A", "?p", "B")])
+    assert _rows(out) == [("acts_on",)]
+
+
+def test_disconnected_components_cross_join(kg):
+    out = bgp_query(
+        kg, [("?x", "instance_of", "op"), ("?y", "instance_of", "obj")]
+    )
+    assert _rows(out) == [("A", "B"), ("A", "C")]
+
+
+def test_exists_gate_positive_and_negative(kg):
+    pats = [("?x", "instance_of", "op")]
+    assert _rows(bgp_query(kg, pats + [("A", "acts_on", "B")])) == [("A",)]
+    assert _rows(bgp_query(kg, pats + [("C", "acts_on", "A")])) == []
+
+
+def test_all_constant_query(kg):
+    assert _rows(bgp_query(kg, [("A", "acts_on", "B")])) == [(True,)]
+    assert bgp_query(kg, [("A", "acts_on", "B")]).columns == ["matched"]
+    assert _rows(bgp_query(kg, [("B", "acts_on", "A")])) == []
+
+
+def test_select_projection_and_unbound_raises(kg):
+    out = bgp_query(
+        kg,
+        [("?d", "mentions", "?x"), ("?x", "acts_on", "?y")],
+        select=["y", "d"],
+    )
+    assert out.columns == ["y", "d"]
+    with pytest.raises(ValueError, match="unbound"):
+        bgp_query(kg, [("?x", "acts_on", "?y")], select=["z"])
+
+
+def test_distinct_vs_multiplicity(kg):
+    # ?x acts_on ?y joined with ?x instance_of op: A matches twice via
+    # its two out-edges when y is projected away without distinct
+    pats = [("?x", "acts_on", "?y"), ("?x", "instance_of", "op")]
+    multi = bgp_query(kg, pats, select=["x"], distinct=False)
+    dedup = bgp_query(kg, pats, select=["x"], distinct=True)
+    assert sorted(r[0] for r in multi.collect()) == ["A", "A"]
+    assert _rows(dedup) == [("A",)]
+
+
+def test_join_order_invariance(kg):
+    pats = [
+        ("?d", "mentions", "?x"),
+        ("?x", "acts_on", "?y"),
+        ("?d", "mentions", "?y"),
+        ("?y", "instance_of", "obj"),
+    ]
+    sel = ["d", "x", "y"]
+    base = _rows(bgp_query(kg, pats, select=sel))
+    for rotated in (pats[::-1], pats[2:] + pats[:2]):
+        assert _rows(bgp_query(kg, rotated, select=sel)) == base
+
+
+def test_parse_patterns_roundtrip(kg):
+    pats = parse_patterns("?d mentions ?x . ?x acts_on ?y")
+    assert pats == [("?d", "mentions", "?x"), ("?x", "acts_on", "?y")]
+    assert _rows(bgp_query(kg, pats)) == _rows(
+        bgp_query(kg, [("?d", "mentions", "?x"), ("?x", "acts_on", "?y")])
+    )
+    with pytest.raises(ValueError, match="3 terms"):
+        parse_patterns("?x acts_on")
+
+
+def test_two_constant_pattern_broadcasts(kg):
+    out = bgp_query(
+        kg, [("?x", "acts_on", "?y"), ("?y", "instance_of", "obj")]
+    )
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" in analyzed.lower()
+    # and the hint is off when disabled
+    out2 = bgp_query(
+        kg,
+        [("?x", "acts_on", "?y"), ("?y", "instance_of", "obj")],
+        auto_broadcast=False,
+    )
+    assert "broadcast" not in out2._jdf.queryExecution().analyzed().toString().lower()
+    assert _rows(out) == _rows(out2)
+
+
+def test_constant_filters_reach_parquet_scan(spark, tmp_path):
+    path = str(tmp_path / "kg.parquet")
+    spark.createDataFrame(
+        TRIPLES, "subj string, pred string, obj string"
+    ).write.parquet(path)
+    kg = spark.read.parquet(path)
+    out = bgp_query(kg, [("?x", "acts_on", "?y")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "EqualTo(pred,acts_on)" in plan
+
+
+def test_empty_and_malformed_patterns_raise(kg):
+    with pytest.raises(ValueError, match="at least one"):
+        bgp_query(kg, [])
+    with pytest.raises(ValueError, match="3 terms"):
+        bgp_query(kg, [("?x", "acts_on")])
