@@ -406,6 +406,68 @@ def cmd_full_build(args) -> int:
     return 0
 
 
+def cmd_kg_query(args) -> int:
+    """BGP read path over a materialized triple table
+    (operators/kgquery.py::bgp_query): ``--pattern`` is a
+    '.'-separated clause list, ``?name`` terms are variables; constant
+    terms push down to the scan, shared variables join.  Input is
+    parquet or (--input_format ntriples) an N-Triples export; output
+    is parquet or (--output_format ntriples when exactly 3 variables
+    are selected) N-Triples lines."""
+    from pyspark.sql import functions as F
+
+    from .operators.kgquery import bgp_query, parse_patterns
+    from .sources.rdf import read_ntriples, write_ntriples
+
+    spark = _spark(args)
+    if args.input_format == "ntriples":
+        triples = read_ntriples(spark, args.input, base=args.base)
+    else:
+        triples = spark.read.parquet(args.input)
+    triples = triples.select(
+        F.col(args.subj_col).alias("subj"),
+        F.col(args.pred_col).alias("pred"),
+        F.col(args.obj_col).alias("obj"),
+    )
+    pats = parse_patterns(args.pattern)
+    sel = [s for s in args.select.split(",") if s] if args.select else None
+    out = bgp_query(
+        triples, pats, select=sel, distinct=not args.keep_duplicates
+    )
+    if args.output_format == "ntriples":
+        if len(out.columns) != 3:
+            print("ntriples output needs exactly 3 selected variables",
+                  file=sys.stderr)
+            return 2
+        s, p, o = out.columns
+        write_ntriples(out, args.output, subj=s, pred=p, obj=o,
+                       base=args.base)
+    else:
+        out.write.mode("overwrite").parquet(args.output)
+    print(f"kg-query: columns={out.columns} -> {args.output}",
+          file=sys.stderr)
+    return 0
+
+
+def cmd_export_ntriples(args) -> int:
+    """Serialize a (subj, pred, obj) parquet table to N-Triples lines
+    (sources/rdf.py) — the W3C interchange surface for the graph."""
+    from pyspark.sql import functions as F
+
+    from .sources.rdf import write_ntriples
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input).select(
+        F.col(args.subj_col).alias("subj"),
+        F.col(args.pred_col).alias("pred"),
+        F.col(args.obj_col).alias("obj"),
+    )
+    write_ntriples(df, args.output, base=args.base,
+                   obj_as_iri=not args.obj_literal)
+    print(f"export-ntriples: -> {args.output}", file=sys.stderr)
+    return 0
+
+
 def cmd_resume_run(args) -> int:
     from .plans import runner
 
@@ -604,6 +666,41 @@ def build_parser() -> argparse.ArgumentParser:
                     help="enable the checkpointed resumable runners")
     sp.add_argument("--n_buckets", type=int, default=32)
     sp.set_defaults(fn=cmd_full_build)
+
+    sp = sub.add_parser("kg-query")
+    sp.add_argument("--input", required=True,
+                    help="triple table: parquet dir, or N-Triples text "
+                         "dir with --input_format ntriples")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--pattern", required=True,
+                    help="BGP clauses, '.'-separated: "
+                         "'?d mentions ?x . ?x calls ?y'")
+    sp.add_argument("--select", default=None,
+                    help="comma-joined variable names to project")
+    sp.add_argument("--keep_duplicates", action="store_true",
+                    help="skip the final DISTINCT (multiplicity "
+                         "semantics)")
+    sp.add_argument("--input_format", choices=["parquet", "ntriples"],
+                    default="parquet")
+    sp.add_argument("--output_format", choices=["parquet", "ntriples"],
+                    default="parquet")
+    sp.add_argument("--subj_col", default="subj")
+    sp.add_argument("--pred_col", default="pred")
+    sp.add_argument("--obj_col", default="obj")
+    sp.add_argument("--base", default="urn:kg:")
+    sp.set_defaults(fn=cmd_kg_query)
+
+    sp = sub.add_parser("export-ntriples")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--subj_col", default="subj")
+    sp.add_argument("--pred_col", default="pred")
+    sp.add_argument("--obj_col", default="obj")
+    sp.add_argument("--base", default="urn:kg:")
+    sp.add_argument("--obj_literal", action="store_true",
+                    help="emit objects as escaped string literals "
+                         "instead of IRIs")
+    sp.set_defaults(fn=cmd_export_ntriples)
 
     sp = sub.add_parser("resume-run")
     common(sp)

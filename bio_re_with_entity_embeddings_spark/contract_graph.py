@@ -929,3 +929,29 @@ def kg_bgp_query(spark, sf_dir):
             ("?y", "instance_of", "obj"),
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# N-Triples interchange (sources/rdf.py) — serialize -> parse must be
+# the identity on the KG triple base (IRI-object mode; the literal
+# escape chain is unit-tested with adversarial payloads in
+# tests/test_kgquery.py since the oracle corpus ids are IRI-safe).
+# ---------------------------------------------------------------------------
+
+_SQL_NT = (
+    _SQL_KG
+    + """
+SELECT subj, pred, obj, TRUE AS obj_is_iri FROM kg
+"""
+)
+
+
+@register_extra("kg_ntriples_roundtrip", _SQL_PRELUDE + _SQL_PAIRS + _SQL_NT)
+def kg_ntriples_roundtrip(spark, sf_dir):
+    """sources/rdf.py: to_ntriples -> parse_ntriples over the
+    heterogeneous KG base is the identity (codegen'd concat/replace
+    out, anchored regexp_extract back; no UDFs either way)."""
+    from .sources.rdf import parse_ntriples, to_ntriples
+
+    kg = _kg_triples(spark, sf_dir)
+    return parse_ntriples(to_ntriples(kg))

@@ -444,3 +444,48 @@ def test_cli_graph_metrics_ktruss(spark, tmp_path_factory):
         for r in spark.read.parquet(f"{out}/ktruss").collect()
     }
     assert kept == set(k4)
+
+
+def test_cli_kg_query_and_ntriples(spark, tmp_path_factory):
+    """kg-query verb: BGP over a parquet triple table, then the same
+    graph exported to N-Triples and queried straight off the .nt text
+    (read path parses lines, malformed-guarded)."""
+    base = tmp_path_factory.mktemp("kgq")
+    triples = str(base / "triples")
+    spark.createDataFrame(
+        [
+            ("D:1", "mentions", "A"),
+            ("D:1", "mentions", "B"),
+            ("A", "calls", "B"),
+            ("B", "instance_of", "obj"),
+        ],
+        "subj string, pred string, obj string",
+    ).write.parquet(triples)
+    out = str(base / "res")
+    rc = cli.main([
+        "kg-query", "--input", triples, "--output", out,
+        "--pattern", "?d mentions ?x . ?x calls ?y", "--select", "d,y",
+    ])
+    assert rc == 0
+    assert [(r.d, r.y) for r in spark.read.parquet(out).collect()] == [
+        ("D:1", "B")
+    ]
+
+    nt = str(base / "nt")
+    assert cli.main(["export-ntriples", "--input", triples,
+                     "--output", nt]) == 0
+    out2 = str(base / "res2")
+    rc = cli.main([
+        "kg-query", "--input", nt, "--input_format", "ntriples",
+        "--output", out2, "--pattern", "?s ?p ?o",
+        "--output_format", "ntriples",
+    ])
+    assert rc == 0
+    assert spark.read.text(out2).count() == 4
+
+    # ntriples output demands exactly 3 selected variables
+    rc = cli.main([
+        "kg-query", "--input", triples, "--output", str(base / "bad"),
+        "--pattern", "?d mentions ?x", "--output_format", "ntriples",
+    ])
+    assert rc == 2

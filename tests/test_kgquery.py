@@ -177,3 +177,68 @@ def test_empty_and_malformed_patterns_raise(kg):
         bgp_query(kg, [])
     with pytest.raises(ValueError, match="3 terms"):
         bgp_query(kg, [("?x", "acts_on")])
+
+
+# ---------------------------------------------------------------------------
+# N-Triples interchange (sources/rdf.py)
+# ---------------------------------------------------------------------------
+
+from bio_re_with_entity_embeddings_spark.sources.rdf import (  # noqa: E402
+    parse_ntriples,
+    to_ntriples,
+)
+
+NASTY = [
+    ("S1", "P", 'plain'),
+    ("S2", "P", 'quote " inside'),
+    ("S3", "P", "back\\slash"),
+    ("S4", "P", "line\nbreak and\ttab and\rcr"),
+    ("S5", "P", "literal backslash-n: \\n and \\\\ doubled"),
+    ("S6", "P", ""),
+]
+
+
+def test_ntriples_literal_roundtrip_adversarial(spark):
+    df = spark.createDataFrame(NASTY, "subj string, pred string, obj string")
+    lines = to_ntriples(df, obj_as_iri=False)
+    back = parse_ntriples(lines)
+    got = sorted(
+        (r.subj, r.pred, r.obj, r.obj_is_iri) for r in back.collect()
+    )
+    assert got == sorted((s, p, o, False) for s, p, o in NASTY)
+    # every line is single-line on the wire (embedded newlines escaped)
+    assert all("\n" not in r.line and "\r" not in r.line
+               for r in lines.collect())
+
+
+def test_ntriples_iri_roundtrip_and_base_strip(spark, kg):
+    back = parse_ntriples(to_ntriples(kg))
+    got = sorted((r.subj, r.pred, r.obj) for r in back.collect())
+    assert got == sorted(TRIPLES)
+    assert all(r.obj_is_iri for r in back.collect())
+    # foreign base survives un-stripped
+    other = parse_ntriples(to_ntriples(kg, base="http://x/"), base="urn:kg:")
+    assert all(r.subj.startswith("http://x/") for r in other.collect())
+
+
+def test_ntriples_malformed_guard(spark):
+    rows = [
+        ('<urn:kg:A> <urn:kg:p> <urn:kg:B> .',),      # good IRI
+        ('<urn:kg:A> <urn:kg:p> "lit" .',),            # good literal
+        ('<urn:kg:A> <urn:kg:p> <urn:kg:B>',),         # missing dot
+        ('# a comment line',),
+        ('<urn:kg:A> <urn:kg:p> "unterminated .',),
+        ('',),
+    ]
+    df = spark.createDataFrame(rows, "line string")
+    got = parse_ntriples(df).collect()
+    assert len(got) == 2
+    assert sorted(r.obj for r in got) == ["B", "lit"]
+
+
+def test_ntriples_no_udfs_in_plan(spark, kg):
+    plan = (
+        parse_ntriples(to_ntriples(kg))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
