@@ -894,8 +894,9 @@ def _kg_triples(spark, sf_dir):
 
 # Docs that mention BOTH ends of an acts_on edge whose object is an
 # 'obj'-typed entity: a 4-pattern star+path BGP exercising shared-var
-# joins on subj AND obj positions, a 2-constant broadcast pattern
-# (?y instance_of obj), and DISTINCT binding semantics.
+# joins on subj AND obj positions, a (pred, object)-constant pattern
+# (?y instance_of obj — deliberately NOT statically broadcast, AQE
+# decides), and DISTINCT binding semantics.
 _SQL_BGP = (
     _SQL_KG
     + """
@@ -955,3 +956,59 @@ def kg_ntriples_roundtrip(spark, sf_dir):
 
     kg = _kg_triples(spark, sf_dir)
     return parse_ntriples(to_ntriples(kg))
+
+
+# ---------------------------------------------------------------------------
+# Property-path pred+ reachability (operators/kgquery.py::property_path)
+# over the UNDIRECTED 'mentions' slice of the KG base — the only
+# multi-hop structure at oracle scale (acts_on/instance_of are
+# bipartite-by-type, depth 1 by construction).  Seeds: the 2 smallest
+# entity ids; hop bound 2 keeps the DuckDB walk CTE small.
+# ---------------------------------------------------------------------------
+
+_PATH_HOPS = 2
+
+_SQL_PATH = (
+    "\nWITH RECURSIVE "
+    + _SQL_PRELUDE.replace("\nWITH ", "", 1)
+    + _SQL_PAIRS
+    + _SQL_KG
+    + f"""
+, medges AS (
+  SELECT subj AS src, obj AS dst FROM kg WHERE pred = 'mentions'
+  UNION
+  SELECT obj AS src, subj AS dst FROM kg WHERE pred = 'mentions'
+),
+seeds AS (
+  SELECT node FROM (SELECT DISTINCT entity_id AS node FROM mentions)
+  ORDER BY node LIMIT 2
+),
+walk(node, hop) AS (
+  SELECT node, 0 AS hop FROM seeds
+  UNION
+  SELECT e.dst, w.hop + 1 FROM walk w JOIN medges e ON e.src = w.node
+  WHERE w.hop < {_PATH_HOPS}
+)
+SELECT node, CAST(min(hop) AS INT) AS hop FROM walk GROUP BY node
+"""
+)
+
+
+@register_extra("kg_path_reachable", _SQL_PATH)
+def kg_path_reachable(spark, sf_dir):
+    """SPARQL mentions+ property path: min-hop reachability from the
+    2 smallest entity ids through undirected mention edges
+    (operators/kgquery.py::property_path -> graph.bfs_hops)."""
+    from .operators.kgquery import property_path
+
+    kg = _kg_triples(spark, sf_dir)
+    seeds = (
+        _doc_mentions(spark, sf_dir)
+        .select(F.col("entity_id").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(2)
+    )
+    return property_path(
+        kg, "mentions", seeds, max_hops=_PATH_HOPS, directed=False
+    )

@@ -22,13 +22,19 @@ how every downstream user actually asks a knowledge graph a question.
   constants) — so a cartesian product can only appear where the
   pattern graph is genuinely disconnected (and then exactly once per
   component, last, where both sides are already maximally reduced);
-* patterns with >= 2 constant terms are broadcast by default: two
-  constants pin a (pred, endpoint) slice whose size is one adjacency
-  list, exactly the safe side of a broadcast join.  Everything else is
-  a plain var-keyed hash join — AQE's skew split applies unchanged,
-  which matters because hub entities (the skew the KG pipeline salts
-  for at build time, plans/pipeline.py) reappear here as hot join keys
-  at read time.
+* a pattern whose SUBJECT is constant is broadcast by default: its
+  result is one node's out-adjacency — bounded by the max out-degree,
+  the safe side of a broadcast join at any corpus size.  No other
+  constant shape gets a static hint: a (pred, object) constant pair
+  like ``(?x instance_of t1)`` selects the IN-adjacency of the object,
+  which for type/category predicates is a constant fraction of the
+  whole graph — force-broadcasting it is a scale-killer default (the
+  r4 similarity lesson), so those patterns stay plain var-keyed hash
+  joins and AQE's runtime row counts upgrade them to broadcast only
+  when they measure small.  AQE's skew split applies unchanged, which
+  matters because hub entities (the skew the KG pipeline salts for at
+  build time, plans/pipeline.py) reappear here as hot join keys at
+  read time.
 
 Scale shape: k patterns = k scans of the same triple table + (k-1)
 equi-joins; no driver collects, no per-row Python, no iteration.  The
@@ -43,7 +49,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bgp_query", "parse_patterns"]
+__all__ = ["bgp_query", "parse_patterns", "property_path"]
 
 _COLS = ("subj", "pred", "obj")
 
@@ -75,6 +81,7 @@ def _compile_pattern(
     conds = []
     var_cols: dict[str, str] = {}  # var name (no '?') -> first column bound
     n_const = 0
+    subj_const = False
     for term, col in zip(pat, _COLS):
         if _is_var(term):
             name = term[1:]
@@ -86,12 +93,14 @@ def _compile_pattern(
         else:
             conds.append(F.col(col) == F.lit(term))
             n_const += 1
+            if col == "subj":
+                subj_const = True
     df = triples
     for c in conds:
         df = df.where(c)
     names = list(var_cols)
     df = df.select(*(F.col(var_cols[v]).alias(v) for v in names))
-    return df, names, n_const
+    return df, names, n_const, subj_const
 
 
 def bgp_query(
@@ -120,8 +129,12 @@ def bgp_query(
     for i, pat in enumerate(patterns):
         if len(pat) != 3:
             raise ValueError(f"pattern {i} needs exactly 3 terms: {pat!r}")
-        df, names, n_const = _compile_pattern(triples, pat)
-        if auto_broadcast and n_const >= 2 and names:
+        df, names, n_const, subj_const = _compile_pattern(triples, pat)
+        # static broadcast ONLY for out-adjacency slices (constant
+        # subject): bounded by max out-degree at any scale.  Other
+        # constant shapes can be arbitrarily large (module doc) — AQE
+        # upgrades them at runtime when they measure small.
+        if auto_broadcast and subj_const and names:
             df = F.broadcast(df)
         compiled.append((df, set(names), n_const, i))
 
@@ -171,3 +184,43 @@ def bgp_query(
         raise ValueError(f"select references unbound variables: {missing}")
     result = result.select(*out_cols)
     return result.distinct() if distinct else result
+
+
+def property_path(
+    triples: DataFrame,
+    pred: str,
+    sources,
+    max_hops: int = 3,
+    directed: bool = True,
+) -> DataFrame:
+    """SPARQL property-path ``pred+`` reachability: (node, hop) for
+    every node reachable from ``sources`` through one-or-more ``pred``
+    edges, with the MINIMUM hop count (multi-source semantics — the
+    nearest source wins; per-source closure pairs are quadratic at
+    scale by construction and deliberately not offered).
+
+    ``sources`` is a list of node ids or a one-column ``node``
+    DataFrame.  Bounded by ``max_hops`` (SPARQL engines bound `+`
+    paths in practice for the same reason); an exhausted frontier
+    ends earlier.  This is what ``bgp_query`` cannot express — a
+    variable-length join — so it composes the frontier-activated BFS
+    (operators/graph.py::bfs_hops: per-round traffic is the
+    frontier's out-edges, every node enters the frontier at most
+    once) over the single-predicate edge projection, whose constant
+    ``pred`` filter prunes to one partition subtree of the
+    (pred, bucket(subj)) graph layout.
+
+    The source rows themselves appear with hop 0 (a node is its own
+    ``pred*`` endpoint); drop hop 0 for strict ``pred+`` semantics
+    when the distinction matters.
+    """
+    from .graph import bfs_hops
+
+    edges = triples.where(F.col("pred") == pred).select("subj", "obj")
+    edges = edges.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    spark = triples.sparkSession
+    if not isinstance(sources, DataFrame):
+        sources = spark.createDataFrame(
+            [(s,) for s in sources], "node string"
+        )
+    return bfs_hops(edges, sources, max_hops=max_hops, directed=directed)

@@ -144,20 +144,27 @@ def test_parse_patterns_roundtrip(kg):
         parse_patterns("?x acts_on")
 
 
-def test_two_constant_pattern_broadcasts(kg):
+def test_constant_subject_pattern_broadcasts(kg):
+    # constant SUBJECT = one out-adjacency -> static broadcast hint
+    pats = [("A", "acts_on", "?y"), ("?y", "instance_of", "?t")]
+    out = bgp_query(kg, pats)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" in analyzed.lower()
+    # and the hint is off when disabled
+    out2 = bgp_query(kg, pats, auto_broadcast=False)
+    assert "broadcast" not in out2._jdf.queryExecution().analyzed().toString().lower()
+    assert _rows(out) == _rows(out2)
+
+
+def test_object_constant_pattern_not_statically_broadcast(kg):
+    # (pred, object)-constant selects an IN-adjacency (type-predicate
+    # shape, unbounded at scale): must NOT carry a static hint — AQE
+    # decides at runtime (module doc / r4 similarity lesson)
     out = bgp_query(
         kg, [("?x", "acts_on", "?y"), ("?y", "instance_of", "obj")]
     )
     analyzed = out._jdf.queryExecution().analyzed().toString()
-    assert "broadcast" in analyzed.lower()
-    # and the hint is off when disabled
-    out2 = bgp_query(
-        kg,
-        [("?x", "acts_on", "?y"), ("?y", "instance_of", "obj")],
-        auto_broadcast=False,
-    )
-    assert "broadcast" not in out2._jdf.queryExecution().analyzed().toString().lower()
-    assert _rows(out) == _rows(out2)
+    assert "broadcast" not in analyzed.lower()
 
 
 def test_constant_filters_reach_parquet_scan(spark, tmp_path):
@@ -242,3 +249,33 @@ def test_ntriples_no_udfs_in_plan(spark, kg):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# property_path (pred+ reachability)
+# ---------------------------------------------------------------------------
+
+from bio_re_with_entity_embeddings_spark.operators.kgquery import (  # noqa: E402
+    property_path,
+)
+
+
+def test_property_path_directed_hops(spark, kg):
+    # acts_on+: A -> {B, C} at hop 1; B's self-loop adds nothing new
+    out = property_path(kg, "acts_on", ["A"], max_hops=3)
+    got = {r.node: r.hop for r in out.collect()}
+    assert got == {"A": 0, "B": 1, "C": 1}
+
+
+def test_property_path_undirected_multihop(spark, kg):
+    # mentions as undirected: A -> D:1/D:2 (1) -> B, C (2)
+    out = property_path(kg, "mentions", ["A"], max_hops=2, directed=False)
+    got = {r.node: r.hop for r in out.collect()}
+    assert got == {"A": 0, "D:1": 1, "D:2": 1, "B": 2, "C": 2}
+
+
+def test_property_path_hop_bound_and_df_sources(spark, kg):
+    seeds = spark.createDataFrame([("A",)], "node string")
+    out = property_path(kg, "mentions", seeds, max_hops=1, directed=False)
+    got = {r.node: r.hop for r in out.collect()}
+    assert got == {"A": 0, "D:1": 1, "D:2": 1}
