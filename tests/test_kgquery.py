@@ -279,3 +279,44 @@ def test_property_path_hop_bound_and_df_sources(spark, kg):
     out = property_path(kg, "mentions", seeds, max_hops=1, directed=False)
     got = {r.node: r.hop for r in out.collect()}
     assert got == {"A": 0, "D:1": 1, "D:2": 1}
+
+
+def test_ntriples_streaming_ingest(spark, tmp_path):
+    """parse_ntriples is a stateless projection, so an N-Triples
+    directory is a native STREAMING KG source: readStream.text ->
+    parse -> append sink, one file per trigger, malformed lines
+    dropped mid-stream."""
+    src = tmp_path / "nt_in"
+    src.mkdir()
+    (src / "a.nt").write_text(
+        '<urn:kg:A> <urn:kg:calls> <urn:kg:B> .\n'
+        'garbage line\n'
+        '<urn:kg:B> <urn:kg:calls> <urn:kg:C> .\n'
+    )
+    (src / "b.nt").write_text(
+        '<urn:kg:C> <urn:kg:doc> "hello \\"w\\"" .\n'
+    )
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(str(src))
+        .withColumnRenamed("value", "line")
+    )
+    parsed = parse_ntriples(stream)
+    out = str(tmp_path / "nt_out")
+    q = (
+        parsed.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.subj, r.pred, r.obj, r.obj_is_iri)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        ("A", "calls", "B", True),
+        ("B", "calls", "C", True),
+        ("C", "doc", 'hello "w"', False),
+    ]
