@@ -44,6 +44,7 @@ HEADLINE_QUERIES = [
     "text_winnowing",
     "curate_decontaminate",
     "graph_pagerank",
+    "kg_bgp_query",
 ]
 
 

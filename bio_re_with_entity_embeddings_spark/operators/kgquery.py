@@ -59,17 +59,33 @@ def _is_var(term: str) -> bool:
 
 
 def parse_patterns(text: str) -> list[tuple[str, str, str]]:
-    """Parse a whitespace BGP string: one ``s p o`` pattern per ``.``- or
-    newline-separated clause.  ``?name`` terms are variables, everything
-    else is a constant.  Convenience for the CLI surface."""
+    """Parse a whitespace BGP string: ``s p o`` clauses separated by a
+    STANDALONE ``.`` token or a newline (SPARQL's ``s p o . s p o``
+    spelling).  ``?name`` terms are variables, everything else is a
+    constant — dots INSIDE a term (``v1.2``, ``pkg.mod``) are part of
+    the term, which is why only a whitespace-delimited ``.`` separates
+    clauses.  Convenience for the CLI surface."""
     out: list[tuple[str, str, str]] = []
-    for clause in text.replace(".", "\n").splitlines():
-        parts = clause.split()
-        if not parts:
-            continue
-        if len(parts) != 3:
-            raise ValueError(f"pattern clause needs exactly 3 terms: {clause!r}")
-        out.append((parts[0], parts[1], parts[2]))
+    clause: list[str] = []
+
+    def flush() -> None:
+        if not clause:
+            return
+        if len(clause) != 3:
+            raise ValueError(
+                f"pattern clause needs exactly 3 terms: {' '.join(clause)!r}"
+            )
+        out.append((clause[0], clause[1], clause[2]))
+        clause.clear()
+
+    for line in text.splitlines():
+        for tok in line.split():
+            if tok == ".":
+                flush()
+            else:
+                clause.append(tok)
+        flush()  # newline also ends a clause
+    flush()
     return out
 
 

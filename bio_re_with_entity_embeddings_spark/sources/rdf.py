@@ -80,11 +80,13 @@ def to_ntriples(
 
 
 # anchored term patterns; the literal body is backslash-aware so an
-# escaped quote doesn't end the literal early
+# escaped quote doesn't end the literal early; inter-term whitespace
+# is \s+ / trailing \s* per the N-Triples grammar (the writer emits
+# canonical single spaces, but foreign producers vary)
 _IRI = r"<([^<>\"{}|^`\x00-\x20]*)>"
 _LIT = r'"((?:[^"\\]|\\.)*)"'
-_LINE_IRI = rf"^{_IRI} {_IRI} {_IRI} \.$"
-_LINE_LIT = rf"^{_IRI} {_IRI} {_LIT} \.$"
+_LINE_IRI = rf"^\s*{_IRI}\s+{_IRI}\s+{_IRI}\s*\.\s*$"
+_LINE_LIT = rf"^\s*{_IRI}\s+{_IRI}\s+{_LIT}\s*\.\s*$"
 
 
 def parse_ntriples(

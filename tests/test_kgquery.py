@@ -320,3 +320,22 @@ def test_ntriples_streaming_ingest(spark, tmp_path):
         ("B", "calls", "C", True),
         ("C", "doc", 'hello "w"', False),
     ]
+
+
+def test_parse_patterns_dots_inside_terms(kg):
+    # only a STANDALONE '.' separates clauses; dots inside terms stay
+    pats = parse_patterns("?x uses v1.2 . ?x imports pkg.mod")
+    assert pats == [("?x", "uses", "v1.2"), ("?x", "imports", "pkg.mod")]
+    # trailing SPARQL-style dot after the last clause is fine
+    assert parse_patterns("?a calls ?b .") == [("?a", "calls", "?b")]
+
+
+def test_ntriples_foreign_whitespace_tolerated(spark):
+    rows = [
+        ('  <urn:kg:A>   <urn:kg:p>\t<urn:kg:B>  .  ',),
+        ('<urn:kg:A> <urn:kg:p> "x"\t.',),
+    ]
+    got = parse_ntriples(
+        spark.createDataFrame(rows, "line string")
+    ).collect()
+    assert sorted(r.obj for r in got) == ["B", "x"]
