@@ -416,7 +416,7 @@ def cmd_kg_query(args) -> int:
     are selected) N-Triples lines."""
     from pyspark.sql import functions as F
 
-    from .operators.kgquery import bgp_query, parse_patterns
+    from .operators.kgquery import bgp_query, parse_patterns, pred_stats
     from .sources.rdf import read_ntriples, write_ntriples
 
     spark = _spark(args)
@@ -431,8 +431,10 @@ def cmd_kg_query(args) -> int:
     )
     pats = parse_patterns(args.pattern)
     sel = [s for s in args.select.split(",") if s] if args.select else None
+    counts = pred_stats(triples) if args.cost_stats else None
     out = bgp_query(
-        triples, pats, select=sel, distinct=not args.keep_duplicates
+        triples, pats, select=sel, distinct=not args.keep_duplicates,
+        pred_counts=counts,
     )
     if args.output_format == "ntriples":
         if len(out.columns) != 3:
@@ -680,6 +682,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--keep_duplicates", action="store_true",
                     help="skip the final DISTINCT (multiplicity "
                          "semantics)")
+    sp.add_argument("--cost_stats", action="store_true",
+                    help="compute the predicate histogram (one scan) "
+                         "and use cost-based join ordering")
     sp.add_argument("--input_format", choices=["parquet", "ntriples"],
                     default="parquet")
     sp.add_argument("--output_format", choices=["parquet", "ntriples"],

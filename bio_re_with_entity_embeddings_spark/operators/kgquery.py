@@ -49,7 +49,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bgp_query", "parse_patterns", "property_path"]
+__all__ = ["bgp_query", "parse_patterns", "pred_stats", "property_path"]
 
 _COLS = ("subj", "pred", "obj")
 
@@ -119,12 +119,33 @@ def _compile_pattern(
     return df, names, n_const, subj_const
 
 
+def pred_stats(triples: DataFrame) -> dict[str, int]:
+    """Predicate histogram for cost-based BGP ordering: ONE
+    map-combined groupBy collected to the driver.  The result is
+    dimension-sized by definition (distinct predicates are a schema-
+    scale set, not a data-scale one), but the scan is an EAGER extra
+    input pass — compute it once per graph and reuse, the
+    `embedding_lsh_candidates` n_vectors-hint discipline."""
+    return {
+        r["pred"]: r["n"]
+        for r in triples.groupBy("pred").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+
+# fixed per-constant-endpoint selectivity damping for the cardinality
+# estimate (System-R style magic constant: ordering needs relative
+# sizes, not absolute ones)
+_ENDPOINT_SELECTIVITY = 1000.0
+
+
 def bgp_query(
     triples: DataFrame,
     patterns: list[tuple[str, str, str]],
     select: list[str] | None = None,
     distinct: bool = True,
     auto_broadcast: bool = True,
+    pred_counts: dict[str, int] | None = None,
+    order_out: list[int] | None = None,
 ) -> DataFrame:
     """Match a basic graph pattern against a (subj, pred, obj) table.
 
@@ -135,12 +156,25 @@ def bgp_query(
     ``distinct=True`` gives SPARQL ``SELECT DISTINCT`` semantics
     (set of bindings); ``False`` keeps the join multiplicity.
 
+    ``pred_counts`` (from ``pred_stats``, or any external catalog)
+    switches join ordering from the constant-count heuristic to
+    cost-based: per-pattern cardinality is estimated as the constant
+    predicate's triple count (total for a variable predicate), damped
+    by a fixed selectivity per constant endpoint; the greedy order
+    then seeds with the SMALLEST estimate and always extends with the
+    smallest-estimate connected pattern — the selectivity-first BGP
+    ordering every SPARQL engine ships.  Semantics are identical
+    either way (inner joins commute); only the plan changes.
+    ``order_out``, if given, receives the chosen pattern indices
+    (introspection/testing).
+
     A pattern with no variables is an EXISTS gate: it contributes one
     row if any matching triple exists, none otherwise (the whole
     result empties).  Joined last via a 1-row cross join.
     """
     if not patterns:
         raise ValueError("bgp_query needs at least one pattern")
+    total = float(sum(pred_counts.values())) if pred_counts else 0.0
     compiled = []
     for i, pat in enumerate(patterns):
         if len(pat) != 3:
@@ -152,11 +186,17 @@ def bgp_query(
         # upgrades them at runtime when they measure small.
         if auto_broadcast and subj_const and names:
             df = F.broadcast(df)
-        compiled.append((df, set(names), n_const, i))
+        est = None
+        if pred_counts is not None:
+            s, p, o = pat
+            base = total if _is_var(p) else float(pred_counts.get(p, 0))
+            n_endpoints = (not _is_var(s)) + (not _is_var(o))
+            est = base / (_ENDPOINT_SELECTIVITY ** n_endpoints)
+        compiled.append((df, set(names), n_const, i, est))
 
     # variable order for the final projection: first appearance
     var_order: list[str] = []
-    for _, names, _, i in compiled:
+    for _, names, _, i, _ in compiled:
         for term in patterns[i]:
             if _is_var(term) and term[1:] not in var_order:
                 var_order.append(term[1:])
@@ -164,19 +204,29 @@ def bgp_query(
     with_vars = [c for c in compiled if c[1]]
     exists_gates = [c for c in compiled if not c[1]]
 
+    if pred_counts is None:
+        # heuristic: most constants first (bigger = better seed)
+        seed_key = lambda c: (c[2], -c[3])  # noqa: E731
+        grow_key = lambda c: (len(c[1] & bound), c[2], -c[3])  # noqa: E731
+    else:
+        # cost-based: smallest estimate first (max of negated est)
+        seed_key = lambda c: (-c[4], -c[3])  # noqa: E731
+        grow_key = lambda c: (-c[4], len(c[1] & bound), -c[3])  # noqa: E731
+
     result = None
     bound: set[str] = set()
     remaining = list(with_vars)
+    chosen: list[int] = []
     while remaining:
         if result is None:
-            # seed: most constants, then earliest
-            pick = max(remaining, key=lambda c: (c[2], -c[3]))
+            pick = max(remaining, key=seed_key)
         else:
             sharing = [c for c in remaining if c[1] & bound]
             pool = sharing or remaining  # disconnected component -> cross join
-            pick = max(pool, key=lambda c: (len(c[1] & bound), c[2], -c[3]))
+            pick = max(pool, key=grow_key)
         remaining.remove(pick)
-        df, names, _, _ = pick
+        df, names, _, i, _ = pick
+        chosen.append(i)
         if result is None:
             result = df
         else:
@@ -184,11 +234,14 @@ def bgp_query(
             result = result.join(df, on=keys) if keys else result.crossJoin(df)
         bound |= names
 
-    for df, _, _, i in exists_gates:
+    for df, _, _, i, _ in exists_gates:
         gate = df.select(F.lit(1).alias(f"__exists_{i}")).limit(1)
         result = gate.crossJoin(result) if result is not None else gate
+        chosen.append(i)
     if exists_gates:
-        result = result.drop(*(f"__exists_{i}" for _, _, _, i in exists_gates))
+        result = result.drop(*(f"__exists_{i}" for _, _, _, i, _ in exists_gates))
+    if order_out is not None:
+        order_out.extend(chosen)
 
     if not var_order:
         # all-constant query: 1 row iff every gate matched

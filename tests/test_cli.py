@@ -489,3 +489,21 @@ def test_cli_kg_query_and_ntriples(spark, tmp_path_factory):
         "--pattern", "?d mentions ?x", "--output_format", "ntriples",
     ])
     assert rc == 2
+
+
+def test_cli_kg_query_cost_stats(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("kgqc")
+    triples = str(base / "t")
+    spark.createDataFrame(
+        [("A", "calls", "B"), ("B", "calls", "C"), ("B", "instance_of", "x")],
+        "subj string, pred string, obj string",
+    ).write.parquet(triples)
+    out = str(base / "o")
+    rc = cli.main([
+        "kg-query", "--input", triples, "--output", out, "--cost_stats",
+        "--pattern", "?a calls ?b . ?b instance_of ?t",
+    ])
+    assert rc == 0
+    assert [(r.a, r.b, r.t) for r in spark.read.parquet(out).collect()] == [
+        ("A", "B", "x")
+    ]

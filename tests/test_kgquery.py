@@ -339,3 +339,41 @@ def test_ntriples_foreign_whitespace_tolerated(spark):
         spark.createDataFrame(rows, "line string")
     ).collect()
     assert sorted(r.obj for r in got) == ["B", "x"]
+
+
+def test_cost_based_ordering_with_pred_stats(spark, kg):
+    from bio_re_with_entity_embeddings_spark.operators.kgquery import (
+        pred_stats,
+    )
+
+    stats = pred_stats(kg)
+    assert stats == {"mentions": 4, "acts_on": 3, "instance_of": 3}
+
+    pats = [("?d", "mentions", "?x"), ("?x", "acts_on", "?y")]
+    # heuristic: both patterns have 1 constant -> earliest seeds
+    heur_order: list = []
+    heur = bgp_query(kg, pats, order_out=heur_order)
+    assert heur_order == [0, 1]
+    # cost-based with a skewed catalog: acts_on is rare -> seeds first
+    cost_order: list = []
+    cost = bgp_query(
+        kg, pats,
+        pred_counts={"mentions": 1_000_000, "acts_on": 5},
+        order_out=cost_order,
+    )
+    assert cost_order == [1, 0]
+    # semantics identical either way
+    assert _rows(heur) == _rows(cost)
+
+
+def test_cost_based_endpoint_damping(spark, kg):
+    # (pred, object)-constant pattern: est = count/1000 beats a
+    # smaller-count pattern with no endpoint constants
+    order: list = []
+    bgp_query(
+        kg,
+        [("?x", "mentions", "?y"), ("?x", "instance_of", "obj")],
+        pred_counts={"mentions": 20, "instance_of": 10_000},
+        order_out=order,
+    )
+    assert order == [1, 0]
