@@ -429,6 +429,24 @@ def cmd_kg_query(args) -> int:
         F.col(args.pred_col).alias("pred"),
         F.col(args.obj_col).alias("obj"),
     )
+    if args.path_pred:
+        from .operators.kgquery import property_path
+
+        seeds = [s for s in args.path_seeds.split(",") if s]
+        if not seeds:
+            print("--path_pred needs --path_seeds", file=sys.stderr)
+            return 2
+        out = property_path(
+            triples, args.path_pred, seeds,
+            max_hops=args.max_hops, directed=not args.undirected,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"kg-query path: {args.path_pred}+ -> {args.output}",
+              file=sys.stderr)
+        return 0
+    if not args.pattern:
+        print("kg-query needs --pattern (or --path_pred)", file=sys.stderr)
+        return 2
     pats = parse_patterns(args.pattern)
     sel = [s for s in args.select.split(",") if s] if args.select else None
     counts = pred_stats(triples) if args.cost_stats else None
@@ -674,9 +692,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="triple table: parquet dir, or N-Triples text "
                          "dir with --input_format ntriples")
     sp.add_argument("--output", required=True)
-    sp.add_argument("--pattern", required=True,
+    sp.add_argument("--pattern", default=None,
                     help="BGP clauses, '.'-separated: "
-                         "'?d mentions ?x . ?x calls ?y'")
+                         "'?d mentions ?x . ?x calls ?y' "
+                         "(required unless --path_pred)")
     sp.add_argument("--select", default=None,
                     help="comma-joined variable names to project")
     sp.add_argument("--keep_duplicates", action="store_true",
@@ -685,6 +704,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--cost_stats", action="store_true",
                     help="compute the predicate histogram (one scan) "
                          "and use cost-based join ordering")
+    sp.add_argument("--path_pred", default=None,
+                    help="property-path mode: pred+ min-hop "
+                         "reachability instead of a BGP (ignores "
+                         "--pattern)")
+    sp.add_argument("--path_seeds", default="",
+                    help="comma-joined seed node ids for --path_pred")
+    sp.add_argument("--max_hops", type=int, default=3)
+    sp.add_argument("--undirected", action="store_true")
     sp.add_argument("--input_format", choices=["parquet", "ntriples"],
                     default="parquet")
     sp.add_argument("--output_format", choices=["parquet", "ntriples"],

@@ -507,3 +507,25 @@ def test_cli_kg_query_cost_stats(spark, tmp_path_factory):
     assert [(r.a, r.b, r.t) for r in spark.read.parquet(out).collect()] == [
         ("A", "B", "x")
     ]
+
+
+def test_cli_kg_query_property_path(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("kgpp")
+    triples = str(base / "t")
+    spark.createDataFrame(
+        [("A", "calls", "B"), ("B", "calls", "C"), ("C", "uses", "D")],
+        "subj string, pred string, obj string",
+    ).write.parquet(triples)
+    out = str(base / "o")
+    rc = cli.main([
+        "kg-query", "--input", triples, "--output", out,
+        "--path_pred", "calls", "--path_seeds", "A", "--max_hops", "4",
+    ])
+    assert rc == 0
+    got = {r.node: r.hop for r in spark.read.parquet(out).collect()}
+    assert got == {"A": 0, "B": 1, "C": 2}
+    # missing seeds and missing pattern both fail loudly
+    assert cli.main(["kg-query", "--input", triples, "--output", out,
+                     "--path_pred", "calls"]) == 2
+    assert cli.main(["kg-query", "--input", triples,
+                     "--output", out]) == 2
