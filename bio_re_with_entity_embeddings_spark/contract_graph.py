@@ -861,7 +861,7 @@ _SQL_KG = """
          entity_id AS obj
   FROM mentions
   UNION ALL
-  SELECT subj, 'acts_on' AS pred, obj FROM pairs
+  SELECT DISTINCT subj, 'acts_on' AS pred, obj FROM pairs
   UNION ALL
   SELECT DISTINCT entity_id AS subj, 'instance_of' AS pred,
          entity_type AS obj
@@ -878,8 +878,17 @@ def _kg_triples(spark, sf_dir):
         F.lit("mentions").alias("pred"),
         F.col("entity_id").alias("obj"),
     )
-    pair_edges = _doc_pairs(spark, sf_dir).select(
-        "subj", F.lit("acts_on").alias("pred"), "obj"
+    # DISTINCT: _doc_pairs rows carry doc-level multiplicity (one row
+    # per co-mentioning doc); a materialized triple table is a SET of
+    # (s, p, o).  Without this the acts_on branch is |pairs| rows, not
+    # |edges|, and every BGP join through it multiplies by the doc
+    # count — measured 251k-row edge table -> 968M-row intermediate at
+    # sf0.1 (347 s) vs 80 edges -> seconds after the fix.
+    pair_edges = (
+        _doc_pairs(spark, sf_dir)
+        .select("subj", "obj")
+        .distinct()
+        .select("subj", F.lit("acts_on").alias("pred"), "obj")
     )
     type_edges = (
         m.select(
