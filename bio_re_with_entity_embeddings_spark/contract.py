@@ -119,12 +119,31 @@ def _dict_df(spark: SparkSession) -> DataFrame:
 
 
 def _doc_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _load(spark, sf_dir, "documents")
-    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    from .functions.parallel import ensure_min_parallelism
+
+    # single-file scan => one task for the |dict| contains probes
+    # (functions/parallel.py); no-op on a wide scan
+    docs = ensure_min_parallelism(_load(spark, sf_dir, "documents"), "doc_id")
+    # Project the padded lowercase text BEFORE the join (round 6,
+    # guide §2.3 "project before"): a nested-loop join condition is
+    # evaluated per (row, dict-entry) pair, so inlining the concat/
+    # lower there recomputes them |dict| times per document; as
+    # pre-projected columns each side's padding is computed once per
+    # row. Same predicate, same mention set.
+    docs = docs.select(
+        "doc_id",
+        F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" ")).alias("_pad"),
+    )
+    dict_df = _dict_df(spark).select(
+        "entity_id",
+        "entity_type",
+        "vec_id",
+        F.concat(F.lit(" "), F.col("surface"), F.lit(" ")).alias("_pat"),
+    )
     return (
         docs.join(
-            F.broadcast(_dict_df(spark)),
-            F.contains(padded, F.concat(F.lit(" "), F.col("surface"), F.lit(" "))),
+            F.broadcast(dict_df),
+            F.contains(F.col("_pad"), F.col("_pat")),
             "inner",
         )
         .select("doc_id", "entity_id", "entity_type", "vec_id")
@@ -154,14 +173,19 @@ FROM mentions GROUP BY doc_id
 )
 def kg_doc2entity(spark, sf_dir):
     """pubmed2entity analog (A1 + N9 export encoding)."""
+    # ONE set aggregate (round 6): mixing count_distinct with a
+    # non-distinct aggregate plans an Expand that doubles the shuffled
+    # rows; the string and the count both come from the same collected
+    # set, so derive n_entities as size() of it — identical by
+    # definition (a set's size IS its distinct count).
     return (
         _doc_mentions(spark, sf_dir)
         .groupBy("doc_id")
-        .agg(
-            F.concat_ws(";;;", F.sort_array(F.collect_set("entity_id"))).alias(
-                "entity_ids_str"
-            ),
-            F.count_distinct("entity_id").alias("n_entities"),
+        .agg(F.sort_array(F.collect_set("entity_id")).alias("_ids"))
+        .select(
+            "doc_id",
+            F.concat_ws(";;;", "_ids").alias("entity_ids_str"),
+            F.size("_ids").cast("long").alias("n_entities"),
         )
     )
 
@@ -179,14 +203,20 @@ FROM mentions GROUP BY entity_id
 )
 def kg_entity2doc(spark, sf_dir):
     """entity2pubmed / instances analog (A2)."""
+    # size(collect_set) == count(DISTINCT) by definition; avoids the
+    # Expand a mixed distinct/non-distinct aggregate plans (round 6)
     return (
         _doc_mentions(spark, sf_dir)
         .groupBy("entity_id")
         .agg(
-            F.concat_ws(
-                ";;;", F.sort_array(F.collect_set(F.col("doc_id").cast("string")))
-            ).alias("articles_str"),
-            F.count_distinct("doc_id").alias("n_docs"),
+            F.sort_array(
+                F.collect_set(F.col("doc_id").cast("string"))
+            ).alias("_docs")
+        )
+        .select(
+            "entity_id",
+            F.concat_ws(";;;", "_docs").alias("articles_str"),
+            F.size("_docs").cast("long").alias("n_docs"),
         )
     )
 
@@ -261,16 +291,23 @@ FROM pairs GROUP BY subj, obj
 )
 def kg_triples_support(spark, sf_dir):
     """Pair-support aggregation -> triple rows (A3)."""
+    # size(collect_set) == count(DISTINCT) by definition; avoids the
+    # Expand a mixed distinct/non-distinct aggregate plans (round 6)
     return (
         _doc_pairs(spark, sf_dir)
         .groupBy("subj", "obj")
         .agg(
-            F.concat_ws(
-                ";;;", F.sort_array(F.collect_set(F.col("doc_id").cast("string")))
-            ).alias("articles_str"),
-            F.count_distinct("doc_id").alias("n_docs"),
+            F.sort_array(
+                F.collect_set(F.col("doc_id").cast("string"))
+            ).alias("_docs")
         )
-        .select("subj", F.lit("acts_on").alias("pred"), "obj", "articles_str", "n_docs")
+        .select(
+            "subj",
+            F.lit("acts_on").alias("pred"),
+            "obj",
+            F.concat_ws(";;;", "_docs").alias("articles_str"),
+            F.size("_docs").cast("long").alias("n_docs"),
+        )
     )
 
 
@@ -330,10 +367,14 @@ def kg_triples_scored(spark, sf_dir):
         .distinct()
         .join(F.broadcast(emb.select("vec_id", "embedding")), "vec_id", "inner")
     )
+    # _doc_pairs ends in .distinct() on (doc_id, subj, obj), so per
+    # (subj, obj) the doc_ids are unique by construction: count(1) is
+    # count(DISTINCT doc_id) without the distinct-aggregate expand
+    # (round 6)
     support = (
         _doc_pairs(spark, sf_dir)
         .groupBy("subj", "obj")
-        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )
     a = vecs.select(
         F.col("entity_id").alias("subj"), F.col("embedding").alias("a_emb")

@@ -46,11 +46,22 @@ _SQL_BEDGES = """
 
 
 def _bipartite_edges(spark, sf_dir):
+    # No .distinct() here (round 6): every graph operator consuming
+    # this base dedups its edge input itself (pagerank/two_hop/... all
+    # open with select(src, dst).distinct()), so the previous distinct
+    # was a second full exchange of the same rows. The union is in fact
+    # already a set — mentions are distinct on (doc_id, entity_id) and
+    # the 'D:' prefix keeps the two directions disjoint — which the
+    # consumers' distinct re-establishes at no extra risk.
+    # (round 6: an eager localCheckpoint of m was tried here and
+    # measured SLOWER — the fwd/rev branches' identical distinct
+    # subtrees are already deduped by exchange reuse inside the first
+    # consuming job, so the extra synchronous job only added wall.)
     m = _doc_mentions(spark, sf_dir)
     doc_node = F.concat(F.lit("D:"), F.col("doc_id").cast("string"))
     fwd = m.select(doc_node.alias("src"), F.col("entity_id").alias("dst"))
     rev = m.select(F.col("entity_id").alias("src"), doc_node.alias("dst"))
-    return fwd.unionByName(rev).distinct()
+    return fwd.unionByName(rev)
 
 
 # ---------------------------------------------------------------------------
@@ -871,21 +882,38 @@ _SQL_KG = """
 
 
 def _kg_triples(spark, sf_dir):
-    m = _doc_mentions(spark, sf_dir)
+    # The 4-pattern BGP consumes the base once per pattern, and the
+    # mention subtree feeds THREE branches (mentions / acts_on via the
+    # pair self-join / instance_of) — without materialization it
+    # recomputes per consumer (exchange reuse only dedupes
+    # byte-identical subtrees, and the branch projections differ).
+    # ONE eager localCheckpoint runs the detection+distinct once;
+    # every branch then reads the materialized partitions (round 6:
+    # kg_bgp_query 10.2 s -> the base was 3.0 s of it, recomputed ~4x).
+    m = _doc_mentions(spark, sf_dir).localCheckpoint()
     doc_node = F.concat(F.lit("D:"), F.col("doc_id").cast("string"))
     mention_edges = m.select(
         doc_node.alias("subj"),
         F.lit("mentions").alias("pred"),
         F.col("entity_id").alias("obj"),
     )
-    # DISTINCT: _doc_pairs rows carry doc-level multiplicity (one row
+    # DISTINCT: pair rows carry doc-level multiplicity (one row
     # per co-mentioning doc); a materialized triple table is a SET of
     # (s, p, o).  Without this the acts_on branch is |pairs| rows, not
     # |edges|, and every BGP join through it multiplies by the doc
     # count — measured 251k-row edge table -> 968M-row intermediate at
-    # sf0.1 (347 s) vs 80 edges -> seconds after the fix.
+    # sf0.1 (347 s) vs 80 edges -> seconds after the fix.  Built from
+    # the checkpointed mention table directly (same (subj, obj) set as
+    # distinct-of-_doc_pairs: projecting before the distinct cannot
+    # add or drop an edge).
+    src = m.where(F.col("entity_type") == "op").select(
+        "doc_id", F.col("entity_id").alias("subj")
+    )
+    tgt = m.where(F.col("entity_type") == "obj").select(
+        "doc_id", F.col("entity_id").alias("obj")
+    )
     pair_edges = (
-        _doc_pairs(spark, sf_dir)
+        src.join(tgt, "doc_id", "inner")
         .select("subj", "obj")
         .distinct()
         .select("subj", F.lit("acts_on").alias("pred"), "obj")

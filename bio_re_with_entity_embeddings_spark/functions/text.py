@@ -198,6 +198,24 @@ def winnowing_fingerprints(
 
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    # Shuffle the TEXT, not the grams (guide §2.3/§2.4, round 6): the
+    # doc-keyed window below needs hash(doc) clustering; establishing it
+    # on the one-row-per-doc table BEFORE the position explode moves
+    # ~1/k-gram-factor of the bytes (each doc explodes to L gram rows of
+    # ~50 B), and the window + final distinct then plan ZERO exchanges
+    # (HashPartitioning(doc) satisfies both).  It also fixes the
+    # single-split small-scan case (functions/parallel.py): the explode
+    # + per-gram md5 was a measured 19.6 s single-task stage of a 24.5 s
+    # query at sf1.0.  Explicit partition count: REPARTITION_BY_NUM is
+    # exempt from AQE coalescing, which would otherwise re-fuse the
+    # small input into one task.
+    spark = df.sparkSession
+    p = int(
+        spark.conf.get(
+            "spark.sql.shuffle.partitions",
+            str(2 * spark.sparkContext.defaultParallelism),
+        )
+    )
     # explode positions FIRST, hash as a top-level codegen'd expr:
     # md5 inside a transform() lambda is interpreted per element
     # (measured ~20x penalty on this workload class, BENCH/BASELINE.md)
@@ -206,6 +224,7 @@ def winnowing_fingerprints(
             F.col(id_col).cast("string").alias("doc"), norm.alias("_t")
         )
         .where(F.length("_t") >= k)
+        .repartition(p, F.col("doc"))
         .select(
             "doc",
             "_t",

@@ -179,6 +179,30 @@ def _edge_signature(e: DataFrame) -> tuple:
     return (row["n"], row["x1"], row["x2"])
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _adaptive_off(spark):
+    """Scope AQE off around an iterative checkpoint loop (round 6).
+
+    The star/pagerank loops pick every shuffle width explicitly from a
+    measured edge count, so adaptive re-planning cannot improve the
+    plan — but it fragments each round's checkpoint materialization
+    into several query-stage jobs with driver planning gaps between
+    them (event-log audit at sf1.0: a 5-round pagerank ran 34 jobs
+    whose walls summed to 9 s inside a 13.5 s call). Values are
+    unaffected; only job granularity changes. The previous setting is
+    restored on exit, and every loop action runs inside the scope."""
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
 def _loop_width(n_edges: int, ceiling: int) -> int:
     """Shuffle width for one CC round, from the directed-edge count
     the convergence signature already measured (a free by-product —
@@ -214,6 +238,15 @@ def connected_components(
     of star rounds actually executed before convergence; pinned by the
     adversarial-scale test (chain/star graphs stay O(log n)).
     """
+    # every star round's actions run inside this scope (see
+    # _adaptive_off: explicit widths, AQE only fragments the rounds
+    # into extra jobs); the returned comp aggregate reads the
+    # already-materialized final checkpoint.
+    with _adaptive_off(edges.sparkSession):
+        return _cc_loop(edges, max_iterations, stats)
+
+
+def _cc_loop(edges: DataFrame, max_iterations: int, stats: dict | None) -> DataFrame:
     spark = edges.sparkSession
     ceiling = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     rounds = 0

@@ -150,6 +150,9 @@ def decontaminate(
     array_distinct — the dedup would cost more than the probe); hit
     distinctness is restored AFTER the broadcast join, where only the
     tiny hit set remains, via ``dropDuplicates(['doc', 'gh'])``."""
+    from ..functions.parallel import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(docs, id_col)
     d = _exploded_grams(docs, id_col, text_col, n).select(
         "doc", F.xxhash64("g").alias("gh")
     )
@@ -179,6 +182,9 @@ def decontaminate_exact(
     variant exists as the DuckDB-oracle dataflow and as the
     collision-paranoid fallback — the hashed variant ships ~8-byte keys
     through the broadcast instead of full n-gram strings."""
+    from ..functions.parallel import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(docs, id_col)
     d = _exploded_grams(docs, id_col, text_col, n)
     b = _exploded_grams(benchmark, None, text_col, n).distinct()
     return (

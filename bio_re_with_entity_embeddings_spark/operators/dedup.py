@@ -26,12 +26,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.parallel import ensure_min_parallelism
 from ..functions.text import fingerprint, shingles
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Groups of byte-identical (after whitespace/case normalization)
     documents: fingerprint, keeper id, group size, member ids."""
+    df = ensure_min_parallelism(df, id_col)
     return (
         df.select(F.col(id_col).cast("string").alias("doc"), fingerprint(text_col).alias("fp"))
         .groupBy("fp")
@@ -84,9 +86,15 @@ def minhash_signatures(
     Gram rows are built explode-FIRST (codegen'd concat/slice) rather
     than exploding a transform()-built array (interpreted per element);
     duplicate grams per doc are harmless here — min(hash) is
-    multiplicity-invariant — so no distinct pass is needed at all."""
+    multiplicity-invariant — so no distinct pass is needed at all.
+
+    Input parallelism is guarded (functions/parallel.py): on a
+    single-split scan the gram explode + per-gram hashing otherwise
+    runs as ONE task (measured 24.7 s of a 29 s query at sf1.0,
+    round 6); at scale the guard is a no-op."""
     from .curation import _exploded_grams
 
+    df = ensure_min_parallelism(df, id_col)
     ex = _exploded_grams(df, id_col, text_col, 3)
     if hash_mode == "md5":
         # One md5 yields FOUR independent 32-bit chunks (8 hex chars
@@ -154,6 +162,10 @@ def minhash_near_duplicates(
     candidate count <= n_buckets * cap^2 instead of unbounded.
     """
     rows_per_band = n_hashes // bands
+    # Parallelism guard once for BOTH the signature and the verify-side
+    # shingle subtrees (functions/parallel.py; the inner
+    # minhash_signatures guard then sees a wide input and no-ops).
+    df = ensure_min_parallelism(df, id_col)
     # Candidate generation shuffles ONLY (doc, band, bucket) — the
     # shingle arrays stay out of the bucket join and are re-joined just
     # for the (few) candidate pairs at verify time. NOTE a measured
@@ -261,6 +273,7 @@ def ngram_jaccard_pairs(
     approximates). O(n^2) per block — use ``block_col`` (e.g. lang) to
     bound blocks; at scale this exists to validate the LSH variant on
     samples, not to run on the full corpus."""
+    df = ensure_min_parallelism(df, id_col)
     base = df.select(
         F.col(id_col).cast("string").alias("doc"),
         shingles(text_col).alias("sh"),
@@ -306,6 +319,7 @@ def simhash_table(
     ``hash_mode='md5'``: token bits come from the first 16 hex chars of
     md5(token) instead of xxhash64 — reproducible in any ANSI engine,
     used by the DuckDB oracle cross-check (same sign-aggregation)."""
+    df = ensure_min_parallelism(df, id_col)
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     ex = df.select(
         F.col(id_col).cast("string").alias("doc"), F.explode(toks).alias("t")

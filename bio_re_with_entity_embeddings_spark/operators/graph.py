@@ -384,33 +384,55 @@ def pagerank(
             ).hint("merge"),
             "node",
         ).select(F.col("_orig").alias("node"), "rank")
+    # AQE off for the loop (round 6): every width in the iteration is
+    # an explicit measured repartition, so adaptive re-planning buys
+    # nothing here — and it costs a lot at small scale: each round's
+    # checkpoint materialization became 2-3 separate AQE query-stage
+    # jobs with driver planning gaps between them (event-log audit: 34
+    # jobs / 13.5 s for one 5-round call at sf1.0; job wall sum 9 s,
+    # the rest inter-job gaps). Every action of the loop runs inside
+    # this scope; the returned frame reads the already-materialized
+    # final checkpoint, so the caller's conf is restored before any of
+    # their actions run.
+    from .canonicalize import _adaptive_off
+
+    with _adaptive_off(edges.sparkSession):
+        return _pagerank_fixed(edges, iterations, damping, tol, stats, seeds)
+
+
+def _pagerank_fixed(edges, iterations, damping, tol, stats, seeds):
     spark = edges.sparkSession
-    # e feeds nodes, out-degrees AND the loop's edge table: persist it
+    # e feeds the degree aggregate AND the loop's edge table: persist it
     # so an expensive upstream (mention detection) runs exactly once;
     # released before returning (the returned state is checkpointed —
     # its partitions are already materialized by the final round's
     # action, so the unpersist cannot trigger a recompute).
     e = edges.select("src", "dst").distinct().persist()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
+    # Fused node-set + out-degree pass (round 6, guide §2.4): explode
+    # each edge into (src, 1) and (dst, 0) and ONE groupBy(node)
+    # sums the out-degree with dangling nodes appearing at od=0 —
+    # replacing the previous nodes-distinct (2E rows) + outd groupBy
+    # (E rows) + nodes|><|outd left join: one exchange and no join
+    # where there were three exchanges and a join, same (node, od)
+    # relation row for row.
+    pre = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("node"), F.lit(1).alias("_c")),
+                    F.struct(F.col("dst").alias("node"), F.lit(0).alias("_c")),
+                )
+            ).alias("s")
+        )
+        .select(F.col("s.node").alias("node"), F.col("s._c").alias("_c"))
+        .groupBy("node")
+        .agg(F.sum("_c").cast("long").alias("od"))
     )
-    outd = e.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("od")
-    )
-    # measured once: node count (the 1/N terms) + edge count (loop
-    # width) — two plan-time jobs, documented above.
+    # measured once: edge count (loop width) — one plan-time job,
+    # documented above; the node count rides the state_0 aggregate.
     n_edges = e.count()
     ceiling = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     p = _loop_width(n_edges, ceiling)
-
-    # (node, od, rank): od = 0 marks dangling.  Keeping od fused into
-    # the rank table makes each round's contribution join ONE join.
-    # With seeds, a 0/1 flag column rides along (same checkpoint, same
-    # plan shape); the uniform path carries NO extra column so its
-    # arithmetic stays byte-identical to the pinned oracle.
-    pre = nodes.join(outd, "node", "left")
     seed_cols = []
     if seeds is not None:
         sd = (
@@ -423,7 +445,7 @@ def pagerank(
     state = (
         pre.select(
             "node",
-            F.coalesce("od", F.lit(0)).cast("long").alias("od"),
+            F.col("od").cast("long").alias("od"),  # fused aggregate: 0 marks dangling
             *seed_cols,
             F.lit(0.0).alias("rank"),  # placeholder; set below once N is known
         )
@@ -469,8 +491,27 @@ def pagerank(
             "tp", F.col("_s").cast("double") / F.lit(float(n_seeds))
         ).drop("_s").withColumn("rank", F.col("tp"))
         dangling = int(row["n_dseeds"] or 0) / n_seeds  # seed-mass on dangling
-    ep = e.repartition(p, "src").persist()
+    # localCheckpoint, not just persist (round 6): each round's plan
+    # embeds ep's full lineage — with an expensive upstream (mention
+    # detection) the driver re-ANALYZES that whole tree once per round
+    # even though persist shortcuts execution (event-log audit: ~0.7 s
+    # driver gap per round at sf1.0). The checkpoint compiles rounds
+    # against a constant-size LogicalRDD instead. Lazy: round 1's
+    # action materializes it.
+    ep = e.repartition(p, "src").localCheckpoint(eager=False)
     rounds = 0
+    # Dangling-free + fixed-round fast path (round 6): NO per-round
+    # localCheckpoint. Each checkpoint call compiles that round's plan
+    # (analysis + codegen) and materializes eagerly-enough to cost a
+    # job — event-log audit at sf1.0 measured ~0.7 s driver gap + one
+    # 6-task job per round even with eager=False. Chaining the rounds
+    # as one lazy tree pays ONE planning pass and ONE final job for the
+    # whole loop; a checkpoint every _CHUNK rounds bounds plan growth
+    # at production round counts, and the tol/dangling path keeps its
+    # per-round checkpoint (its convergence action needs the
+    # materialization anyway).
+    fast = tol is None and row["n_dangling"] == 0
+    _CHUNK = 8
     for _ in range(iterations):
         if seeds is None:
             add_expr = F.lit(base + damping * dangling / n_nodes)
@@ -491,6 +532,10 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("share").alias("c"))
         )
+        # No repartition before the checkpoint (round 6): the left join
+        # preserves the state side's HashPartitioning(node, p) — the
+        # clustering is already the loop invariant, so the explicit
+        # exchange here was a per-round no-op shuffle of the full state.
         new_state = (
             state.withColumnRenamed("rank", "_prev_rank")
             .join(contrib, "node", "left")
@@ -503,15 +548,19 @@ def pagerank(
                 ),
                 "_prev_rank",
             )
-            .repartition(p, "node")
-            .localCheckpoint(eager=False)
         )
-        state = new_state.drop("_prev_rank")
         rounds += 1
-        if tol is None and row["n_dangling"] == 0:
+        if fast:
             # dangling-free fast path (docstring): mass is 0.0 forever,
-            # nothing to measure — no per-round driver action.
+            # nothing to measure — no per-round driver action, and no
+            # per-round checkpoint (see loop header); bound plan growth
+            # every _CHUNK rounds.
+            if rounds % _CHUNK == 0:
+                new_state = new_state.localCheckpoint(eager=False)
+            state = new_state.drop("_prev_rank")
             continue
+        new_state = new_state.localCheckpoint(eager=False)
+        state = new_state.drop("_prev_rank")
         # the ONE action of the round: materializes new_state's
         # checkpoint, measures next round's dangling mass and (when
         # tol is set) this round's convergence delta.
@@ -524,13 +573,15 @@ def pagerank(
         dangling = r["d"] or 0.0
         if tol is not None and (r["l1"] or 0.0) < tol:
             break
-    if tol is None and row["n_dangling"] == 0 and rounds:
-        # fast path: ONE action materializes the whole checkpoint
-        # cascade — must happen BEFORE the unpersists below, or every
-        # round's join would recompute ep's (arbitrarily expensive)
+    if fast and rounds:
+        # fast path: ONE eager checkpoint materializes the whole chained
+        # loop — must happen BEFORE the unpersist below, or the caller's
+        # first action would recompute ep's (arbitrarily expensive)
         # upstream from lineage.
-        state.count()
-    ep.unpersist()
+        state = state.localCheckpoint()
+    # ep is a localCheckpoint now — its partitions are reclaimed by the
+    # ContextCleaner when the frame is collected; only e holds an
+    # explicit cache entry to release.
     e.unpersist()
     if stats is not None:
         stats["rounds"] = rounds

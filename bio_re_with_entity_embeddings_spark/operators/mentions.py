@@ -260,6 +260,10 @@ def detect_entity_sets(
         token_re = re.compile(r"[a-z0-9_]+")  # over lowered content
         findall = token_re.findall
         get = pats.get
+        # round 6: C-level key-set intersection instead of a Python
+        # loop over every token (see detect_entity_arrays)
+        keyset = frozenset(pats)
+        intersect = keyset.intersection
         cols = ["doc_id", "entity_idx", "type_code"]
         for pdf in batches:
             out: list[tuple] = []
@@ -270,10 +274,8 @@ def detect_entity_sets(
                 update = seen.update
                 low = content.lower()
                 if len(low) == len(content):
-                    for tok in findall(low):
-                        links = get(tok)
-                        if links:
-                            update(links)
+                    for tok in intersect(findall(low)):
+                        update(get(tok))
                 else:
                     # rare length-changing lower(): apply the span
                     # predicate so the entity set matches exactly the
@@ -365,29 +367,37 @@ def detect_entity_arrays(
         # per-token str.lower(): one C pass, no 30M match objects.
         # Safe only when lower() preserved length; otherwise fall back
         # to span-validated finditer (parity with detect_mentions).
+        # Round 6 (guide §4.2 — no Python-level loop over 30M tokens):
+        # the per-token probe loop is replaced by ONE C-level
+        # set.intersection between the dictionary key set and the
+        # token list — identical hash probes, no interpreter dispatch
+        # per token; only the (sparse) hits are touched in Python.
         token_re = re.compile(r"[a-z0-9_]+")
         findall = token_re.findall
         get = pats.get
+        keyset = frozenset(pats)
+        intersect = keyset.intersection
         for pdf in batches:
             out: list[tuple] = []
             for doc_id, content in zip(pdf["doc_id"].values, pdf["content"].values):
                 if not content:
                     continue
-                seen: set = set()
-                update = seen.update
                 low = content.lower()
                 if len(low) == len(content):
-                    for tok in findall(low):
-                        links = get(tok)
-                        if links:
-                            update(links)
+                    hits = intersect(findall(low))
+                    if hits:
+                        seen: set = set()
+                        for tok in hits:
+                            seen.update(get(tok))
+                        out.append(emit(doc_id, seen))
                 else:
+                    seen = set()
                     for m in token_re.finditer(low):
                         links = get(m.group())
                         if links and content[m.start():m.end()].lower() == m.group():
-                            update(links)
-                if seen:
-                    out.append(emit(doc_id, seen))
+                            seen.update(links)
+                    if seen:
+                        out.append(emit(doc_id, seen))
             yield pd.DataFrame(out, columns=["doc_id", "ets"])
 
     def run_trie(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

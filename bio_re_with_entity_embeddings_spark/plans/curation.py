@@ -101,6 +101,13 @@ def curate_corpus(
     ``corpus`` (doc, lang, quality, n_tokens).
     """
     cfg = config or CurationConfig()
+    # Single-split small scans would run the whole signals projection
+    # (sha2 + quality + fingerprint per doc) as ONE task and hand the
+    # chain a one-partition cache (functions/parallel.py; measured
+    # 4-5.5 s of the 18 s sf1.0 chain, round 6). No-op at scale.
+    from ..functions.parallel import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(docs, id_col)
     if benchmark is not None:
         # normalize to the chain's internal column name: the decon
         # stage only reads the benchmark's text (operators/curation.py

@@ -110,6 +110,15 @@ def curate_then_build(
     ``cur_exact_survivors`` / ``cur_near_survivors`` when done).
     """
     keyed = _keyed(corpus, doc_key)
+    # Parallelism guard ONCE for the composition: both the curation
+    # signals projection and (via the survivor semi-join, which
+    # preserves the left side's partitioning under the broadcast AQE
+    # picks at small scale) the KG detector read this frame; a
+    # single-split scan would serialize both widest stages
+    # (functions/parallel.py). No-op on a wide corpus scan.
+    from ..functions.parallel import ensure_min_parallelism
+
+    keyed = ensure_min_parallelism(keyed, _KEY)
     cur = PC.curate_corpus(
         spark,
         keyed,

@@ -108,6 +108,13 @@ def build_triples(
     docs = ingest(corpus, cfg.langs)
     if cfg.repo_partitions:
         docs = docs.repartition(cfg.repo_partitions, F.col("repo"))
+    else:
+        # The Arrow detector is the widest stage; a single-split small
+        # scan would run it as ONE Python worker
+        # (functions/parallel.py). No-op on a wide corpus scan.
+        from ..functions.parallel import ensure_min_parallelism
+
+        docs = ensure_min_parallelism(docs, "doc_id")
 
     dict_entries = [(e.surface, e.entity_id, e.entity_type) for e in dictionary]
     if entities is None:
