@@ -118,12 +118,49 @@ def _dict_df(spark: SparkSession) -> DataFrame:
     )
 
 
+# Token-probe eligibility: the padded-contains predicate
+# `contains(' '||lower(text)||' ', ' '||surface||' ')` is EXACTLY
+# token-set membership when every surface is space-free — ' s ' occurs
+# in the padded text iff s equals one of the maximal single-space-
+# delimited runs of text (tabs/newlines/punctuation stay inside a run
+# and fail both predicates identically). Checked once against the
+# static dict; a future spaced surface falls back to the nested loop.
+_TOKEN_PROBE_OK = all(" " not in s for s, _, _, _ in DOC_DICT)
+
+
 def _doc_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.parallel import ensure_min_parallelism
 
-    # single-file scan => one task for the |dict| contains probes
+    # single-file scan => one task for the per-doc probes
     # (functions/parallel.py); no-op on a wide scan
     docs = ensure_min_parallelism(_load(spark, sf_dir, "documents"), "doc_id")
+    if _TOKEN_PROBE_OK:
+        # Round 6 (guide §3.1/§4.1): the nested-loop broadcast join
+        # evaluated the contains predicate |docs| x |dict| times — each
+        # a full scan of the ~300-char padded text. Exploding the
+        # (deduped) space-split tokens and HASH-joining the broadcast
+        # dict on exact token equality does |distinct tokens per doc|
+        # O(1) hash probes instead, is whole-stage-codegen'd, and
+        # plans a BroadcastHashJoin in place of the
+        # BroadcastNestedLoopJoin. Same mention set by the equivalence
+        # above (pinned by the DuckDB oracle, which keeps the LIKE).
+        toks = docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.col("text")), " ", -1))
+            ).alias("_tok"),
+        )
+        dict_df = _dict_df(spark).select(
+            "entity_id",
+            "entity_type",
+            "vec_id",
+            F.col("surface").alias("_tok"),
+        )
+        return (
+            toks.join(F.broadcast(dict_df), "_tok")
+            .select("doc_id", "entity_id", "entity_type", "vec_id")
+            .distinct()
+        )
     # Project the padded lowercase text BEFORE the join (round 6,
     # guide §2.3 "project before"): a nested-loop join condition is
     # evaluated per (row, dict-entry) pair, so inlining the concat/

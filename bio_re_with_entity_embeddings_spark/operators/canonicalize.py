@@ -213,8 +213,29 @@ def _loop_width(n_edges: int, ceiling: int) -> int:
     ``localCheckpoint`` plan, and coalescing only merges post-shuffle
     reads — the 64-task map sides and per-stage scheduling overhead
     remain. Measured (sf0.1 curation chain, 191 pairs): dedup_keepers
-    construction 5.9 s -> sub-second-class rounds."""
-    return max(1, min(ceiling, -(-n_edges // 250_000)))
+    construction 5.9 s -> sub-second-class rounds.
+
+    Round 6 (guide §2 — partitioning must adapt to input size AND
+    cluster width): the pure bytes-derived width left the machine
+    mostly idle in the mid range — a 2M-edge pagerank ran width-8 on a
+    32-core local mode (4x under-parallel; every round's join, agg and
+    checkpoint serialized onto a quarter of the cores). When the
+    bytes-derived width is below the cluster's defaultParallelism,
+    raise it up to the cluster width as long as every partition keeps
+    >= ~16k edges (tasks below that are scheduling overhead, the toy-
+    graph case the 250k rule exists for). At >= cores * 250k edges the
+    rule is exactly the old one, so production widths are unchanged."""
+    target = -(-n_edges // 250_000)
+    try:
+        from pyspark.sql import SparkSession
+
+        sess = SparkSession.getActiveSession()
+        cores = sess.sparkContext.defaultParallelism if sess else 0
+    except Exception:
+        cores = 0
+    if 0 < target < cores:
+        target = min(cores, -(-n_edges // 16_000))
+    return max(1, min(ceiling, target))
 
 
 def connected_components(

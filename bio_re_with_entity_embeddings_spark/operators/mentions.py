@@ -359,46 +359,202 @@ def detect_entity_arrays(
             ets = ets[:cap]
         return (doc_id, ets)
 
-    def run_tokens(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run_tokens_arrow(batches):
         import re
 
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         pats = bc.value
-        # findall over the ONCE-lowered content beats finditer +
-        # per-token str.lower(): one C pass, no 30M match objects.
-        # Safe only when lower() preserved length; otherwise fall back
-        # to span-validated finditer (parity with detect_mentions).
-        # Round 6 (guide §4.2 — no Python-level loop over 30M tokens):
-        # the per-token probe loop is replaced by ONE C-level
-        # set.intersection between the dictionary key set and the
-        # token list — identical hash probes, no interpreter dispatch
-        # per token; only the (sparse) hits are touched in Python.
+        # Round 6 (guide §4.2 — batch-level native kernels, zero
+        # per-token AND zero per-doc Python on the hot path): the
+        # previous per-doc findall + set.intersection MATERIALIZED
+        # every token (and every content string, via the pandas
+        # conversion) as a Python object — ~600M token strings at the
+        # 500k-file bench.  This is now a ``mapInArrow`` stage: content
+        # stays an Arrow buffer end to end; tokenization is a C-level
+        # split; the dictionary probe is one ``index_in`` hash lookup
+        # per token; link expansion + per-doc sorted distinct sets are
+        # NumPy CSR ops + one np.unique.
+        #
+        # Tokenizer tiering (bit-identical to ``[a-z0-9_]+`` runs):
+        #   * CLEAN docs — lowered bytes all in [a-z0-9_ ] (checked by
+        #     one 256-entry byte LUT over the data buffer): literal
+        #     single-space split == the regex runs (measured ~3x faster
+        #     than RE2 split; the entire bench corpus is clean).
+        #   * other ASCII docs: RE2 complement split ([^a-z0-9_]+).
+        #   * non-ASCII docs (where ascii_lower / str.lower could
+        #     diverge, e.g. length-changing lowercasing): the exact
+        #     per-doc Python path. Parity pinned by
+        #     test_mentions_vectorized_parity.
+        token_list = sorted(pats)
+        token_arr = pa.array(token_list, type=pa.string())
+        link_counts = np.array(
+            [len(pats[t]) for t in token_list], dtype=np.int64
+        )
+        link_starts = np.concatenate(([0], np.cumsum(link_counts)))[:-1]
+        link_values = np.fromiter(
+            (v for t in token_list for v in pats[t]),
+            dtype=np.int64,
+            count=int(link_counts.sum()),
+        )
         token_re = re.compile(r"[a-z0-9_]+")
-        findall = token_re.findall
         get = pats.get
-        keyset = frozenset(pats)
-        intersect = keyset.intersection
-        for pdf in batches:
+        clean_lut = np.zeros(256, dtype=bool)
+        for ch in "abcdefghijklmnopqrstuvwxyz0123456789_ ":
+            clean_lut[ord(ch)] = True
+
+        def fallback(doc_id, content, out):
+            # exact pre-vectorization per-doc logic (non-ASCII docs)
+            low = content.lower()
+            if len(low) == len(content):
+                seen: set = set()
+                for tok in frozenset(pats).intersection(
+                    token_re.findall(low)
+                ):
+                    seen.update(get(tok))
+                if seen:
+                    out.append(emit(doc_id, seen))
+            else:
+                seen = set()
+                for m in token_re.finditer(low):
+                    links = get(m.group())
+                    if links and content[m.start():m.end()].lower() == m.group():
+                        seen.update(links)
+                if seen:
+                    out.append(emit(doc_id, seen))
+
+        def probe(strings, orig_idx):
+            """index_in over the tokens of ``strings``; returns
+            (orig doc index, dict token index) numpy arrays."""
+            if len(strings) == 0:
+                return None, None
+            toks = (
+                pc.split_pattern(strings, " ")
+                if orig_idx[2]
+                else pc.split_pattern_regex(strings, "[^a-z0-9_]+")
+            )
+            hit = pc.index_in(pc.list_flatten(toks), token_arr)
+            mask = pc.is_valid(hit)
+            par = (
+                pc.filter(pc.list_parent_indices(toks), mask)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            ci = (
+                pc.filter(hit, mask)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            return orig_idx[0][par], ci
+
+        out_schema = pa.schema(
+            [("doc_id", pa.string()), ("ets", pa.list_(pa.int32()))]
+        )
+
+        for batch in batches:
+            docid_arr = batch.column(0)
+            content = batch.column(1)
+            if isinstance(content, pa.ChunkedArray):  # defensive
+                content = content.combine_chunks()
+            ascii_ok = pc.fill_null(
+                pc.string_is_ascii(content), False
+            ).to_numpy(zero_copy_only=False)
+            low = pc.ascii_lower(pc.fill_null(content, ""))
+            if pa.types.is_large_string(low.type):
+                low = low.cast(pa.string())
+            # byte-LUT clean test over the whole lowered buffer; the
+            # (rare) unclean chars are mapped back to their doc via one
+            # searchsorted against the offsets array.
+            off = np.frombuffer(low.buffers()[1], dtype=np.int32)[
+                low.offset : low.offset + len(low) + 1
+            ]
+            data = np.frombuffer(low.buffers()[2], dtype=np.uint8)
+            bad = np.flatnonzero(~clean_lut[data[off[0] : off[-1]]])
+            clean = np.ones(len(low), dtype=bool)
+            if bad.size:
+                clean[
+                    np.unique(
+                        np.searchsorted(off, bad + off[0], side="right") - 1
+                    )
+                ] = False
+            idx_clean = np.flatnonzero(ascii_ok & clean)
+            idx_rx = np.flatnonzero(ascii_ok & ~clean)
+            pars, cis = [], []
+            for idx, literal in ((idx_clean, True), (idx_rx, False)):
+                p, c = probe(
+                    low.take(pa.array(idx, type=pa.int64()))
+                    if idx.size < len(low)
+                    else low,
+                    (idx, None, literal),
+                )
+                if p is not None and p.size:
+                    pars.append(p)
+                    cis.append(c)
+            if pars:
+                par = np.concatenate(pars)
+                ci = np.concatenate(cis)
+            else:
+                par = np.empty(0, dtype=np.int64)
+                ci = par
+            if par.size:
+                # distinct (doc, token), then CSR-expand links, then
+                # distinct (doc, et) — np.unique returns keys sorted,
+                # i.e. doc-major with ets ascending per doc: exactly
+                # sorted(seen).
+                key = np.unique((par << 32) | ci)
+                par, ci = key >> 32, key & 0xFFFFFFFF
+                c = link_counts[ci]
+                total = int(c.sum())
+            else:
+                total = 0
+            if total:
+                rep_par = np.repeat(par, c)
+                csum = np.cumsum(c)
+                pos = np.arange(total, dtype=np.int64) - np.repeat(
+                    csum - c, c
+                )
+                ets = link_values[np.repeat(link_starts[ci], c) + pos]
+                key2 = np.unique((rep_par << 32) | ets)
+                dpar = (key2 >> 32).astype(np.int64)
+                det = (key2 & 0xFFFFFFFF).astype(np.int32)
+                docs_u, counts_d = np.unique(dpar, return_counts=True)
+                if cap > 0:
+                    starts_d = np.cumsum(counts_d) - counts_d
+                    rank = np.arange(det.size, dtype=np.int64) - np.repeat(
+                        starts_d, counts_d
+                    )
+                    m2 = rank < cap
+                    det = det[m2]
+                    counts_d = np.minimum(counts_d, cap)
+                offsets = np.concatenate(
+                    ([0], np.cumsum(counts_d))
+                ).astype(np.int32)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        docid_arr.take(pa.array(docs_u, type=pa.int64())),
+                        pa.ListArray.from_arrays(
+                            pa.array(offsets), pa.array(det, type=pa.int32())
+                        ),
+                    ],
+                    schema=out_schema,
+                )
             out: list[tuple] = []
-            for doc_id, content in zip(pdf["doc_id"].values, pdf["content"].values):
-                if not content:
-                    continue
-                low = content.lower()
-                if len(low) == len(content):
-                    hits = intersect(findall(low))
-                    if hits:
-                        seen: set = set()
-                        for tok in hits:
-                            seen.update(get(tok))
-                        out.append(emit(doc_id, seen))
-                else:
-                    seen = set()
-                    for m in token_re.finditer(low):
-                        links = get(m.group())
-                        if links and content[m.start():m.end()].lower() == m.group():
-                            seen.update(links)
-                    if seen:
-                        out.append(emit(doc_id, seen))
-            yield pd.DataFrame(out, columns=["doc_id", "ets"])
+            for i in np.flatnonzero(~ascii_ok):
+                c_i = content[i].as_py()
+                if c_i:
+                    fallback(docid_arr[i].as_py(), c_i, out)
+            if out:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([r[0] for r in out], type=pa.string()),
+                        pa.array(
+                            [r[1] for r in out], type=pa.list_(pa.int32())
+                        ),
+                    ],
+                    schema=out_schema,
+                )
 
     def run_trie(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pats = bc.value
@@ -424,10 +580,13 @@ def detect_entity_arrays(
                     out.append(emit(doc_id, seen))
             yield pd.DataFrame(out, columns=["doc_id", "ets"])
 
-    runner = run_tokens if all_token_surfaces else run_trie
-    return docs.select("doc_id", "content").mapInPandas(
-        runner, "doc_id string, ets array<int>"
-    )
+    src = docs.select("doc_id", "content")
+    if all_token_surfaces:
+        # mapInArrow, not mapInPandas: the pandas conversion alone
+        # materializes every content string as a Python object
+        # (guide §4.1-4.2 — control how data crosses the boundary).
+        return src.mapInArrow(run_tokens_arrow, "doc_id string, ets array<int>")
+    return src.mapInPandas(run_trie, "doc_id string, ets array<int>")
 
 
 def detect_mentions_native(docs: DataFrame, dict_df: DataFrame) -> DataFrame:
