@@ -54,7 +54,12 @@ def ensure_min_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
         return df
     if n >= cores:
         return df
-    target = int(spark.conf.get("spark.sql.shuffle.partitions", str(2 * cores)))
+    # Exactly the machine width, not the (2x) session shuffle width:
+    # this guard only fires on SMALL single-split inputs, where the
+    # extra tasks of a wider repartition are pure scheduling overhead
+    # (round 6: 64 -> 32 partitions measured a small consistent win on
+    # the sf0.1 minhash/signature subtrees, identical at sf1.0).
+    target = cores
     if key_cols:
         return df.repartition(target, *[F.col(c) for c in key_cols])
     return df.repartition(target)

@@ -12,11 +12,13 @@ ships, built from the individually-proven stages:
       -> per-group quota sampling
 
 Everything is ONE lazy plan per output except the shared ``signals``
-projection, which is persisted DISK_ONLY and eagerly materialized
-exactly like the pipeline's mention cache (same two measured reasons,
-plans/pipeline.py:133-145: MemoryStore registration serializes under
-task concurrency, and AQE races an unpopulated cache across
-independent subtrees).
+projection and the survivor hubs, which are eagerly materialized via
+``localCheckpoint`` (round 6): the barrier prevents AQE racing an
+unpopulated cache across independent subtrees, and the truncated
+lineage stops every downstream action of this ~30-job chain from
+re-analyzing the full upstream plan (measured 12.7-14.0 -> 10.6-10.8 s
+at the 50k-doc bench point). The checkpointed-runner path keeps
+DISK_ONLY persists (its stages materialize to parquet anyway).
 
 Scale shape per stage:
 
@@ -125,9 +127,19 @@ def curate_corpus(
         TXT.token_count(text_col).alias("n_tokens"),
         F.round(TXT.quality_score(text_col), 6).alias("quality"),
         TXT.fingerprint(text_col).alias("fp"),
-    ).persist(StorageLevel.DISK_ONLY)
+    )
+    # Round 6 (guide §5 — localCheckpoint to cut lineage): the hub was
+    # persist(DISK_ONLY) + count. The count job materialized the same
+    # bytes, but every downstream ACTION (CC rounds, survivor joins,
+    # decon, quota — this chain runs ~30 jobs) re-analyzed the full
+    # signals lineage per plan; the checkpoint compiles them against a
+    # constant-size LogicalRDD instead. Measured: chain 12.7-14.0 s ->
+    # 10.6-10.8 s at the 50k-doc point (same job count, smaller
+    # driver gaps). eager=True is exactly the persist+count barrier.
     if cfg.eager_cache:
-        signals.count()
+        signals = signals.localCheckpoint(eager=True)
+    else:
+        signals = signals.persist(StorageLevel.DISK_ONLY)
 
     parts = _chain(spark, signals, benchmark, cfg)
     clean = parts["clean"]
@@ -359,9 +371,13 @@ def _chain(
     # not once per consumer (exchange reuse only dedupes byte-identical
     # subtrees WITHIN one action; CC's checkpoint rounds are separate
     # actions).
-    exact_survivors = exact_survivors.persist(StorageLevel.DISK_ONLY)
+    # localCheckpoint, not persist+count (round 6): same barrier, but
+    # downstream plans compile against a LogicalRDD instead of
+    # re-analyzing the exact-dedup lineage per action (see signals).
     if cfg.eager_cache:
-        exact_survivors.count()
+        exact_survivors = exact_survivors.localCheckpoint(eager=True)
+    else:
+        exact_survivors = exact_survivors.persist(StorageLevel.DISK_ONLY)
 
     pairs = DD.minhash_near_duplicates(
         exact_survivors,
@@ -397,8 +413,7 @@ def _chain(
         # unpersist (a cache entry reachable only through derived
         # lineage could never be released).
         if cfg.eager_cache:
-            near_survivors = near_survivors.persist(StorageLevel.DISK_ONLY)
-            near_survivors.count()
+            near_survivors = near_survivors.localCheckpoint(eager=True)
         decon = CUR.decontaminate if cfg.decon_hashed else CUR.decontaminate_exact
         hits = decon(near_survivors, benchmark, "doc", "text", n=cfg.decon_n)
         contaminated = hits.where(

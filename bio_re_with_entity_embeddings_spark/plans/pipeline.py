@@ -140,16 +140,20 @@ def _build_parity(
     # DISK_ONLY, not MEMORY_AND_DISK: MemoryStore block registration
     # serializes under a shared lock at high task concurrency.
     mentions = mentions.persist(StorageLevel.DISK_ONLY)
-    mentions_dedup = (
-        mentions.select("doc_id", "entity_id", "entity_type")
-        .distinct()
-        .persist(StorageLevel.DISK_ONLY)
-    )
+    mentions_dedup = mentions.select(
+        "doc_id", "entity_id", "entity_type"
+    ).distinct()
     if cfg.eager_cache:
         # AQE materializes independent query stages CONCURRENTLY; an
-        # unpopulated cache gets recomputed per racing subtree. One
-        # eager count populates it before the fan-out.
-        mentions_dedup.count()
+        # unpopulated cache gets recomputed per racing subtree — the
+        # eager barrier populates it before the fan-out.
+        # localCheckpoint, not persist+count (round 6, guide §5): the
+        # per-relation fan-out below runs one action per relation,
+        # each of which otherwise re-analyzes the detector lineage;
+        # the checkpoint compiles them against a LogicalRDD.
+        mentions_dedup = mentions_dedup.localCheckpoint(eager=True)
+    else:
+        mentions_dedup = mentions_dedup.persist(StorageLevel.DISK_ONLY)
 
     triple_parts: list[DataFrame] = []
     pair_parts: list[DataFrame] = []
@@ -245,9 +249,14 @@ def _build_scale(
         arrs = arrs.repartition(
             int(spark.conf.get("spark.sql.shuffle.partitions")), "dk"
         )
-    arrs = arrs.persist(StorageLevel.DISK_ONLY)
     if cfg.eager_cache:
-        arrs.count()
+        # localCheckpoint, not persist+count (round 6, guide §5): same
+        # materialization barrier, but the pair-explosion, support and
+        # doc2entity consumers compile against a LogicalRDD instead of
+        # re-analyzing the Arrow-detector lineage per action.
+        arrs = arrs.localCheckpoint(eager=True)
+    else:
+        arrs = arrs.persist(StorageLevel.DISK_ONLY)
 
     rel_code = (F.col("stc") * 256 + F.col("ttc")).alias("rc")
     wanted_codes = [
