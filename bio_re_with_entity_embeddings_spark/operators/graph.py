@@ -428,11 +428,6 @@ def _pagerank_fixed(edges, iterations, damping, tol, stats, seeds):
         .groupBy("node")
         .agg(F.sum("_c").cast("long").alias("od"))
     )
-    # measured once: edge count (loop width) — one plan-time job,
-    # documented above; the node count rides the state_0 aggregate.
-    n_edges = e.count()
-    ceiling = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    p = _loop_width(n_edges, ceiling)
     seed_cols = []
     if seeds is not None:
         sd = (
@@ -442,6 +437,37 @@ def _pagerank_fixed(edges, iterations, damping, tol, stats, seeds):
         seed_cols = [
             F.coalesce("_sflag", F.lit(0)).cast("int").alias("_s")
         ]
+    # ONE setup action (round 6): the edge count IS sum(od) over the
+    # fused node/out-degree aggregate — each directed edge contributes
+    # exactly one od unit at its src — so the previous separate
+    # e.count() job folds into the same aggregate that reads N and the
+    # dangling structure. state_0 itself stays a LAZY checkpoint now:
+    # round 1's action materializes it (pre is recomputed once there
+    # from the persisted e — two cheap partial-agg passes instead of a
+    # third setup job + its driver gap).
+    aggs0 = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("od").alias("sum_od"),
+        F.sum(F.when(F.col("od") == 0, 1).otherwise(0)).alias("n_dangling"),
+    ]
+    if seeds is not None:
+        # pre carries the raw left-join _sflag; the _s alias only
+        # exists on the state projection below
+        aggs0.append(
+            F.sum(F.coalesce("_sflag", F.lit(0))).alias("n_seeds")
+        )
+        aggs0.append(
+            F.sum(
+                F.when(
+                    (F.col("od") == 0) & (F.col("_sflag") == 1), 1
+                ).otherwise(0)
+            ).alias("n_dseeds")
+        )
+    row = pre.agg(*aggs0).collect()[0]
+    n_nodes = int(row["n"])
+    n_edges = int(row["sum_od"] or 0)
+    ceiling = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    p = _loop_width(n_edges, ceiling)
     state = (
         pre.select(
             "node",
@@ -452,21 +478,6 @@ def _pagerank_fixed(edges, iterations, damping, tol, stats, seeds):
         .repartition(p, "node")
         .localCheckpoint(eager=False)
     )
-    # one action: materialize state_0 AND read N + initial dangling
-    # structure (dangling node count) off it.
-    aggs0 = [
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(F.col("od") == 0, 1).otherwise(0)).alias("n_dangling"),
-    ]
-    if seeds is not None:
-        aggs0.append(F.sum("_s").alias("n_seeds"))
-        aggs0.append(
-            F.sum(
-                F.when((F.col("od") == 0) & (F.col("_s") == 1), 1).otherwise(0)
-            ).alias("n_dseeds")
-        )
-    row = state.agg(*aggs0).collect()[0]
-    n_nodes = int(row["n"])
     if n_nodes == 0:
         # empty graph (e.g. graph-metrics over a zero-triple build):
         # empty profile, not a ZeroDivisionError
