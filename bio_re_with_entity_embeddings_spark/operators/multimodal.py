@@ -898,6 +898,19 @@ def decode_video_meta(media: DataFrame) -> DataFrame:
     ).mapInPandas(run, VIDEO_META)
 
 
+
+def _spread(ids: DataFrame) -> DataFrame:
+    """Round 6: a single-file documents scan plans ONE split, so every
+    per-row synth+codec stage chained on it ran on one core (measured:
+    the FLAC synth+Rice-decode pair was a 64 s single-task query at
+    sf0.1). The guard repartitions only when planned parallelism is
+    below the cluster width (functions/parallel.py) — a no-op on wide
+    production scans."""
+    from ..functions.parallel import ensure_min_parallelism
+
+    return ensure_min_parallelism(ids, "doc_id")
+
+
 def synth_media_mp4(docs: DataFrame) -> DataFrame:
     """Deterministic media table where EVERY doc is a minimal-valid
     MP4 container (operators/mp4.py::synth_mp4) — the fixture behind
@@ -915,7 +928,9 @@ def synth_media_mp4(docs: DataFrame) -> DataFrame:
             ]
             yield pd.DataFrame(out, columns=["media_id", "modality", "payload", "mime"])
 
-    return docs.select(F.col("doc_id").cast("long").alias("doc_id")).mapInPandas(
+    return _spread(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    ).mapInPandas(
         run, MEDIA
     )
 
@@ -964,7 +979,9 @@ def synth_media(docs: DataFrame) -> DataFrame:
                     out.append((str(did), "video", payload, "application/octet-stream"))
             yield pd.DataFrame(out, columns=["media_id", "modality", "payload", "mime"])
 
-    return docs.select(F.col("doc_id").cast("long").alias("doc_id")).mapInPandas(
+    return _spread(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    ).mapInPandas(
         run, MEDIA
     )
 
@@ -983,7 +1000,9 @@ def synth_media_png(docs: DataFrame) -> DataFrame:
             ]
             yield pd.DataFrame(out, columns=["media_id", "modality", "payload", "mime"])
 
-    return docs.select(F.col("doc_id").cast("long").alias("doc_id")).mapInPandas(
+    return _spread(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    ).mapInPandas(
         run, MEDIA
     )
 
@@ -1003,7 +1022,9 @@ def synth_media_gif(docs: DataFrame) -> DataFrame:
             ]
             yield pd.DataFrame(out, columns=["media_id", "modality", "payload", "mime"])
 
-    return docs.select(F.col("doc_id").cast("long").alias("doc_id")).mapInPandas(
+    return _spread(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    ).mapInPandas(
         run, MEDIA
     )
 
@@ -1025,7 +1046,9 @@ def synth_media_jpeg(docs: DataFrame) -> DataFrame:
             ]
             yield pd.DataFrame(out, columns=["media_id", "modality", "payload", "mime"])
 
-    return docs.select(F.col("doc_id").cast("long").alias("doc_id")).mapInPandas(
+    return _spread(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    ).mapInPandas(
         run, MEDIA
     )
 
@@ -1047,7 +1070,9 @@ def synth_media_flac(docs: DataFrame) -> DataFrame:
             ]
             yield pd.DataFrame(out, columns=["media_id", "modality", "payload", "mime"])
 
-    return docs.select(F.col("doc_id").cast("long").alias("doc_id")).mapInPandas(
+    return _spread(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    ).mapInPandas(
         run, MEDIA
     )
 

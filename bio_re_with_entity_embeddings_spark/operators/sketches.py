@@ -220,13 +220,51 @@ def countmin_cells(
     the sketch of a 100-TB column ships a few KB per partition.
     Mergeable: cells of a union = cell-wise sum (unit-pinned)."""
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
-    rows = df.select(
-        w.alias("_w"),
+    rows = _cm_probe_rows(
+        df, value_col, depth, width, hash_mode, {"_w": w}
+    )
+    return rows.groupBy("row", "col").agg(F.sum("_w").alias("n"))
+
+
+def _cm_probe_rows(df, value_col, depth, width, hash_mode, carry):
+    """(carry..., row, col) — one output row per (input row, depth).
+    ``carry``: {output name: Column} projected through.
+
+    md5 mode pre-projects the depth md5 columns and derives the cell
+    with ONE built-in ``conv(hex, 16, 10)`` (round 6): the previous
+    8-step hex-digit Horner chain lived inside the posexplode array,
+    and Generate performs no common-subexpression elimination — every
+    digit reference re-evaluated its md5, 8 md5 + 8 instr/substring
+    per cell per row (measured: the 600k-row sf0.1 cells aggregate was
+    a 22.5 s stage; same cells with ~20x less expression work this
+    way). Identical cell values: conv(substr(h,1,8),16,10) IS the
+    Horner sum of the first 8 hex digits."""
+    if hash_mode == "md5":
+        v = F.col(value_col).cast("string")
+        pre = df.select(
+            *[c.alias(name) for name, c in carry.items()],
+            *[
+                F.md5(F.concat(F.lit(f"cm{j}:"), v)).alias(f"_h{j}")
+                for j in range(depth)
+            ],
+        )
+        cells = [
+            F.pmod(
+                F.conv(F.substring(F.col(f"_h{j}"), 1, 8), 16, 10).cast("long"),
+                F.lit(width),
+            ).cast("int")
+            for j in range(depth)
+        ]
+        return pre.select(
+            *carry.keys(),
+            F.posexplode(F.array(*cells)).alias("row", "col"),
+        )
+    return df.select(
+        *[c.alias(name) for name, c in carry.items()],
         F.posexplode(
             F.array(*[_cm_cell(value_col, j, width, hash_mode) for j in range(depth)])
         ).alias("row", "col"),
     )
-    return rows.groupBy("row", "col").agg(F.sum("_w").alias("n"))
 
 
 def countmin_estimate(
@@ -247,11 +285,9 @@ def countmin_estimate(
     global distinct — which would defeat the sketch); the join ships
     depth rows per candidate against the tiny broadcastable cell table.
     """
-    probes = items.select(
-        F.col(value_col).alias("item"),
-        F.posexplode(
-            F.array(*[_cm_cell(value_col, j, width, hash_mode) for j in range(depth)])
-        ).alias("row", "col"),
+    probes = _cm_probe_rows(
+        items, value_col, depth, width, hash_mode,
+        {"item": F.col(value_col)},
     )
     joined = probes.join(F.broadcast(cells), ["row", "col"], "left").na.fill(
         {"n": 0}
