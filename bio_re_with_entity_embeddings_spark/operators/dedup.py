@@ -32,8 +32,13 @@ from ..functions.text import fingerprint, shingles
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Groups of byte-identical (after whitespace/case normalization)
-    documents: fingerprint, keeper id, group size, member ids."""
-    df = ensure_min_parallelism(df, id_col)
+    documents: fingerprint, keeper id, group size, member ids.
+
+    NO parallelism guard here (round 6): the map side is one md5
+    fingerprint per doc — too cheap for the guard's exchange to ever
+    pay for itself (measured: the guard DOUBLED the sf0.1 wall,
+    0.35 -> 0.69 s, and the sf1.0 wall was fine without it; the
+    groupBy shuffle already parallelizes the aggregate)."""
     return (
         df.select(F.col(id_col).cast("string").alias("doc"), fingerprint(text_col).alias("fp"))
         .groupBy("fp")
