@@ -233,8 +233,15 @@ def minhash_near_duplicates(
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
     )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
+    # Jaccard WITHOUT materializing the union array (round 6): both sh
+    # representations are distinct by construction (array_distinct
+    # shingles; collect_set gram hashes), so |A ∪ B| = |A| + |B| − |A ∩ B|
+    # exactly — the intersect is computed once and the union array
+    # (the largest allocation of the verify loop) never exists.
+    # Identical jaccard values; pair-set equality pinned by the oracle
+    # (md5 mode) and the production-vs-md5 parity tests.
+    jac = F.col("_i") / (
+        F.size("sh_a") + F.size("sh_b") - F.col("_i")
     )
     return (
         # merge (sort-merge join), twice measured: the array table is
@@ -261,6 +268,7 @@ def minhash_near_duplicates(
             ),
             "doc_b",
         )
+        .withColumn("_i", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn("jaccard", jac.cast("double"))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
