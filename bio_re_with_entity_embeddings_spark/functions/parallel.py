@@ -32,8 +32,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Bytes gate for call sites whose per-row map work is CHEAP (one
+# xxhash64 per gram, a 4-token concat): below this input size the
+# guard's repartition exchange costs more than single-task execution
+# of the map side, above it the parallel map side wins.  Measured
+# round 6 at the two bench sizes (driver sf0.1 documents = 0.6 MB,
+# sf1.0-shaped = ~6 MB): decontaminate 0.69 s ungated vs 1.24 s gated
+# at sf0.1, 1.3 s gated vs 2.3 s ungated at sf1.0; minhash xxhash64
+# mode the same shape.  2 MB sits well inside the measured crossover
+# band and scales with input (not with the local core count).
+CHEAP_MAP_MIN_BYTES = 2 * 1024 * 1024
 
-def ensure_min_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
+
+def _planned_size_bytes(df: DataFrame) -> int | None:
+    """Optimizer size estimate (file bytes for a parquet scan);
+    plan-time metadata only, no job runs."""
+    try:
+        # py4j converts the scala BigInt to a Python int already.
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
+def ensure_min_parallelism(
+    df: DataFrame, *key_cols: str, min_bytes: int = 0
+) -> DataFrame:
     """Repartition ``df`` to the session shuffle width iff its planned
     parallelism is below ``defaultParallelism`` (see module doc).
 
@@ -41,6 +64,11 @@ def ensure_min_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
     sort-before-repartition pass); empty = round-robin.  Keys are for
     spreading only — downstream code must not rely on the clustering,
     because at scale the repartition does not happen.
+
+    ``min_bytes``: additionally skip the repartition when the plan's
+    estimated input size is below this (see ``CHEAP_MAP_MIN_BYTES``).
+    0 (default) keeps the pure width rule — for heavy map sides (md5
+    chains, winnowing grams) the guard wins even on sub-MB inputs.
     """
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
@@ -54,6 +82,10 @@ def ensure_min_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
         return df
     if n >= cores:
         return df
+    if min_bytes:
+        sz = _planned_size_bytes(df)
+        if sz is not None and sz < min_bytes:
+            return df
     # Exactly the machine width, not the (2x) session shuffle width:
     # this guard only fires on SMALL single-split inputs, where the
     # extra tasks of a wider repartition are pure scheduling overhead

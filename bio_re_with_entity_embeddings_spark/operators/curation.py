@@ -150,9 +150,12 @@ def decontaminate(
     array_distinct — the dedup would cost more than the probe); hit
     distinctness is restored AFTER the broadcast join, where only the
     tiny hit set remains, via ``dropDuplicates(['doc', 'gh'])``."""
-    from ..functions.parallel import ensure_min_parallelism
+    from ..functions.parallel import CHEAP_MAP_MIN_BYTES, ensure_min_parallelism
 
-    docs = ensure_min_parallelism(docs, id_col)
+    # Bytes-gated: one 4-token concat + xxhash64 per gram is a cheap
+    # map side — the guard's exchange cost 0.69 -> 1.24 s on the 0.6 MB
+    # sf0.1 input and saved 2.3 -> 1.3 s at the ~6 MB point (round 6).
+    docs = ensure_min_parallelism(docs, id_col, min_bytes=CHEAP_MAP_MIN_BYTES)
     d = _exploded_grams(docs, id_col, text_col, n).select(
         "doc", F.xxhash64("g").alias("gh")
     )
@@ -182,9 +185,9 @@ def decontaminate_exact(
     variant exists as the DuckDB-oracle dataflow and as the
     collision-paranoid fallback — the hashed variant ships ~8-byte keys
     through the broadcast instead of full n-gram strings."""
-    from ..functions.parallel import ensure_min_parallelism
+    from ..functions.parallel import CHEAP_MAP_MIN_BYTES, ensure_min_parallelism
 
-    docs = ensure_min_parallelism(docs, id_col)
+    docs = ensure_min_parallelism(docs, id_col, min_bytes=CHEAP_MAP_MIN_BYTES)
     d = _exploded_grams(docs, id_col, text_col, n)
     b = _exploded_grams(benchmark, None, text_col, n).distinct()
     return (

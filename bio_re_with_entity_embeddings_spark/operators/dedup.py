@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.parallel import ensure_min_parallelism
+from ..functions.parallel import CHEAP_MAP_MIN_BYTES, ensure_min_parallelism
 from ..functions.text import fingerprint, shingles
 
 
@@ -99,7 +99,12 @@ def minhash_signatures(
     round 6); at scale the guard is a no-op."""
     from .curation import _exploded_grams
 
-    df = ensure_min_parallelism(df, id_col)
+    # md5 mode's per-gram hash chain is heavy enough that the guard
+    # wins even on the 0.6 MB sf0.1 input (3.5 s vs 5.0 s measured);
+    # xxhash64's is not — bytes-gate it (functions/parallel.py).
+    df = ensure_min_parallelism(
+        df, id_col, min_bytes=0 if hash_mode == "md5" else CHEAP_MAP_MIN_BYTES
+    )
     ex = _exploded_grams(df, id_col, text_col, 3)
     if hash_mode == "md5":
         # One md5 yields FOUR independent 32-bit chunks (8 hex chars
@@ -170,7 +175,13 @@ def minhash_near_duplicates(
     # Parallelism guard once for BOTH the signature and the verify-side
     # shingle subtrees (functions/parallel.py; the inner
     # minhash_signatures guard then sees a wide input and no-ops).
-    df = ensure_min_parallelism(df, id_col)
+    # Bytes-gated in xxhash64 mode: its codegen'd per-gram hashing is
+    # cheap enough that on the sub-MB sf0.1 input the guard's exchange
+    # cost the production row ~+1 s (measured round 6); md5 mode keeps
+    # the unconditional guard (its map side is the measured 25 s win).
+    df = ensure_min_parallelism(
+        df, id_col, min_bytes=0 if hash_mode == "md5" else CHEAP_MAP_MIN_BYTES
+    )
     # Candidate generation shuffles ONLY (doc, band, bucket) — the
     # shingle arrays stay out of the bucket join and are re-joined just
     # for the (few) candidate pairs at verify time. NOTE a measured
