@@ -277,10 +277,19 @@ def pagerank(
     stats: dict | None = None,
     encode_ids: bool = False,
     seeds: DataFrame | None = None,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """(node, rank) after ``iterations`` synchronous PageRank rounds
     over the DIRECTED edge set (parallel edges collapse; ranks sum
     to 1).
+
+    ``assume_distinct``: the caller asserts the edge set carries no
+    parallel edges, so the defensive ``distinct()`` (one full exchange
+    + dedup of the edge table before anything else runs) is skipped.
+    Measured round 6 at sf0.1: the distinct cost 1.4 s of a 2.1 s
+    edge-base materialization on a 139k-edge input that was provably
+    already a set. Only assert it when it is provable — a parallel
+    edge would inflate out-degrees and per-round contributions.
 
     rank'(v) = (1-d)*t(v) + d * (sum_{u->v} rank(u)/outdeg(u) + D*t(v))
 
@@ -377,6 +386,7 @@ def pagerank(
         ranks = pagerank(
             enc, iterations=iterations, damping=damping, tol=tol,
             stats=stats, encode_ids=False, seeds=seeds_enc,
+            assume_distinct=assume_distinct,
         )
         return ranks.join(
             dim.select(
@@ -397,17 +407,24 @@ def pagerank(
     from .canonicalize import _adaptive_off
 
     with _adaptive_off(edges.sparkSession):
-        return _pagerank_fixed(edges, iterations, damping, tol, stats, seeds)
+        return _pagerank_fixed(
+            edges, iterations, damping, tol, stats, seeds, assume_distinct
+        )
 
 
-def _pagerank_fixed(edges, iterations, damping, tol, stats, seeds):
+def _pagerank_fixed(
+    edges, iterations, damping, tol, stats, seeds, assume_distinct=False
+):
     spark = edges.sparkSession
     # e feeds the degree aggregate AND the loop's edge table: persist it
     # so an expensive upstream (mention detection) runs exactly once;
     # released before returning (the returned state is checkpointed —
     # its partitions are already materialized by the final round's
     # action, so the unpersist cannot trigger a recompute).
-    e = edges.select("src", "dst").distinct().persist()
+    e = edges.select("src", "dst")
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.persist()
     # Fused node-set + out-degree pass (round 6, guide §2.4): explode
     # each edge into (src, 1) and (dst, 0) and ONE groupBy(node)
     # sums the out-degree with dangling nodes appearing at od=0 —
