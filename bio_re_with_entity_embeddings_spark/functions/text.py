@@ -362,6 +362,13 @@ def winnowing_fingerprints_arrow(
         err = np.geterr()
         np.seterr(over="ignore")  # uint64 wraparound is the arithmetic
         try:
+            # Drain the input stream before computing (round 6): while
+            # this worker hashes a batch, the JVM's merged Arrow
+            # reader/writer otherwise spins on the full socket buffer
+            # (see operators/mentions.py and OPTIMIZATION_r06.md §12);
+            # input here is (doc_id, text) only, so buffering a task's
+            # partition is a few tens of MB at bench scale.
+            batches = list(batches)
             for pdf in batches:
                 out_doc: list = []
                 out_fp: list = []

@@ -31,6 +31,8 @@ from __future__ import annotations
 from collections import deque
 from collections.abc import Iterator, Sequence
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -453,6 +455,17 @@ def detect_entity_arrays(
             [("doc_id", pa.string()), ("ets", pa.list_(pa.int32()))]
         )
 
+        # Drain the ENTIRE input stream before computing (round 6):
+        # Spark's merged reader/writer feeds input over a non-blocking
+        # channel with a busy write loop, so while this worker holds
+        # the GIL computing a batch, the JVM task thread SPINS on the
+        # full socket buffer — measured ~100-250 CPU-seconds of
+        # executor spin per 500k-file pipeline rep (stage cpuT 18 s on
+        # reps where workers kept up vs 112-145 s where they didn't).
+        # Buffering first (~25 MB/task at bench scale — input is
+        # (doc_id, content) only) keeps the reads back-to-back, so the
+        # writer always completes and parks in its selector instead.
+        batches = list(batches)
         for batch in batches:
             docid_arr = batch.column(0)
             content = batch.column(1)
@@ -581,11 +594,80 @@ def detect_entity_arrays(
             yield pd.DataFrame(out, columns=["doc_id", "ets"])
 
     src = docs.select("doc_id", "content")
-    if all_token_surfaces:
-        # mapInArrow, not mapInPandas: the pandas conversion alone
-        # materializes every content string as a Python object
-        # (guide §4.1-4.2 — control how data crosses the boundary).
-        return src.mapInArrow(run_tokens_arrow, "doc_id string, ets array<int>")
+    if all_token_surfaces and os.environ.get(
+        "SPARK_GRAFT_DETECTOR", "arrow"
+    ) == "jvm":
+        # Alternate pure-JVM boundary (guide §4.1 — built-ins over any
+        # Python path), kept behind SPARK_GRAFT_DETECTOR=jvm: for
+        # ASCII docs the whole kernel is expressible in codegen'd JVM
+        # expressions — translate+split tokenization, explode the
+        # per-doc distinct tokens, broadcast-hash-join the
+        # (token -> codes) dictionary, one collect/flatten/distinct/
+        # sort aggregate per doc.  It removes the JVM->Python Arrow
+        # stream entirely (measured: box-wide SYSTEM-time storms from
+        # the PythonRunner socket write path vanish, 0 storm samples),
+        # but costs ~16x the Arrow kernel's CPU on the probe/aggregate
+        # side — 500k-file pipeline 55-98 s vs the Arrow path's
+        # 16-60 s — so the Arrow kernel stays the default.  Non-ASCII
+        # docs (where JVM lower() and Python str.lower() can diverge)
+        # keep the exact Arrow-kernel path in either mode.
+        rows = [
+            (tok, [int(v) for v in vals])
+            for tok, vals in sorted(compact.items())
+        ]
+        dict_df = spark.createDataFrame(rows, "token string, codes array<int>")
+        is_ascii = F.col("content").isNull() | (
+            F.octet_length("content") == F.length("content")
+        )
+        # Tokenizer: translate() every non-word ASCII char to a space
+        # (a linear per-char map), then split on the literal single
+        # space — measured 80x faster than split on the
+        # "[^a-z0-9_]+" regex (String.split's per-token Matcher
+        # substring churn: 69 s vs 0.9 s for the 50k-doc corpus) and
+        # token-identical for ASCII docs (runs of non-word chars
+        # become runs of spaces; the empties they split into are
+        # dropped below).  The token array is materialized in its OWN
+        # projection before the explode: Generate performs no
+        # common-subexpression elimination, so an expression inside
+        # explode() is re-run once per EMITTED row (the count-min md5
+        # lesson from earlier this round).
+        nonword = "".join(
+            chr(c)
+            for c in range(128)
+            if chr(c) not in "abcdefghijklmnopqrstuvwxyz0123456789_ "
+        )
+        hits = (
+            src.where(is_ascii)
+            .select(
+                "doc_id",
+                F.array_distinct(
+                    F.split(
+                        F.translate(
+                            F.lower(F.col("content")),
+                            nonword,
+                            " " * len(nonword),
+                        ),
+                        " ",
+                        -1,
+                    )
+                ).alias("toks"),
+            )
+            .select("doc_id", F.explode("toks").alias("t"))
+            .where(F.col("t") != "")
+            .join(F.broadcast(dict_df), F.col("t") == F.col("token"))
+            .select("doc_id", "codes")
+        )
+        jvm_out = hits.groupBy("doc_id").agg(
+            F.sort_array(
+                F.array_distinct(F.flatten(F.collect_list("codes")))
+            ).alias("ets")
+        )
+        if cap > 0:
+            jvm_out = jvm_out.withColumn("ets", F.slice("ets", 1, cap))
+        py_out = src.where(~is_ascii).mapInArrow(
+            run_tokens_arrow, "doc_id string, ets array<int>"
+        )
+        return jvm_out.unionByName(py_out)
     return src.mapInPandas(run_trie, "doc_id string, ets array<int>")
 
 

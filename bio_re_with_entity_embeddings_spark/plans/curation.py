@@ -137,7 +137,7 @@ def curate_corpus(
     # 10.6-10.8 s at the 50k-doc point (same job count, smaller
     # driver gaps). eager=True is exactly the persist+count barrier.
     if cfg.eager_cache:
-        signals = signals.localCheckpoint(eager=True)
+        signals = signals.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     else:
         signals = signals.persist(StorageLevel.DISK_ONLY)
 
@@ -375,7 +375,7 @@ def _chain(
     # downstream plans compile against a LogicalRDD instead of
     # re-analyzing the exact-dedup lineage per action (see signals).
     if cfg.eager_cache:
-        exact_survivors = exact_survivors.localCheckpoint(eager=True)
+        exact_survivors = exact_survivors.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     else:
         exact_survivors = exact_survivors.persist(StorageLevel.DISK_ONLY)
 
@@ -413,7 +413,7 @@ def _chain(
         # unpersist (a cache entry reachable only through derived
         # lineage could never be released).
         if cfg.eager_cache:
-            near_survivors = near_survivors.localCheckpoint(eager=True)
+            near_survivors = near_survivors.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         decon = CUR.decontaminate if cfg.decon_hashed else CUR.decontaminate_exact
         hits = decon(near_survivors, benchmark, "doc", "text", n=cfg.decon_n)
         contaminated = hits.where(

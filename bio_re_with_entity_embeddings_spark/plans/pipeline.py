@@ -151,7 +151,7 @@ def _build_parity(
         # per-relation fan-out below runs one action per relation,
         # each of which otherwise re-analyzes the detector lineage;
         # the checkpoint compiles them against a LogicalRDD.
-        mentions_dedup = mentions_dedup.localCheckpoint(eager=True)
+        mentions_dedup = mentions_dedup.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     else:
         mentions_dedup = mentions_dedup.persist(StorageLevel.DISK_ONLY)
 
@@ -254,7 +254,7 @@ def _build_scale(
         # materialization barrier, but the pair-explosion, support and
         # doc2entity consumers compile against a LogicalRDD instead of
         # re-analyzing the Arrow-detector lineage per action.
-        arrs = arrs.localCheckpoint(eager=True)
+        arrs = arrs.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     else:
         arrs = arrs.persist(StorageLevel.DISK_ONLY)
 

@@ -46,6 +46,24 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Unix domain sockets for the executor<->python-worker Arrow
+        # streams (round 6). The JVM->worker channel is machine-local
+        # BY CONSTRUCTION (workers are forked on the executor's own
+        # host, in any deployment), yet over TCP it inherits the
+        # host's congestion control. Measured on this box
+        # (tcp_congestion_control=bbr): during mapInArrow stages the
+        # loopback streams showed ms-scale smoothed RTTs from
+        # scheduler delay, 200 ms RTOs, genuine retransmits and
+        # rwnd_limited 60-85%, throttling 1.5 GB of Arrow traffic to
+        # ~50 MB/s while the kernel's TCP churn burned 60-95% of all
+        # 32 CPUs in system time (ss -tmpi dumps + jstack in
+        # OPTIMIZATION_r06.md). UDS has no congestion control, no
+        # pacing, no retransmits: the 40-180 s pipeline-rep storms
+        # disappear. Overridable for A/B via the env knob.
+        .config(
+            "spark.python.unix.domain.socket.enabled",
+            os.environ.get("SPARK_GRAFT_PY_UDS", "true"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
